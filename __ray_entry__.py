@@ -1,44 +1,125 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship raster+vector->DGGS cell-join on sf0.001 images.
+queries(): one callable per implemented operator/pipeline (SURVEY.md section 2).
+oracle_sql(): DuckDB-equivalent SQL per query (cell encodes included — the
+equatorial rHEALPix encoding is closed-form arithmetic, see dggsray/oracle.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module; nothing here calls
+ray.init()/ray.shutdown().
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+from dggsray.oracle import cellid_sql, lonlat_sql
+from dggsray.pipelines import relational as R
+
+_RES_ENC = 4
+_RES_AGG_FINE, _RES_AGG_COARSE = 4, 2
+_RES_JOIN = 3
+_RES_MAJ = 2
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from dggsray.pipelines.flagship import flagship_pipeline
+    return flagship_pipeline(sf=0.001, concurrency=(1, 4))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dggsray.pipelines.flagship import flagship_pipeline
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _flagship(sf_dir: str):
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        return flagship_pipeline(sf=sf)
+
+    return {
+        "cell_encode_customer": lambda d: R.cell_encode_customer(d, _RES_ENC),
+        "cell_count_by_face": lambda d: R.cell_count_by_face(d, _RES_ENC),
+        "cell_agg_customer": lambda d: R.cell_agg_customer(d, _RES_AGG_FINE,
+                                                           _RES_AGG_COARSE),
+        "cell_join_customer_orders": lambda d: R.cell_join_customer_orders(d, _RES_JOIN),
+        "cell_majority_nation": lambda d: R.cell_majority_nation(d, _RES_MAJ),
+        "pricing_summary": R.pricing_summary,
+        "top_orders": R.top_orders,
+        "events_by_type": R.events_by_type,
+        "docs_dedup_exact": R.docs_dedup_exact,
+        "docs_token_stats": R.docs_token_stats,
+        "ann_cosine_top10": R.ann_cosine_top10,
+        "flagship_cell_join": _flagship,
+    }
+
+
+def _ann_sql(dim: int = 64) -> str:
+    """Query vector literal matches dggsray.pipelines.relational.ann_cosine_top10:
+    q[i] = sin(i*0.1)+0.5 (embeddings tables ship dim-64 vectors)."""
+    import numpy as np
+    q = np.sin(np.arange(dim, dtype=np.float64) * 0.1) + 0.5
+    lit = "[" + ", ".join(repr(v) for v in q) + "]"
+    # cast to DOUBLE[] so DuckDB matches the engine's float64 accumulation
+    return (f"SELECT vec_id, CAST(round(list_cosine_similarity("
+            f"CAST(embedding AS DOUBLE[]), {lit}) "
+            f"* 1000000) AS BIGINT) AS cos_micro FROM embeddings "
+            f"ORDER BY cos_micro DESC, vec_id ASC LIMIT 10")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lon_c, lat_c = lonlat_sql("c_custkey")
+    lon_o, lat_o = lonlat_sql("o_orderkey")
+    cell_c_enc = cellid_sql(lon_c, lat_c, _RES_ENC)
+    cell_c_fine = cellid_sql(lon_c, lat_c, _RES_AGG_FINE)
+    cell_c_join = cellid_sql(lon_c, lat_c, _RES_JOIN)
+    cell_o_join = cellid_sql(lon_o, lat_o, _RES_JOIN)
+    cell_c_maj = cellid_sql(lon_c, lat_c, _RES_MAJ)
+
+    return {
+        "cell_encode_customer":
+            f"SELECT c_custkey, {cell_c_enc} AS cellid FROM customer",
+        "cell_count_by_face":
+            f"SELECT substr({cell_c_enc}, 1, 1) AS face, "
+            f"COUNT(*) AS n_points FROM customer GROUP BY 1",
+        "cell_agg_customer":
+            f"SELECT substr({cell_c_fine}, 1, {_RES_AGG_COARSE + 1}) AS cell, "
+            f"SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents, "
+            f"COUNT(*) AS n_customers FROM customer GROUP BY 1",
+        "cell_join_customer_orders":
+            f"WITH cc AS (SELECT {cell_c_join} AS cellid, COUNT(*) AS nc "
+            f"FROM customer GROUP BY 1), "
+            f"oc AS (SELECT {cell_o_join} AS cellid, COUNT(*) AS no "
+            f"FROM orders GROUP BY 1) "
+            f"SELECT cc.cellid AS cellid, CAST(cc.nc * oc.no AS BIGINT) AS n_pairs "
+            f"FROM cc JOIN oc ON cc.cellid = oc.cellid",
+        "cell_majority_nation":
+            f"WITH cv AS (SELECT {cell_c_maj} AS cell, c_nationkey AS nation, "
+            f"COUNT(*) AS cnt FROM customer GROUP BY 1, 2), "
+            f"r AS (SELECT cell, nation, cnt, ROW_NUMBER() OVER "
+            f"(PARTITION BY cell ORDER BY cnt DESC, nation ASC) AS rn FROM cv) "
+            f"SELECT cell, nation AS majority_nation, cnt FROM r WHERE rn = 1",
+        "pricing_summary":
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "COUNT(*) AS n_rows FROM lineitem GROUP BY 1, 2",
+        "top_orders":
+            "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS "
+            "price_cents FROM orders ORDER BY price_cents DESC, o_orderkey ASC "
+            "LIMIT 25",
+        "events_by_type":
+            "SELECT event_type, SUM(CAST(round(value * 100) AS BIGINT)) AS "
+            "value_cents, COUNT(*) AS n_events FROM events GROUP BY 1",
+        "docs_dedup_exact":
+            "WITH keep AS (SELECT MIN(doc_id) AS keep_id FROM documents "
+            "GROUP BY text) "
+            "SELECT d.lang AS lang, COUNT(*) AS n_unique_docs FROM documents d "
+            "JOIN keep ON d.doc_id = keep.keep_id GROUP BY 1",
+        "docs_token_stats":
+            "SELECT lang, "
+            "SUM(CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT)) "
+            "AS n_tokens, "
+            "SUM(CAST(length(text) AS BIGINT)) AS n_chars, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY 1",
+        "ann_cosine_top10": _ann_sql(),
+        # flagship_cell_join: image table is engine-synthesized (not a DuckDB view)
+        # -> rows-only check by design.
+    }

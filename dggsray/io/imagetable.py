@@ -1,0 +1,214 @@
+"""The image+caption table (the engine's primary input, BASELINE.json input_hint):
+
+    (image_id: string, bytes: binary, w: int32, h: int32, fmt: string,
+     caption: string, phash: int64)
+
+plus geo-footprint columns (lon_min, lat_min, lon_max, lat_max: float64) giving each
+image a deterministic position on the globe (low-discrepancy R2 sequence for global
+cover + a clustered 30% fraction that lands in one res-3 subtree to create the cell
+skew the engine must handle — FIXTURES.md F1/F8).
+
+Everything is deterministic in image index i (Philox counter RNG), so any worker can
+regenerate the reference pixels of any row and verify the per-row invariant
+(decode(bytes) == regenerated pixels, caption equality) without shared state.
+
+Codecs are self-contained (no PIL/GDAL in this environment):
+- "raw": C-order uint8 RGB bytes
+- "png": real 8-bit RGB PNG (filter 0, zlib) — readable by any standard viewer.
+Both lossless, so the PSNR>=40dB invariant is exact equality here.
+
+Synthesis is a Ray pipeline (range -> map_batches -> write_parquet) so it scales the
+same way the engine does.
+"""
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+# image sizes cycle (FIXTURES.md F1)
+_WS = np.array([32, 64, 128], dtype=np.int32)
+_HS = np.array([32, 64, 96], dtype=np.int32)
+_FMTS = ["raw", "png"]
+
+SEED = 42
+# R2 low-discrepancy constants
+_G1, _G2 = 0.7548776662466927, 0.5698402909980532
+# the skew cluster: ~30% of images fall inside one res-3 cell subtree near (-3.5, 40.5)
+_CLUSTER_LON, _CLUSTER_LAT, _CLUSTER_JITTER = -3.5, 40.5, 0.8
+
+
+def n_images_for_sf(sf: float) -> int:
+    return max(100, int(round(sf * 500_000)))
+
+
+def _pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image: gradients + seeded noise."""
+    rng = np.random.Generator(np.random.Philox(key=SEED + i))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.empty((h, w, 3), dtype=np.uint8)
+    base[..., 0] = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    base[..., 1] = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    base[..., 2] = ((xx + yy) * 127 // max(w + h - 2, 1) + (i % 64)).astype(np.uint8)
+    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
+    return base + noise  # uint8 wraparound is fine and deterministic
+
+
+def average_phash(img: np.ndarray) -> int:
+    """64-bit average hash: 8x8 block-mean of luminance, bit=1 where above mean."""
+    h, w = img.shape[:2]
+    gray = img.astype(np.float64).mean(axis=2)
+    bh, bw = h // 8, w // 8
+    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).ravel()
+    return int(np.frombuffer(np.packbits(bits).tobytes(), dtype=">u8")[0].astype(np.uint64).view(np.int64))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal valid 8-bit RGB PNG, filter 0, single IDAT."""
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    w = h = None
+    idat = []
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3 + 1
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = arr[:, 0]
+    out = arr[:, 1:].reshape(h, w, 3).copy()
+    # we only emit filter 0; handle 1 (Sub) and 2 (Up) defensively
+    for r in range(h):
+        f = filters[r]
+        if f == 0:
+            continue
+        if f == 1:
+            row = out[r].reshape(-1)
+            for c in range(3, row.size):
+                row[c] = (int(row[c]) + int(row[c - 3])) & 0xFF
+        elif f == 2 and r > 0:
+            out[r] = (out[r].astype(np.int16) + out[r - 1]).astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter {f} not supported")
+    return out
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return img.tobytes()
+    if fmt == "png":
+        return encode_png(img)
+    raise ValueError(f"unknown fmt {fmt}")
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        img = decode_png(data)
+        assert img.shape == (h, w, 3)
+        return img
+    raise ValueError(f"unknown fmt {fmt}")
+
+
+def footprints(idx: np.ndarray):
+    """Deterministic lon/lat bbox per image index (vectorized)."""
+    i = np.asarray(idx, dtype=np.float64)
+    u1 = (i * _G1) % 1.0
+    u2 = (i * _G2) % 1.0
+    lon = -180.0 + 360.0 * u1
+    lat = np.degrees(np.arcsin(2.0 * u2 - 1.0))   # area-uniform on the sphere
+    clustered = (np.asarray(idx) % 10) < 3
+    lon = np.where(clustered, _CLUSTER_LON + (u1 - 0.5) * _CLUSTER_JITTER, lon)
+    lat = np.where(clustered, _CLUSTER_LAT + (u2 - 0.5) * _CLUSTER_JITTER, lat)
+    w = _WS[np.asarray(idx) % 3]
+    half = 0.02 * (w / 32.0)
+    # clamp away from poles/antimeridian so footprints stay well-formed
+    lat = np.clip(lat, -84.0, 84.0)
+    lon = np.clip(lon, -179.5, 179.5)
+    return lon - half, lat - half, lon + half, lat + half
+
+
+def synth_batch(batch: "pa.Table") -> pa.Table:
+    """Ray map_batches kernel: {'id': int64} -> full image-table rows."""
+    idx = batch.column("id").to_numpy()
+    n = len(idx)
+    ws = _WS[idx % 3]
+    hs = _HS[idx % 3]
+    lon_min, lat_min, lon_max, lat_max = footprints(idx)
+    ids, blobs, fmts, caps, hashes = [], [], [], [], np.empty(n, dtype=np.int64)
+    for k in range(n):
+        i = int(idx[k])
+        img = _pixels(i, int(ws[k]), int(hs[k]))
+        fmt = _FMTS[i % 2]
+        ids.append(f"img{i:08d}")
+        blobs.append(encode_image(img, fmt))
+        fmts.append(fmt)
+        clon = (lon_min[k] + lon_max[k]) / 2
+        clat = (lat_min[k] + lat_max[k]) / 2
+        caps.append(f"caption for img{i} at ({clon:.4f},{clat:.4f})")
+        hashes[k] = average_phash(img)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(hashes, pa.int64()),
+        "lon_min": pa.array(lon_min, pa.float64()),
+        "lat_min": pa.array(lat_min, pa.float64()),
+        "lon_max": pa.array(lon_max, pa.float64()),
+        "lat_max": pa.array(lat_max, pa.float64()),
+    })
+
+
+def image_table_path(sf: float, root: str = "/tmp/dggsray_cache") -> str:
+    return os.path.join(root, f"images_sf{sf}")
+
+
+def ensure_image_table(sf: float, root: str = "/tmp/dggsray_cache",
+                       parallelism: int = 16) -> str:
+    """Synthesize (once, cached) the image table for a scale factor; returns the
+    parquet directory.  Runs as a Ray pipeline; deterministic independent of
+    parallelism because every row depends only on its index."""
+    import ray.data as rd
+
+    path = image_table_path(sf, root)
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    n = n_images_for_sf(sf)
+    ds = rd.range(n, override_num_blocks=max(parallelism, n // 4000 + 1))
+    ds = ds.map_batches(synth_batch, batch_format="pyarrow", batch_size=1024)
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path

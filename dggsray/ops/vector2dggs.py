@@ -1,0 +1,168 @@
+"""vector -> rHEALPix cells: rasterize polygons onto the aligned DGGS lattice.
+
+Ray-Data-native re-expression of the reference's vector_to_rhealpix
+(/root/reference/dggstools/rhpx/vector_to_rhpx.py:84-163): feature-class extraction
+(stateful string->int dictionary in first-seen feature order, floats rejected —
+vector_to_rhpx.py:38-65), then burn polygons by class value with pixel-center
+(= cell-center) even-odd containment, later features overwriting earlier ones
+(rasterio burn order — paint order equals input order, SURVEY.md section 2.10c).
+
+Scanline containment is vectorized numpy (no shapely in this environment); the
+polygon list is broadcast once via ray.put and each map_batches task burns the
+features of its batch, so the wide side (cells) streams while the vector side is a
+small broadcast — the broadcast-small-side spatial join of SURVEY.md section 2.5.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.rhpx import DEFAULT_GRID, GridConfig, align_point, cell_from_point, project_fwd
+
+
+def feature_class_values(classes, fixed_value: int | None = None) -> np.ndarray:
+    """Class value per feature: ints pass through, strings get first-seen
+    auto-increment ids starting at 1, floats are rejected
+    (reference _get_feature_class, vector_to_rhpx.py:38-65)."""
+    if fixed_value is not None:
+        return np.full(len(classes), fixed_value, dtype=np.int64)
+    out = np.empty(len(classes), dtype=np.int64)
+    mapping: dict[str, int] = {}
+    for i, v in enumerate(classes):
+        if isinstance(v, (bool, np.bool_)):
+            raise ValueError("bool class properties are not supported")
+        if isinstance(v, (float, np.floating)):
+            raise ValueError(
+                "float class properties are not supported (reference "
+                "vector_to_rhpx.py:55-57)")
+        if isinstance(v, (int, np.integer)):
+            out[i] = int(v)
+        else:
+            if v not in mapping:
+                mapping[v] = len(mapping) + 1
+            out[i] = mapping[v]
+    return out
+
+
+def _ring_planar(ring_lonlat: np.ndarray, grid: GridConfig):
+    x, y = project_fwd(ring_lonlat[:, 0], ring_lonlat[:, 1], grid)
+    return np.column_stack([x, y])
+
+
+def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd crossing test: points (px,py) vs closed planar ring."""
+    inside = np.zeros(px.shape[0], dtype=bool)
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    for i in range(x0.shape[0]):
+        xa, ya, xb, yb = x0[i], y0[i], x1[i], y1[i]
+        if ya == yb:
+            continue
+        cond = ((ya > py) != (yb > py))
+        xint = xa + (py - ya) * (xb - xa) / (yb - ya)
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def burn_polygons_to_cells(features: list[dict], res: int,
+                           grid: GridConfig = DEFAULT_GRID,
+                           all_touched: bool = False) -> pa.Table:
+    """Burn a list of features onto the res lattice.  Each feature:
+    {"feature_id": int, "value": int, "rings": [np.ndarray (k,2) lonlat, ...]}
+    (first ring outer, rest holes — even-odd combines them for free).
+    Returns (cellid, value) with paint-order semantics (later feature wins).
+    all_touched=True additionally includes cells whose bounding box the ring's
+    bbox-expanded edges touch (approximation of rasterio all_touched)."""
+    cw = grid.cell_width(res)
+    cell_to_val: dict = {}
+    for feat in features:
+        rings = [_ring_planar(np.asarray(r, dtype=np.float64), grid)
+                 for r in feat["rings"]]
+        allpts = np.vstack(rings)
+        left, right = allpts[:, 0].min(), allpts[:, 0].max()
+        top, bottom = allpts[:, 1].max(), allpts[:, 1].min()
+        left, top = align_point(left, top, res, grid)
+        pad = 1 if all_touched else 0
+        ncols = max(1, math.ceil((right - left) / cw)) + pad
+        nrows = max(1, math.ceil((top - bottom) / cw)) + pad
+        jj, ii = np.meshgrid(np.arange(ncols), np.arange(nrows))
+        px = left + (jj.ravel() + 0.5) * cw
+        py = top - (ii.ravel() + 0.5) * cw
+        inside = np.zeros(px.shape[0], dtype=bool)
+        closed = [np.vstack([r, r[:1]]) if not np.array_equal(r[0], r[-1]) else r
+                  for r in rings]
+        for ring in closed:
+            inside ^= _points_in_ring(px, py, ring)
+        if all_touched:
+            # include any cell whose center is within half a cell diagonal of an edge
+            near = np.zeros(px.shape[0], dtype=bool)
+            tol = cw * 0.5
+            for ring in closed:
+                for i in range(ring.shape[0] - 1):
+                    ax, ay = ring[i]
+                    bx, by = ring[i + 1]
+                    dx, dy = bx - ax, by - ay
+                    L2 = dx * dx + dy * dy
+                    if L2 == 0:
+                        continue
+                    t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0, 1)
+                    d2 = (px - (ax + t * dx)) ** 2 + (py - (ay + t * dy)) ** 2
+                    near |= d2 <= tol * tol
+            inside |= near
+        if not inside.any():
+            continue
+        cells = cell_from_point(res, px[inside], py[inside], grid)
+        val = int(feat["value"])
+        for c in cells:
+            if c:
+                cell_to_val[c] = val   # paint order: later features overwrite
+    if not cell_to_val:
+        return pa.table({"cellid": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64())})
+    return pa.table({"cellid": pa.array(list(cell_to_val.keys()), pa.string()),
+                     "value": pa.array(list(cell_to_val.values()), pa.int64())})
+
+
+def polygons_to_cells_ds(features: list[dict], res: int,
+                         grid: GridConfig = DEFAULT_GRID,
+                         parallelism: int = 8):
+    """Distributed burn: shard features across tasks, resolve paint order globally
+    by keeping the highest feature_id per cell (equivalent to sequential overwrite
+    because ids are insertion-ordered)."""
+    import ray
+    import ray.data as rd
+
+    ordered = sorted(features, key=lambda f: f["feature_id"])
+    for rank, f in enumerate(ordered):
+        f["_rank"] = rank
+    feats_ref = ray.put(ordered)
+    n = max(1, min(parallelism, len(ordered)))
+
+    def burn_shard(batch: pa.Table) -> pa.Table:
+        shard = batch.column("id").to_numpy()
+        feats = ray.get(feats_ref)
+        mine = [f for f in feats if f["_rank"] % n in shard]
+        tabs = []
+        for f in mine:
+            t = burn_polygons_to_cells([f], res, grid)
+            tabs.append(t.append_column(
+                "_rank", pa.array(np.full(t.num_rows, f["_rank"]), pa.int64())))
+        if not tabs:
+            return pa.table({"cellid": pa.array([], pa.string()),
+                             "value": pa.array([], pa.int64()),
+                             "_rank": pa.array([], pa.int64())})
+        return pa.concat_tables(tabs)
+
+    shards = rd.range(n, override_num_blocks=n).map_batches(
+        burn_shard, batch_format="pyarrow", batch_size=1)
+
+    def keep_last_painted(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(g, sort_keys=[("_rank", "descending")])
+        return g.take(idx[:1]).select(["cellid", "value"])
+
+    # paint order: per cell keep the row of the max rank (one keyed shuffle)
+    return shards.groupby("cellid").map_groups(keep_last_painted,
+                                               batch_format="pyarrow")

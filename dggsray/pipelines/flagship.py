@@ -1,0 +1,143 @@
+"""The flagship end-to-end pipeline (BASELINE.json metric):
+
+    image+caption table -> decode (actor pool) -> rHEALPix warp+explode to cell rows
+    -> join with vector-side polygon cells on cellid -> per-image aggregate.
+
+This is the reference's raster->rHPX conversion (SURVEY.md section 3.1) and
+vector->rHPX rasterize (section 3.2) composed into the cell-join the north_star
+describes, expressed as one streaming Ray Data pipeline.  Throughput metric:
+images/sec end-to-end.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.rhpx import DEFAULT_GRID, GridConfig
+from ..io.imagetable import ensure_image_table, _CLUSTER_LON, _CLUSTER_LAT
+from ..ops.raster2dggs import ImageToCells, images_to_cells
+from ..ops.vector2dggs import burn_polygons_to_cells, feature_class_values
+
+FLAGSHIP_RES = 8
+
+
+def synthetic_polygons(n: int = 48, seed: int = 7) -> list[dict]:
+    """Deterministic vector side: n quadrilateral features spread over the globe
+    (plus three stacked over the image cluster to exercise paint order), with
+    string classes that exercise the first-seen dictionary."""
+    rng = np.random.default_rng(seed)
+    feats = []
+    classes = []
+    for i in range(n):
+        u1, u2 = (i * 0.7548776662466927) % 1.0, (i * 0.5698402909980532) % 1.0
+        lon = -175.0 + 350.0 * u1
+        lat = np.degrees(np.arcsin(2.0 * min(max(u2, 0.03), 0.97) - 1.0))
+        lat = float(np.clip(lat, -60, 60))
+        he = 0.5 + (i % 4) * 0.25       # half extent in degrees
+        jit = rng.uniform(-0.1, 0.1, size=8)
+        ring = np.array([
+            [lon - he + jit[0], lat - he + jit[1]],
+            [lon + he + jit[2], lat - he + jit[3]],
+            [lon + he + jit[4], lat + he + jit[5]],
+            [lon - he + jit[6], lat + he + jit[7]],
+        ])
+        feats.append({"feature_id": i, "rings": [ring]})
+        classes.append(f"class_{i % 7}")
+    for j, (dlon, dlat, he) in enumerate([(-0.4, -0.4, 0.9), (0.3, 0.2, 0.7),
+                                          (0.0, 0.0, 0.5)]):
+        lon, lat = _CLUSTER_LON + dlon, _CLUSTER_LAT + dlat
+        ring = np.array([[lon - he, lat - he], [lon + he, lat - he],
+                         [lon + he, lat + he], [lon - he, lat + he]])
+        feats.append({"feature_id": n + j, "rings": [ring]})
+        classes.append(f"cluster_{j}")
+    values = feature_class_values(classes)
+    for f, v in zip(feats, values):
+        f["value"] = int(v)
+    return feats
+
+
+def vector_cells_table(res: int = FLAGSHIP_RES,
+                       grid: GridConfig = DEFAULT_GRID) -> pa.Table:
+    """Burn the synthetic polygons to (cellid, value).  Driver-side burn (the
+    vector side is the broadcast-small side); the distributed variant lives in
+    ops.vector2dggs.polygons_to_cells_ds for big vector inputs."""
+    return burn_polygons_to_cells(synthetic_polygons(), res, grid)
+
+
+class ImageCellJoinAgg(ImageToCells):
+    """Fused flagship stage: decode -> warp to cells -> broadcast cell join ->
+    per-image aggregate, all inside one actor __call__.
+
+    The fusion is the scale design, not a shortcut: every image's cell rows are
+    produced inside a single task (images are the natural partition of a 10^12-row
+    image table), and the vector side is a broadcast lookup (sorted cell array +
+    np.searchsorted), so the per-image join+majority needs NO shuffle at any
+    input size.  The cell-level groupby shuffles live in the regrid queries
+    (ops.cellify), where cross-image aggregation genuinely requires them.
+    """
+
+    def __init__(self, poly_ref, **kw):
+        super().__init__(**kw)
+        import ray
+        poly = ray.get(poly_ref) if not isinstance(poly_ref, pa.Table) else poly_ref
+        cells = poly.column("cellid").to_numpy(zero_copy_only=False)
+        vals = poly.column("value").to_numpy()
+        order = np.argsort(cells)
+        self.poly_cells = cells[order]
+        self.poly_vals = vals[order].astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, (img_idx, cells, vals) = self._batch_cells(batch)
+        nimg = len(ids)
+        if cells.size == 0:
+            return pa.table({"image_id": pa.array(ids, pa.string()),
+                             "n_cells": pa.array(np.zeros(nimg, np.int64)),
+                             "n_matched": pa.array(np.zeros(nimg, np.int64)),
+                             "majority_value": pa.array(np.full(nimg, -1, np.int64))})
+        # broadcast join: sorted lookup of each cell in the polygon cell index
+        pos = np.searchsorted(self.poly_cells, cells)
+        pos_c = np.clip(pos, 0, max(self.poly_cells.size - 1, 0))
+        matched = (self.poly_cells.size > 0) & (self.poly_cells[pos_c] == cells)
+        value = np.where(matched, self.poly_vals[pos_c], -1)
+        # per-image aggregates (vectorized; rows of an image are contiguous)
+        n_cells = np.bincount(img_idx, minlength=nimg).astype(np.int64)
+        n_matched = np.bincount(img_idx, weights=matched.astype(np.float64),
+                                minlength=nimg).astype(np.int64)
+        majority = np.full(nimg, -1, dtype=np.int64)
+        m_idx, m_val = img_idx[matched], value[matched]
+        if m_idx.size:
+            K = int(self.poly_vals.max()) + 2 if self.poly_vals.size else 2
+            key = m_idx * K + m_val
+            uniq, counts = np.unique(key, return_counts=True)
+            u_img, u_val = uniq // K, uniq % K
+            # per image: max count, ties to smallest value
+            order = np.lexsort((u_val, -counts, u_img))
+            u_img, u_val = u_img[order], u_val[order]
+            first = np.ones(u_img.size, dtype=bool)
+            first[1:] = u_img[1:] != u_img[:-1]
+            majority[u_img[first]] = u_val[first]
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "n_cells": pa.array(n_cells),
+            "n_matched": pa.array(n_matched),
+            "majority_value": pa.array(majority),
+        })
+
+
+def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
+                      grid: GridConfig = DEFAULT_GRID,
+                      concurrency=(2, 8), verify: bool = False,
+                      batch_size: int = 64):
+    """Returns the per-image result Dataset:
+    (image_id, n_cells, n_matched, majority_value)."""
+    import ray
+    import ray.data as rd
+
+    path = ensure_image_table(sf)
+    imgs = rd.read_parquet(path)
+    poly_ref = ray.put(vector_cells_table(res, grid))
+    return imgs.map_batches(
+        ImageCellJoinAgg,
+        fn_constructor_kwargs={"poly_ref": poly_ref, "dst_resolution_idx": res,
+                               "grid": grid, "verify": verify},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

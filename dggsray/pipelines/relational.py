@@ -1,0 +1,277 @@
+"""Query pipelines over the driver's parquet tables (region/nation/customer/.../
+documents/embeddings), each paired with a DuckDB oracle in __ray_entry__.py.
+
+Design rules for oracle bit-equality:
+- numeric outputs are int64 (counts, cent-sums) — float summation order never leaks
+  into the compared values;
+- derived lon/lat points use the same closed-form key formulas as dggsray.oracle;
+- every computed column is named identically to its SQL AS alias.
+All stages are vectorized Arrow batches; groupbys are preceded by per-batch partial
+aggregation where the key cardinality is below the row count.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.cells import truncate_to_resolution
+from ..core.rhpx import DEFAULT_GRID, cells_from_lonlat
+from ..oracle import G_LAT, G_LON
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def derived_lonlat(keys: np.ndarray):
+    k = keys.astype(np.float64)
+    lon = -180.0 + 360.0 * ((k * G_LON) % 1.0)
+    lat = -35.0 + 70.0 * ((k * G_LAT) % 1.0)
+    return lon, lat
+
+
+def _with_cells(batch: pa.Table, key_col: str, res: int) -> pa.Table:
+    keys = batch.column(key_col).to_numpy()
+    lon, lat = derived_lonlat(keys)
+    cells = cells_from_lonlat(res, lon, lat, DEFAULT_GRID)
+    return pa.table({"key": pa.array(keys.astype(np.int64), pa.int64()),
+                     "cellid": pa.array(cells, pa.string())})
+
+
+# --- DGGS queries -----------------------------------------------------------
+
+def cell_encode_customer(sf_dir: str, res: int = 4):
+    """(c_custkey, cellid) for derived equatorial points — the strongest oracle:
+    DuckDB recomputes the full cellid string."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    out = ds.map_batches(lambda b: _with_cells(b, "c_custkey", res),
+                         batch_format="pyarrow")
+    return out.rename_columns(["c_custkey", "cellid"])
+
+
+def cell_count_by_face(sf_dir: str, res: int = 4):
+    from ray.data.aggregate import Sum
+
+    ds = cell_encode_customer(sf_dir, res)
+
+    def partial(b: pa.Table) -> pa.Table:
+        face = pc.utf8_slice_codeunits(b.column("cellid"), 0, 1)
+        t = pa.table({"face": face}).group_by("face").aggregate([([], "count_all")])
+        return t.rename_columns(["face", "_p"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("face").aggregate(Sum("_p", alias_name="n_points"))
+
+
+def cell_agg_customer(sf_dir: str, res_fine: int = 4, res_coarse: int = 2):
+    """Regrid-style aggregate: encode at res_fine, roll up to res_coarse, count and
+    sum account balances in exact cents."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = cells_from_lonlat(res_fine, lon, lat, DEFAULT_GRID)
+        coarse = truncate_to_resolution(cells, res_coarse)
+        cents = np.rint(b.column("c_acctbal").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"cell": pa.array(coarse, pa.string()),
+                      "cents": pa.array(cents, pa.int64())})
+        g = t.group_by("cell").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["cell", "_ps", "_pc"])
+
+    return ds.map_batches(kernel, batch_format="pyarrow") \
+             .groupby("cell").aggregate(Sum("_ps", alias_name="bal_cents"),
+                                        Sum("_pc", alias_name="n_customers"))
+
+
+def cell_join_customer_orders(sf_dir: str, res: int = 3):
+    """Hash join customer-cells x order-cells on cellid; count pairs per cell.
+    Exercises the engine's shuffle join on the DGGS key."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(lambda b: _with_cells(b, "c_custkey", res),
+                     batch_format="pyarrow") \
+        .rename_columns(["c_custkey", "cellid"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(lambda b: _with_cells(b, "o_orderkey", res),
+                     batch_format="pyarrow") \
+        .rename_columns(["o_orderkey", "cellid"])
+    # pre-aggregate both sides to (cellid, count): the pair count per cell is the
+    # product — moves thousands of rows instead of a row per pair
+    cc = cust.map_batches(
+        lambda b: b.group_by("cellid").aggregate([([], "count_all")])
+                   .rename_columns(["cellid", "_c"]),
+        batch_format="pyarrow").groupby("cellid").aggregate(Sum("_c", alias_name="nc"))
+    oc = orders.map_batches(
+        lambda b: b.group_by("cellid").aggregate([([], "count_all")])
+                   .rename_columns(["cellid", "_c"]),
+        batch_format="pyarrow").groupby("cellid").aggregate(Sum("_c", alias_name="no"))
+    joined = cc.join(oc, join_type="inner", on=("cellid",), num_partitions=8)
+
+    def mul(b: pa.Table) -> pa.Table:
+        pairs = pc.multiply(b.column("nc"), b.column("no"))
+        return pa.table({"cellid": b.column("cellid"),
+                         "n_pairs": pc.cast(pairs, pa.int64())})
+
+    return joined.map_batches(mul, batch_format="pyarrow")
+
+
+def cell_majority_nation(sf_dir: str, res: int = 2):
+    """Majority nation per cell over customer points (majority regrid semantics:
+    most frequent value, ties to the smallest value)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = cells_from_lonlat(res, lon, lat, DEFAULT_GRID)
+        t = pa.table({"cell": pa.array(cells, pa.string()),
+                      "nation": pc.cast(b.column("c_nationkey"), pa.int32())})
+        g = t.group_by(["cell", "nation"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cell", "nation", "_p"])
+
+    counts = ds.map_batches(kernel, batch_format="pyarrow") \
+               .groupby(["cell", "nation"]).aggregate(Sum("_p", alias_name="cnt"))
+
+    def pick(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("cnt", "descending"),
+                                            ("nation", "ascending")])
+        top = g.take(idx[:1])
+        return pa.table({"cell": top.column("cell"),
+                         "majority_nation": top.column("nation"),
+                         "cnt": pc.cast(top.column("cnt"), pa.int64())})
+
+    return counts.groupby("cell").map_groups(pick, batch_format="pyarrow")
+
+
+# --- relational / TPC-H-ish ------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavoured aggregate with exact integer outputs."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy()
+        price_c = np.rint(b.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "l_linestatus": b.column("l_linestatus"),
+                      "qty": pa.array(qty.astype(np.int64), pa.int64()),
+                      "price_cents": pa.array(price_c, pa.int64())})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "_q", "_p", "_n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(["l_returnflag", "l_linestatus"]) \
+             .aggregate(Sum("_q", alias_name="sum_qty"),
+                        Sum("_p", alias_name="sum_price_cents"),
+                        Sum("_n", alias_name="n_rows"))
+
+
+def top_orders(sf_dir: str, k: int = 25):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "price_cents": pa.array(c, pa.int64())})
+
+    return ds.map_batches(cents, batch_format="pyarrow") \
+             .sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def events_by_type(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "cents": pa.array(cents, pa.int64())})
+        g = t.group_by("event_type").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "_s", "_n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("event_type").aggregate(Sum("_s", alias_name="value_cents"),
+                                              Sum("_n", alias_name="n_events"))
+
+
+# --- documents: dedup + text analysis --------------------------------------
+
+def docs_dedup_exact(sf_dir: str):
+    """Exact dedup on text: keep the smallest doc_id per distinct text; return
+    survivors count per lang (hash-partition + per-group first)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    keep = ds.groupby("text").aggregate(Min("doc_id", alias_name="keep_id"))
+    lang = _read(sf_dir, "documents", ["doc_id", "lang"])
+    joined = keep.join(lang, join_type="inner", on=("keep_id",),
+                       right_on=("doc_id",), num_partitions=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang"]).group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "_n"])
+
+    from ray.data.aggregate import Sum
+    return joined.map_batches(partial, batch_format="pyarrow") \
+                 .groupby("lang").aggregate(Sum("_n", alias_name="n_unique_docs"))
+
+
+def docs_token_stats(sf_dir: str):
+    """Per-language token statistics: whitespace tokens, chars, docs — vectorized
+    Arrow string kernels; all-int outputs."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern_regex(b.column("text"), r"\s+"))
+        # empty-string corner: split of "" yields [""] (1 token) in both engines
+        chars = pc.utf8_length(b.column("text"))
+        t = pa.table({"lang": b.column("lang"),
+                      "toks": pc.cast(toks, pa.int64()),
+                      "chars": pc.cast(chars, pa.int64())})
+        g = t.group_by("lang").aggregate([("toks", "sum"), ("chars", "sum"),
+                                          ([], "count_all")])
+        return g.rename_columns(["lang", "_t", "_c", "_n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("lang").aggregate(Sum("_t", alias_name="n_tokens"),
+                                        Sum("_c", alias_name="n_chars"),
+                                        Sum("_n", alias_name="n_docs"))
+
+
+def ann_cosine_top10(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k against a fixed deterministic query vector:
+    numpy matmul per batch (the baseline ANN of the training-data operator set).
+    Output scores quantized to int64 micro-units for oracle equality."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def scores(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False))
+        dim = emb.shape[1]
+        q = np.sin(np.arange(dim, dtype=np.float64) * 0.1) + 0.5
+        num = emb.astype(np.float64) @ q
+        den = np.sqrt((emb.astype(np.float64) ** 2).sum(axis=1)) * np.sqrt((q ** 2).sum())
+        cos = np.where(den > 0, num / den, 0.0)
+        micro = np.rint(cos * 1_000_000).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cos_micro": pa.array(micro, pa.int64())})
+
+    return ds.map_batches(scores, batch_format="pyarrow") \
+             .sort(["cos_micro", "vec_id"], descending=[True, False]).limit(k)
