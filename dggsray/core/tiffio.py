@@ -1,0 +1,178 @@
+"""Minimal GeoTIFF I/O (stdlib struct+zlib only — rasterio/GDAL are absent here).
+
+Reads the reference's committed fixtures (little-endian, DEFLATE or uncompressed,
+striped) and writes single- or multi-band GeoTIFFs with ModelPixelScale /
+ModelTiepoint / nodata / free-form ASCII tags — enough to round-trip the
+reference's raster artifacts (GeoTIFF write semantics at
+/root/reference/dggstools/rhpx/rhpx_gdf_helper.py:319-335: DEFLATE, nodata,
+user_metadata tag)."""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_DTYPES = {
+    (8, 1): np.uint8, (8, 2): np.int8,
+    (16, 1): np.uint16, (16, 2): np.int16,
+    (32, 1): np.uint32, (32, 2): np.int32,
+    (32, 3): np.float32, (64, 3): np.float64,
+}
+_INV_SF = {np.dtype(np.uint8): 1, np.dtype(np.int8): 2, np.dtype(np.uint16): 1,
+           np.dtype(np.int16): 2, np.dtype(np.uint32): 1, np.dtype(np.int32): 2,
+           np.dtype(np.float32): 3, np.dtype(np.float64): 3}
+
+
+class GeoTiff:
+    def __init__(self, data: np.ndarray, left: float, top: float,
+                 res_x: float, res_y: float, nodata=None, tags=None):
+        self.data = data            # (bands, h, w)
+        self.left, self.top = left, top
+        self.res_x, self.res_y = res_x, res_y
+        self.nodata = nodata
+        self.tags = tags or {}
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def xy(self, row, col):
+        """Center coordinates of pixel (row, col) — rasterio .xy semantics."""
+        return (self.left + (np.asarray(col) + 0.5) * self.res_x,
+                self.top - (np.asarray(row) + 0.5) * self.res_y)
+
+    def index(self, x, y):
+        """(row, col) containing point — rasterio .index semantics."""
+        col = np.floor((np.asarray(x) - self.left) / self.res_x).astype(np.int64)
+        row = np.floor((self.top - np.asarray(y)) / self.res_y).astype(np.int64)
+        return row, col
+
+
+def read_geotiff(path: str) -> GeoTiff:
+    d = open(path, "rb").read()
+    assert d[:2] == b"II", "only little-endian TIFFs supported"
+    bo = "<"
+    off = struct.unpack(bo + "I", d[4:8])[0]
+    n = struct.unpack(bo + "H", d[off:off + 2])[0]
+    tags = {}
+    TYPES = {1: (1, "B"), 2: (1, "c"), 3: (2, "H"), 4: (4, "I"), 12: (8, "d"),
+             11: (4, "f"), 16: (8, "Q"), 17: (8, "q")}
+    for i in range(n):
+        e = d[off + 2 + i * 12: off + 14 + i * 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        size, fmt = TYPES.get(typ, (1, "B"))
+        total = size * cnt
+        raw = e[8:8 + total] if total <= 4 \
+            else d[struct.unpack(bo + "I", e[8:12])[0]:][:total]
+        if typ == 2:
+            tags[tag] = raw.rstrip(b"\x00").decode("latin1")
+        elif typ in TYPES and typ != 2:
+            tags[tag] = struct.unpack(bo + fmt * cnt, raw)
+        else:
+            tags[tag] = raw
+    w, h = tags[256][0], tags[257][0]
+    bands = tags.get(277, (1,))[0]
+    bits = tags.get(258, (8,) * bands)[0]
+    sfmt = tags.get(339, (1,) * bands)[0]
+    dtype = np.dtype(_DTYPES[(bits, sfmt)]).newbyteorder("<")
+    comp = tags.get(259, (1,))[0]
+    offsets, counts = tags[273], tags[279]
+    rows_per_strip = tags.get(278, (h,))[0]
+    planar = tags.get(284, (1,))[0]
+    raw = b""
+    for o, c in zip(offsets, counts):
+        chunk = d[o:o + c]
+        raw += zlib.decompress(chunk) if comp == 8 else chunk
+    arr = np.frombuffer(raw, dtype=dtype)
+    if planar == 2 and bands > 1:
+        data = arr.reshape(bands, h, w)
+    else:
+        data = np.moveaxis(arr.reshape(h, w, bands), 2, 0)
+    scale = tags.get(33550)
+    tie = tags.get(33922)
+    left = tie[3] if tie else 0.0
+    top = tie[4] if tie else 0.0
+    res_x = scale[0] if scale else 1.0
+    res_y = scale[1] if scale else 1.0
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(tags[42113])
+        except ValueError:
+            pass
+    ascii_tags = {}
+    if 42112 in tags:
+        ascii_tags["GDAL_METADATA"] = tags[42112]
+    return GeoTiff(np.ascontiguousarray(data), left, top, res_x, res_y, nodata,
+                   ascii_tags)
+
+
+def write_geotiff(path: str, g: GeoTiff, compress: bool = True):
+    bands, h, w = g.data.shape
+    dt = g.data.dtype
+    pix = np.moveaxis(g.data, 0, 2).astype(dt, copy=False)  # interleaved
+    payload = pix.tobytes()
+    if compress:
+        payload = zlib.compress(payload, 6)
+
+    entries = []
+    extra = bytearray()
+    header_size = 8
+    # layout: header | IFD | extra values | strip data
+    def add(tag, typ, vals, fmt):
+        nonlocal extra
+        size = {3: 2, 4: 4, 12: 8, 2: 1}[typ] * len(vals)
+        if typ == 2:
+            packed = vals[0].encode("latin1") + b"\x00"
+            size = len(packed)
+        else:
+            packed = struct.pack("<" + fmt * len(vals), *vals)
+        entries.append((tag, typ, len(packed) if typ == 2 else len(vals), packed))
+
+    sf = _INV_SF[dt]
+    bits = dt.itemsize * 8
+    add(256, 3, [w], "H")
+    add(257, 3, [h], "H")
+    add(258, 3, [bits] * bands, "H")
+    add(259, 3, [8 if compress else 1], "H")
+    add(262, 3, [1], "H")
+    add(273, 4, [0], "I")          # patched below
+    add(277, 3, [bands], "H")
+    add(278, 3, [h], "H")
+    add(279, 4, [len(payload)], "I")
+    add(339, 3, [sf] * bands, "H")
+    add(33550, 12, [g.res_x, g.res_y, 0.0], "d")
+    add(33922, 12, [0.0, 0.0, 0.0, g.left, g.top, 0.0], "d")
+    for name, text in sorted(g.tags.items()):
+        if name == "GDAL_METADATA":
+            add(42112, 2, [text], "c")
+    if g.nodata is not None:
+        nd = int(g.nodata) if float(g.nodata).is_integer() else g.nodata
+        add(42113, 2, [str(nd)], "c")
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = header_size
+    ifd_size = 2 + len(entries) * 12 + 4
+    extra_off = ifd_off + ifd_size
+    body = bytearray()
+    out_entries = []
+    for tag, typ, cnt, packed in entries:
+        if len(packed) <= 4:
+            val = packed + b"\x00" * (4 - len(packed))
+        else:
+            val = struct.pack("<I", extra_off + len(body))
+            body += packed
+        out_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
+    data_off = extra_off + len(body)
+    # patch StripOffsets (tag 273)
+    for i, (tag, typ, cnt, packed) in enumerate(entries):
+        if tag == 273:
+            out_entries[i] = struct.pack("<HHI", 273, 4, 1) + struct.pack("<I", data_off)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        f.write(struct.pack("<H", len(entries)))
+        f.write(b"".join(out_entries))
+        f.write(struct.pack("<I", 0))
+        f.write(bytes(body))
+        f.write(payload)

@@ -150,6 +150,111 @@ class ImageToCells:
         })
 
 
+def tiles_to_cells(tiles_ds, meta: dict, grid: GridConfig = DEFAULT_GRID,
+                   store_nodata: bool = False, values_in_json: bool = False,
+                   add_uid: bool = False, tile: int = 512):
+    """Aligned rHEALPix raster (tile-row Dataset) -> cell table.
+
+    Vectorized re-expression of the reference's per-pixel double loop
+    rhealpix_file_to_geodataframe (/root/reference/dggstools/rhpx/
+    rhpx_gdf_helper.py:85-130): keep a pixel if any band differs from its
+    nodataval (or store_nodata), cell id from the pixel center, optional
+    all_bands JSON and uid columns.  The uid is a deterministic blake2b of
+    (cellid, values) instead of uuid4 so retried tasks are idempotent
+    (SURVEY.md section 4 stragglers row)."""
+    import json
+
+    res_idx = meta["res_idx"]
+    res = meta["res"]
+    left, top = meta["left"], meta["top"]
+    nbands = meta["nbands"]
+    dtype = np.dtype(meta["dtypes"][0])
+    ndvals = meta.get("nodatavals") or [None] * nbands
+
+    def explode(b: pa.Table) -> pa.Table:
+        outs = {"cellid": [], **{f"band{i+1}": [] for i in range(nbands)}}
+        ujson, uids = [], []
+        for k in range(b.num_rows):
+            tr = b.column("tile_row")[k].as_py()
+            tc = b.column("tile_col")[k].as_py()
+            h = b.column("h")[k].as_py()
+            w = b.column("w")[k].as_py()
+            arr = np.frombuffer(b.column("data")[k].as_py(), dtype=dtype) \
+                .reshape(nbands, h, w)
+            keep = np.zeros((h, w), dtype=bool)
+            for i in range(nbands):
+                nd = ndvals[i]
+                keep |= (arr[i] != nd) if nd is not None else np.ones((h, w), bool)
+            if store_nodata:
+                keep[:] = True
+            rr, cc = np.nonzero(keep)
+            if rr.size == 0:
+                continue
+            gr = rr + tr * tile
+            gc = cc + tc * tile
+            xs = left + (gc + 0.5) * res
+            ys = top - (gr + 0.5) * res
+            cells = cell_from_point(res_idx, xs, ys, grid)
+            ok = cells != ""
+            outs["cellid"].append(cells[ok])
+            for i in range(nbands):
+                outs[f"band{i+1}"].append(arr[i][rr[ok], cc[ok]])
+        if not outs["cellid"]:
+            schema = {"cellid": pa.array([], pa.string())}
+            for i in range(nbands):
+                schema[f"band{i+1}"] = pa.array([], pa.from_numpy_dtype(dtype))
+            return pa.table(schema)
+        cols = {"cellid": pa.array(np.concatenate(outs["cellid"]), pa.string())}
+        band_arrs = [np.concatenate(outs[f"band{i+1}"]) for i in range(nbands)]
+        for i in range(nbands):
+            cols[f"band{i+1}"] = pa.array(band_arrs[i])
+        if values_in_json:
+            cols["all_bands"] = pa.array(
+                [json.dumps({f"band{i+1}": band_arrs[i][j].item()
+                             for i in range(nbands)})
+                 for j in range(len(band_arrs[0]))], pa.string())
+        if add_uid:
+            import hashlib
+            cols["uuid"] = pa.array(
+                [hashlib.blake2b(
+                    (c + ":" + ",".join(str(band_arrs[i][j])
+                                        for i in range(nbands))).encode(),
+                    digest_size=16).hexdigest()
+                 for j, c in enumerate(cols["cellid"].to_pylist())], pa.string())
+        return pa.table(cols)
+
+    return tiles_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def geotiff_to_tiles(path: str, grid: GridConfig = DEFAULT_GRID, tile: int = 512):
+    """Read a (small) aligned rHEALPix GeoTIFF into (tiles Dataset, meta) — the
+    file-path entry of the reference's ras-rhpx-to-vec-rhpx chain.  The raster is
+    chunked into tile rows so the explode runs distributed."""
+    import ray.data as rd
+    from ..core.tiffio import read_geotiff
+
+    g = read_geotiff(path)
+    nbands, H, W = g.data.shape
+    res_idx, _ = grid.get_closest_resolution(abs(g.res_x))
+    res_idx_y, _ = grid.get_closest_resolution(abs(g.res_y))
+    assert res_idx == res_idx_y, f"{path}: cells are not squares"
+    meta = {"left": g.left, "top": g.top,
+            "right": g.left + W * g.res_x, "bottom": g.top - H * g.res_y,
+            "height": H, "width": W, "res": g.res_x, "res_idx": res_idx,
+            "nbands": nbands, "nodata": g.nodata,
+            "nodatavals": [g.nodata] * nbands, "store_nodata": False,
+            "dtypes": [g.data.dtype.name] * nbands,
+            "rhealpixdggs": grid.to_meta()}
+    rows = []
+    for tr in range(math.ceil(H / tile)):
+        for tc in range(math.ceil(W / tile)):
+            sub = g.data[:, tr * tile:(tr + 1) * tile, tc * tile:(tc + 1) * tile]
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "h": sub.shape[1], "w": sub.shape[2],
+                         "data": np.ascontiguousarray(sub).tobytes()})
+    return rd.from_items(rows), meta
+
+
 def images_to_cells(ds, dst_resolution_idx: int, grid: GridConfig = DEFAULT_GRID,
                     concurrency=(2, 8), batch_size: int = 64, verify: bool = False):
     """Pipeline stage: image table -> cell rows via an actor pool (decode state and

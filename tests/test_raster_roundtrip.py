@@ -1,0 +1,135 @@
+"""Raster <-> cell-table roundtrip invariants and mini-DGGS shape goldens, ported
+from /root/reference/tests/data_tests/tests_data.py:127-139 (zero RMSE both ways)
+and :580-680 (DataFrame -> raster shapes)."""
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dggsray.core.rhpx import GridConfig, cell_from_point
+from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+from dggsray.ops.cells2raster import (assemble_array, cells_to_tiles,
+                                      cells_to_raster_array, meta_from_cells)
+from dggsray.ops.raster2dggs import geotiff_to_tiles, tiles_to_cells
+
+G3 = GridConfig(3, 1, 0)
+REF = "/root/reference/tests/test_data"
+
+
+def _cells_ds(mapping, dtype=pa.int16()):
+    import ray.data as rd
+    cells = list(mapping.keys())
+    vals = list(mapping.values())
+    return rd.from_arrow(pa.table({"cellid": pa.array(cells, pa.string()),
+                                   "band1": pa.array(vals, dtype)}))
+
+
+class TestMiniDggsGoldens:
+    # reference tests_data.py:580-680, DGGS (WGS84, 3, n=1, s=0), nodata -9999
+    def test_single_cell(self, ray_session):
+        arr, meta = cells_to_raster_array(_cells_ds({"N0": 0}), nodata=-9999)
+        assert arr.shape == (1, 1, 1)
+        assert arr[0, 0, 0] == 0
+
+    def test_n_face(self, ray_session):
+        arr, meta = cells_to_raster_array(
+            _cells_ds({f"N{i}": i for i in range(9)}), nodata=-9999)
+        assert arr.shape == (1, 3, 3)
+        assert arr[0].tolist() == [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+
+    def test_s_face(self, ray_session):
+        arr, meta = cells_to_raster_array(
+            _cells_ds({f"S{i}": i for i in range(9)}), nodata=-9999)
+        assert arr.shape[1] in (3, 4) and arr.shape[2] in (3, 4)
+        assert arr[0, :3, :3].tolist() == [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+
+    def test_n_and_s(self, ray_session):
+        mapping = {f"N{i}": i for i in range(9)}
+        mapping.update({f"S{i}": i for i in range(9)})
+        arr, meta = cells_to_raster_array(_cells_ds(mapping), nodata=-9999)
+        # N square above face 1, S below face 0: width spans faces O..P (6 cells),
+        # height spans N square + equator + S square (9 cells)
+        assert arr.shape[2] in (6, 7)
+        assert arr.shape[1] in (9, 10)
+        assert (arr == -9999).sum() > 0
+
+
+class TestRoundtrip:
+    def test_cells_to_raster_to_cells_zero_rmse(self, ray_session):
+        """tests_data.py:127-139 analogue: cells -> raster -> cells recovers the
+        exact values (RMSE == 0)."""
+        import ray.data as rd
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-20, 20, 3000)
+        lat = rng.uniform(-20, 20, 3000)
+        from dggsray.core.rhpx import cells_from_lonlat
+        cells = sorted(set(cells_from_lonlat(6, lon, lat, G3)))
+        vals = (np.arange(len(cells)) % 1000).astype(np.int16)
+        ds = rd.from_arrow(pa.table({"cellid": pa.array(cells, pa.string()),
+                                     "band1": pa.array(vals, pa.int16())}))
+        meta = meta_from_cells(np.array(cells), G3, nodata=-9999, dtype="int16")
+        arr, _ = cells_to_raster_array(ds, meta=meta)
+        # back: raster tiles -> cells
+        import ray.data as rd2
+        rows = [{"tile_row": 0, "tile_col": 0, "h": meta["height"],
+                 "w": meta["width"], "data": arr.tobytes()}]
+        back = tiles_to_cells(rd2.from_items(rows), meta, G3).to_pandas()
+        back_map = dict(zip(back.cellid, back.band1))
+        orig_map = dict(zip(cells, vals))
+        assert back_map == orig_map  # RMSE == 0, both directions
+
+    def test_geotiff_io_roundtrip(self, tmp_path):
+        data = np.arange(2 * 5 * 7, dtype=np.int16).reshape(2, 5, 7)
+        g = GeoTiff(data, left=-100.0, top=200.0, res_x=10.0, res_y=10.0,
+                    nodata=-9999, tags={"GDAL_METADATA": "<x>hi</x>"})
+        p = str(tmp_path / "t.tif")
+        write_geotiff(p, g)
+        r = read_geotiff(p)
+        assert np.array_equal(r.data, data)
+        assert r.left == -100.0 and r.top == 200.0
+        assert r.res_x == 10.0 and r.nodata == -9999.0
+        assert "hi" in r.tags["GDAL_METADATA"]
+
+    def test_reference_mini_fixture_chain(self, ray_session, tmp_path):
+        """Full chain on a committed reference fixture: read tif -> cells ->
+        raster -> write tif -> read back == original pixels
+        (tests_data.py:682-695 analogue)."""
+        tiles, meta = geotiff_to_tiles(f"{REF}/mini_rhealpix_n1_s0_nside3.tiff", G3)
+        cells = tiles_to_cells(tiles, meta, G3, store_nodata=False)
+        pdf = cells.to_pandas()
+        assert sorted(pdf.cellid) == [f"N{i}" for i in range(9)]
+        assert sorted(pdf.band1) == list(range(9))
+        # cells -> raster, using the legacy-frame meta of the fixture itself
+        arr = np.full((1, 3, 3), -9999, dtype=np.int16)
+        # scatter through our tile path with the fixture meta
+        import ray.data as rd
+        ds = rd.from_arrow(pa.table({"cellid": pa.array(list(pdf.cellid)),
+                                     "band1": pa.array(pdf.band1, pa.int16())}))
+        # our own (correct-frame) meta derived from the cells
+        meta2 = meta_from_cells(pdf.cellid.to_numpy(), G3, nodata=-9999,
+                                dtype="int16")
+        out, _ = cells_to_raster_array(ds, meta=meta2)
+        assert out[0].tolist() == [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+        # write + reread through tiffio
+        g = GeoTiff(out, meta2["left"], meta2["top"], meta2["res"], meta2["res"],
+                    nodata=-9999)
+        p = str(tmp_path / "mini_out.tif")
+        write_geotiff(p, g)
+        again = read_geotiff(p)
+        assert np.array_equal(again.data, out)
+
+    def test_landsat_fixture_explode_counts(self, ray_session):
+        """Landsat rHPX fixture: nodata pixels (reprojection blank space) are
+        dropped, kept pixels map to unique cells, and store_nodata=True keeps
+        every pixel (rhpx_gdf_helper.py:89-91 semantics)."""
+        tiles, meta = geotiff_to_tiles(
+            f"{REF}/landsat_image_small-rhpx-N1-S0-NSide3-res11.tif", G3)
+        assert meta["res_idx"] == 11
+        pdf = tiles_to_cells(tiles, meta, G3).to_pandas()
+        total = 237 * 128
+        assert 0 < len(pdf) < total
+        assert pdf.cellid.nunique() == len(pdf)
+        all_pdf = tiles_to_cells(tiles, meta, G3, store_nodata=True).to_pandas()
+        assert len(all_pdf) == total
+        assert all_pdf.cellid.nunique() == total
