@@ -47,6 +47,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_exact": R.docs_dedup_exact,
         "docs_token_stats": R.docs_token_stats,
         "ann_cosine_top10": R.ann_cosine_top10,
+        "docs_charset_jaccard": R.docs_charset_jaccard,
+        "docs_quality": R.docs_quality,
+        "embed_neardup": R.embed_neardup,
+        "docs_minhash_dedup": R.docs_minhash_dedup,
+        "docs_simhash_pairs": R.docs_simhash_pairs,
+        "docs_lang_id": R.docs_lang_id,
+        "embed_lsh_top20": R.embed_lsh_top20,
+        "auid_customer_region": R.auid_customer_region,
+        "knn_cells_customer": R.knn_cells_customer,
+        "images_features": R.images_features,
         "flagship_cell_join": _flagship,
     }
 
@@ -120,6 +130,34 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(length(text) AS BIGINT)) AS n_chars, "
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
-        # flagship_cell_join: image table is engine-synthesized (not a DuckDB view)
-        # -> rows-only check by design.
+        "docs_charset_jaccard":
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(round(jaccard(a.text, b.text) * 1000000) AS BIGINT) AS "
+            "jac_micro FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "WHERE jaccard(a.text, b.text) >= 0.99",
+        "docs_quality":
+            "SELECT doc_id, "
+            "CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS "
+            "n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(text) - length(regexp_replace(text, "
+            "'[,.;:!?''\"()\\-]', '', 'g')) AS BIGINT) AS n_punct, "
+            "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+            "AS BIGINT) AS n_digits, "
+            "CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
+            "AS BIGINT) AS n_upper, "
+            "CAST(coalesce(list_max(list_transform(regexp_split_to_array(text, "
+            "'\\s+'), x -> length(x))), 0) AS BIGINT) AS max_token_len "
+            "FROM documents",
+        "embed_neardup":
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_micro "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.5",
+        # rows-only by design (non-SQL-expressible or engine-synthesized input):
+        # docs_minhash_dedup, docs_simhash_pairs, docs_lang_id, embed_lsh_top20,
+        # auid_customer_region, knn_cells_customer, images_features,
+        # flagship_cell_join
     }

@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale text/embedding corpora — first-class
+engine components alongside the DGGS ops (the training-data operator set).
+
+All shingle/minhash/simhash kernels are vectorized numpy over byte arrays; the
+LSH stages are classic shingle -> minhash -> band -> bucket groupby pipelines so
+the only shuffles are small (band_hash, doc_id) tables, never the documents.
+
+Determinism: shingles are direct base-256 byte encodings and permutations are
+fixed (a_i h + b_i) mod p with seeded constants — no Python hash() anywhere, so
+retries and cross-run comparisons are stable.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_P = (1 << 61) - 1  # Mersenne prime for the permutation universe
+
+
+def _shingle_hashes(text: bytes, k: int) -> np.ndarray:
+    """Distinct k-byte shingles of a doc as uint64 (direct base-256 encode)."""
+    b = np.frombuffer(text, dtype=np.uint8)
+    if b.size < k:
+        return np.zeros(1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    mult = (np.uint64(256) ** np.arange(k, dtype=np.uint64))
+    return np.unique(win @ mult)
+
+
+def _perm_constants(num_perm: int, seed: int = 17):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_batch(texts: list[bytes], num_perm: int = 128,
+                  shingle_k: int = 3) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures, vectorized across the batch
+    with per-doc segment minima (np.minimum.reduceat)."""
+    a, b = _perm_constants(num_perm)
+    hashes = [_shingle_hashes(t, shingle_k) for t in texts]
+    offsets = np.cumsum([0] + [h.size for h in hashes[:-1]])
+    H = np.concatenate(hashes) if hashes else np.zeros(0, np.uint64)
+    out = np.empty((len(texts), num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            # multiply-shift universal hashing mod 2^64 (wrapping) — standard for
+            # MinHash permutations and fully vectorized
+            hv = H * a[i] + b[i]
+            out[:, i] = np.minimum.reduceat(hv, offsets) if H.size else 0
+    return out
+
+
+def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 128, shingle_k: int = 3):
+    def kernel(bt: pa.Table) -> pa.Table:
+        texts = [t.encode("utf-8", "ignore")
+                 for t in bt.column(text_col).to_pylist()]
+        sig = minhash_batch(texts, num_perm, shingle_k)
+        return pa.table({id_col: bt.column(id_col),
+                         "sig": pa.array(list(sig), pa.list_(pa.uint64()))})
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def lsh_band_buckets(sig_ds, id_col: str = "doc_id", bands: int = 32,
+                     num_perm: int = 128):
+    """Signatures -> (band, band_hash, doc_id) rows; docs sharing a bucket are
+    near-dup candidates.  rows_per_band = num_perm // bands."""
+    rows = num_perm // bands
+
+    def kernel(bt: pa.Table) -> pa.Table:
+        sigs = np.stack(bt.column("sig").to_numpy(zero_copy_only=False))
+        ids = bt.column(id_col).to_numpy()
+        n = sigs.shape[0]
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_id = np.tile(ids, bands)
+        out_hash = np.empty(bands * n, dtype=np.uint64)
+        for b in range(bands):
+            chunk = sigs[:, b * rows:(b + 1) * rows]
+            # order-dependent mix of the band rows
+            h = np.zeros(n, dtype=np.uint64)
+            for r in range(rows):
+                h = h * np.uint64(1099511628211) + chunk[:, r]
+            out_hash[b * n:(b + 1) * n] = h
+        return pa.table({"band": pa.array(out_band),
+                         "band_hash": pa.array(out_hash),
+                         id_col: pa.array(out_id)})
+
+    return sig_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(bucket_ds, id_col: str = "doc_id",
+                        max_bucket: int = 2000):
+    """groupby(band, band_hash) -> all intra-bucket pairs (id_a < id_b), deduped.
+    Buckets above max_bucket are truncated with a warning row counter (no silent
+    caps: see the 'truncated' column)."""
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column(id_col).to_numpy())
+        if ids.size < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "truncated": pa.array([], pa.bool_())})
+        trunc = ids.size > max_bucket
+        ids = ids[:max_bucket]
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
+                         "id_b": pa.array(ids[ib], pa.int64()),
+                         "truncated": pa.array(np.full(ia.size, trunc))})
+
+    cand = bucket_ds.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def charset_bitmaps(texts: list[str]) -> np.ndarray:
+    """(n, 4) uint64 bitmap of the distinct bytes of each doc (ascii corpora)."""
+    out = np.zeros((len(texts), 4), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.unique(np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8))
+        words = b >> 6
+        bits = np.uint64(1) << (b & 63).astype(np.uint64)
+        np.bitwise_or.at(out[i], words, bits)
+    return out
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def charset_jaccard_pairs(ds, threshold: float, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """All pairs with character-set Jaccard >= threshold (the DuckDB jaccard()
+    definition: |chars(a) n chars(b)| / |chars(a) u chars(b)|), computed as a
+    blocked all-pairs scan: bitmaps for the whole (small) corpus are broadcast,
+    each task compares its block against everything with popcount kernels."""
+    import ray
+
+    small = ds.select_columns([id_col, text_col]).to_pandas()
+    bitmaps = charset_bitmaps(list(small[text_col]))
+    all_ids = small[id_col].to_numpy()
+    bref = ray.put((bitmaps, all_ids))
+
+    def kernel(bt: pa.Table) -> pa.Table:
+        bm_all, ids_all = ray.get(bref)
+        texts = bt.column(text_col).to_pylist()
+        ids = bt.column(id_col).to_numpy()
+        bm = charset_bitmaps(texts)
+        out_a, out_b, out_j = [], [], []
+        for i in range(bm.shape[0]):
+            inter = _popcount64(bm[i][None, :] & bm_all).sum(axis=1)
+            union = _popcount64(bm[i][None, :] | bm_all).sum(axis=1)
+            j = inter / np.maximum(union, 1)
+            hit = (j >= threshold) & (ids_all > ids[i])
+            out_a.append(np.full(hit.sum(), ids[i], dtype=np.int64))
+            out_b.append(ids_all[hit].astype(np.int64))
+            out_j.append(j[hit])
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
+            "jac_micro": pa.array(np.rint(np.concatenate(out_j) * 1e6).astype(np.int64)
+                                  if out_j else [], pa.int64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def ngram_jaccard(a: bytes, b: bytes, k: int = 3) -> float:
+    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    inter = np.intersect1d(sa, sb).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
+                  id_col: str = "doc_id", num_perm: int = 128, bands: int = 32,
+                  shingle_k: int = 3):
+    """Full MinHash+LSH near-dup pipeline: signatures -> band buckets -> candidate
+    pairs -> exact n-gram Jaccard verification (broadcast text lookup) -> rows
+    (id_a, id_b, jaccard_micro) with true Jaccard >= threshold."""
+    import ray
+
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
+    cand = lsh_candidate_pairs(lsh_band_buckets(sigs, id_col, bands, num_perm),
+                               id_col)
+    texts = dict(zip(*[ds.select_columns([id_col, text_col]).to_pandas()[c]
+                       for c in (id_col, text_col)]))
+    tref = ray.put(texts)
+
+    def verify(bt: pa.Table) -> pa.Table:
+        tmap = ray.get(tref)
+        ia = bt.column("id_a").to_numpy()
+        ib = bt.column("id_b").to_numpy()
+        jac = np.array([ngram_jaccard(tmap[a].encode(), tmap[b].encode(), shingle_k)
+                        for a, b in zip(ia, ib)])
+        keep = jac >= threshold
+        return pa.table({"id_a": pa.array(ia[keep], pa.int64()),
+                         "id_b": pa.array(ib[keep], pa.int64()),
+                         "jaccard_micro": pa.array(
+                             np.rint(jac[keep] * 1e6).astype(np.int64))})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_batch(texts: list[bytes], shingle_k: int = 4) -> np.ndarray:
+    """64-bit SimHash per doc over k-byte shingles (vectorized bit-vote)."""
+    a, b = _perm_constants(1, seed=99)
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        h = _shingle_hashes(t, shingle_k)
+        # mix so the direct base-256 encoding spreads over 64 bits
+        with np.errstate(over="ignore"):
+            hv = h * a[0] + b[0]
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes = bits.sum(axis=0) * 2 - hv.size
+        out[i] = np.packbits((votes > 0)[::-1]).view(">u8")[0]
+    return out
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """SimHash near-dup: 4x16-bit band buckets (a pair within hamming<=3 shares
+    at least one exact band), verified by popcount of the xor."""
+    def sig(bt: pa.Table) -> pa.Table:
+        texts = [t.encode("utf-8", "ignore")
+                 for t in bt.column(text_col).to_pylist()]
+        return pa.table({id_col: bt.column(id_col),
+                         "simhash": pa.array(simhash_batch(texts), pa.uint64())})
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow")
+
+    def bandify(bt: pa.Table) -> pa.Table:
+        h = bt.column("simhash").to_numpy()
+        ids = bt.column(id_col).to_numpy()
+        out = {"band": [], "key": [], id_col: [], "simhash": []}
+        for b in range(4):
+            out["band"].append(np.full(h.size, b, dtype=np.int32))
+            out["key"].append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                              .astype(np.int64))
+            out[id_col].append(ids)
+            out["simhash"].append(h)
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy()
+        hs = g.column("simhash").to_numpy()
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        ia, ib = np.triu_indices(ids.size, k=1)
+        if ia.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ham = _popcount64(hs[ia] ^ hs[ib]).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(ids[ia[keep]], pa.int64()),
+                         "id_b": pa.array(ids[ib[keep]], pa.int64()),
+                         "hamming": pa.array(ham[keep])})
+
+    cand = sigs.map_batches(bandify, batch_format="pyarrow") \
+        .groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
+                            emb_col: str = "embedding"):
+    """Pairs with cosine >= threshold: the full (small) matrix is broadcast, each
+    task does a blocked matmul of its batch against it.  At larger corpus sizes
+    swap the broadcast for the LSH bucketing of ops.similarity."""
+    import ray
+
+    pdf = ds.select_columns([id_col, emb_col]).to_pandas()
+    M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    ids_all = pdf[id_col].to_numpy()
+    ref = ray.put((M, norms, ids_all))
+
+    def kernel(bt: pa.Table) -> pa.Table:
+        M_all, n_all, ids_a = ray.get(ref)
+        emb = np.stack(bt.column(emb_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        ids = bt.column(id_col).to_numpy()
+        cos = (emb @ M_all.T) / np.maximum(
+            np.linalg.norm(emb, axis=1)[:, None] * n_all[None, :], 1e-300)
+        ii, jj = np.nonzero((cos >= threshold) & (ids[:, None] < ids_a[None, :]))
+        return pa.table({
+            "id_a": pa.array(ids[ii], pa.int64()),
+            "id_b": pa.array(ids_a[jj], pa.int64()),
+            "cos_micro": pa.array(np.rint(cos[ii, jj] * 1e6).astype(np.int64))})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

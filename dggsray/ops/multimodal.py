@@ -1,0 +1,140 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata, processed by
+actor-pool map_batches stages.
+
+Image stages are REAL (the engine ships raw/PNG codecs).  Audio/video DECODE is
+stubbed: the environment has no audio/video libraries, so real codecs raise
+NotImplementedError while the deterministic "pcm16" / "rawv" fakes exercise the
+full Ray plumbing (schema, batch sizing, actor state, output layout) — the parts
+a swap-in of a real decoder would reuse unchanged.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..io.imagetable import average_phash, decode_image, encode_image
+
+
+class ImageResize:
+    """Actor stage: decode -> nearest-neighbour resize -> re-encode.
+    Output schema mirrors the input image table with new (bytes, w, h)."""
+
+    def __init__(self, out_w: int, out_h: int, out_fmt: str = "raw"):
+        self.out_w, self.out_h, self.out_fmt = out_w, out_h, out_fmt
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        blobs = b.column("bytes").to_pylist()
+        ws = b.column("w").to_numpy()
+        hs = b.column("h").to_numpy()
+        fmts = b.column("fmt").to_pylist()
+        rows_c = np.arange(self.out_h)
+        cols_c = np.arange(self.out_w)
+        out = []
+        for k in range(len(blobs)):
+            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+            sr = (rows_c * hs[k] // self.out_h).astype(np.int64)
+            sc = (cols_c * ws[k] // self.out_w).astype(np.int64)
+            out.append(encode_image(img[sr][:, sc], self.out_fmt))
+        n = len(blobs)
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "bytes": pa.array(out, pa.binary()),
+            "w": pa.array(np.full(n, self.out_w, np.int32)),
+            "h": pa.array(np.full(n, self.out_h, np.int32)),
+            "fmt": pa.array([self.out_fmt] * n, pa.string())})
+
+
+class ImageFeatures:
+    """Actor stage: decode -> per-channel mean/std + phash feature row."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        blobs = b.column("bytes").to_pylist()
+        ws = b.column("w").to_numpy()
+        hs = b.column("h").to_numpy()
+        fmts = b.column("fmt").to_pylist()
+        means = np.empty((len(blobs), 3))
+        stds = np.empty((len(blobs), 3))
+        ph = np.empty(len(blobs), dtype=np.int64)
+        for k in range(len(blobs)):
+            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+            means[k] = img.mean(axis=(0, 1))
+            stds[k] = img.std(axis=(0, 1))
+            ph[k] = average_phash(img)
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "mean_r": pa.array(means[:, 0]), "mean_g": pa.array(means[:, 1]),
+            "mean_b": pa.array(means[:, 2]),
+            "std_r": pa.array(stds[:, 0]), "std_g": pa.array(stds[:, 1]),
+            "std_b": pa.array(stds[:, 2]),
+            "phash": pa.array(ph)})
+
+
+class AudioFeatures:
+    """Actor stage for audio binary columns: fmt 'pcm16' (deterministic fake =
+    little-endian int16 mono) is decoded for real; everything else raises
+    NotImplementedError (no audio codecs in this environment — swap the decode
+    branch for soundfile/ffmpeg when available)."""
+
+    def __init__(self, frame: int = 1024):
+        self.frame = frame
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        blobs = b.column("bytes").to_pylist()
+        fmts = b.column("fmt").to_pylist()
+        rms = np.empty(len(blobs))
+        peak = np.empty(len(blobs))
+        n_samples = np.empty(len(blobs), dtype=np.int64)
+        for k, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            if fmt != "pcm16":
+                raise NotImplementedError(
+                    f"audio codec {fmt!r}: no audio libraries in this "
+                    f"environment; only the 'pcm16' fake is decodable")
+            pcm = np.frombuffer(blob, dtype="<i2").astype(np.float64) / 32768.0
+            rms[k] = float(np.sqrt((pcm ** 2).mean())) if pcm.size else 0.0
+            peak[k] = float(np.abs(pcm).max()) if pcm.size else 0.0
+            n_samples[k] = pcm.size
+        return pa.table({"audio_id": b.column("audio_id"),
+                         "rms": pa.array(rms), "peak": pa.array(peak),
+                         "n_samples": pa.array(n_samples)})
+
+
+class VideoFrameSample:
+    """Actor stage for video binary columns: fmt 'rawv' (deterministic fake =
+    concatenated raw RGB frames) supports frame sampling for real; real
+    containers raise NotImplementedError.  Emits one row per sampled frame."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out_id, out_frame, out_bytes = [], [], []
+        for k in range(b.num_rows):
+            fmt = b.column("fmt")[k].as_py()
+            if fmt != "rawv":
+                raise NotImplementedError(
+                    f"video codec {fmt!r}: no video libraries in this "
+                    f"environment; only the 'rawv' fake is decodable")
+            w = b.column("w")[k].as_py()
+            h = b.column("h")[k].as_py()
+            blob = b.column("bytes")[k].as_py()
+            frame_bytes = w * h * 3
+            n_frames = len(blob) // frame_bytes
+            for f in range(0, n_frames, self.every_n):
+                out_id.append(b.column("video_id")[k].as_py())
+                out_frame.append(f)
+                out_bytes.append(blob[f * frame_bytes:(f + 1) * frame_bytes])
+        return pa.table({"video_id": pa.array(out_id, pa.string()),
+                         "frame_idx": pa.array(out_frame, pa.int32()),
+                         "bytes": pa.array(out_bytes, pa.binary())})
+
+
+def resize_images(ds, out_w: int, out_h: int, out_fmt: str = "raw",
+                  concurrency=(2, 8), batch_size: int = 64):
+    return ds.map_batches(ImageResize, fn_constructor_kwargs={
+        "out_w": out_w, "out_h": out_h, "out_fmt": out_fmt},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def image_features(ds, concurrency=(2, 8), batch_size: int = 64):
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

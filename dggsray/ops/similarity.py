@@ -1,0 +1,98 @@
+"""Approximate nearest-neighbour search over an embedding column.
+
+- brute_topk: exact blocked cosine top-k (numpy matmul per batch against a
+  broadcast query matrix) — the baseline and the per-bucket kernel.
+- lsh_topk: random-hyperplane LSH — sign-bit bucket keys per table, candidates
+  are vectors sharing the query's bucket in any table, exact rerank among them.
+  This is the scale path: the shuffle moves only (bucket, id) rows and the
+  rerank touches a small candidate set.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _scores_batch(emb: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n_batch, n_query) cosine matrix, float64."""
+    num = emb @ Q.T
+    den = np.linalg.norm(emb, axis=1)[:, None] * np.linalg.norm(Q, axis=1)[None, :]
+    return num / np.maximum(den, 1e-300)
+
+
+def brute_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Exact top-k per query vector.  Partial top-k inside every batch, final
+    top-k on the (tiny) union — no full sort of the corpus."""
+    import ray
+
+    Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(Q)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        Qm = ray.get(qref)
+        emb = np.stack(b.column(emb_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        ids = b.column(id_col).to_numpy()
+        cos = _scores_batch(emb, Qm)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, emb.shape[0])
+        for q in range(Qm.shape[0]):
+            top = np.argpartition(-cos[:, q], kk - 1)[:kk]
+            out_q.append(np.full(kk, q, dtype=np.int32))
+            out_id.append(ids[top].astype(np.int64))
+            out_s.append(cos[top, q])
+        return pa.table({
+            "query": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "cos_micro": pa.array(np.rint(np.concatenate(out_s) * 1e6)
+                                  .astype(np.int64))})
+
+    partial = ds.map_batches(kernel, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(g, sort_keys=[("cos_micro", "descending"),
+                                            (id_col, "ascending")])
+        return g.take(idx[:k])
+
+    return partial.groupby("query").map_groups(final, batch_format="pyarrow")
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 23):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def _bucket_keys(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int64 bucket keys: sign bits of the projections."""
+    n_tables, n_bits, _ = planes.shape
+    keys = np.empty((emb.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (emb @ planes[t].T) > 0
+        keys[:, t] = bits @ (1 << np.arange(n_bits, dtype=np.int64))
+    return keys
+
+
+def lsh_topk(ds, query: np.ndarray, k: int, id_col: str = "vec_id",
+             emb_col: str = "embedding", n_bits: int = 10, n_tables: int = 6):
+    """ANN top-k for one query: filter to LSH candidates (any-table bucket match
+    with the query), exact rerank.  Recall depends on n_bits/n_tables; the
+    filter runs inside map_batches so the corpus streams."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(q.shape[0], n_bits, n_tables)
+    qkeys = _bucket_keys(q[None, :], planes)[0]
+    ref = ray.put((planes, qkeys, q))
+
+    def filter_candidates(b: pa.Table) -> pa.Table:
+        pl, qk, _ = ray.get(ref)
+        emb = np.stack(b.column(emb_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        keys = _bucket_keys(emb, pl)
+        hit = (keys == qk[None, :]).any(axis=1)
+        return b.filter(pa.array(hit))
+
+    cand = ds.map_batches(filter_candidates, batch_format="pyarrow")
+    return brute_topk(cand, q[None, :], k, id_col, emb_col)

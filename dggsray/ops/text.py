@@ -1,0 +1,125 @@
+"""Text-analysis operators: language id, quality scoring, token counting,
+document fingerprinting — per-batch vectorized stages of the training-data
+pipeline."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Stopword profiles (top function words, public knowledge) for the heuristic
+# language identifier.  Scores are stopword hit-rates per language.
+_STOPWORDS = {
+    "en": {"the", "of", "and", "to", "in", "is", "it", "that", "was", "for",
+           "on", "are", "with", "as", "be", "at", "by", "this", "have", "from"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "se",
+           "del", "por", "con", "para", "es", "al", "lo", "como", "más"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "sich",
+           "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que",
+           "est", "dans", "qui", "pour", "pas", "sur", "au", "plus", "par"},
+    "it": {"il", "di", "che", "la", "e", "in", "un", "una", "per", "è", "con",
+           "non", "si", "le", "del", "i", "al", "dei", "come", "più"},
+}
+
+
+def detect_language(text: str) -> tuple[str, float]:
+    """(lang, confidence): stopword hit-rate argmax; 'und' (undetermined) when no
+    profile scores above zero."""
+    toks = text.lower().split()
+    if not toks:
+        return "und", 0.0
+    best, score = "und", 0.0
+    for lang, sw in _STOPWORDS.items():
+        s = sum(1 for t in toks if t in sw) / len(toks)
+        if s > score:
+            best, score = lang, s
+    return best, score
+
+
+def with_language(ds, text_col: str = "text"):
+    def kernel(b: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for t in b.column(text_col).to_pylist():
+            l, c = detect_language(t)
+            langs.append(l)
+            confs.append(c)
+        return b.append_column("detected_lang", pa.array(langs, pa.string())) \
+                .append_column("lang_confidence", pa.array(confs, pa.float64()))
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def quality_metrics_batch(b: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality signals, all integers (oracle-exact): token count, char
+    count, punctuation/digit/upper counts, max token length."""
+    txt = b.column(text_col)
+    toks = pc.split_pattern_regex(txt, r"\s+")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
+    texts = txt.to_pylist()
+    punct = np.zeros(len(texts), dtype=np.int64)
+    digit = np.zeros(len(texts), dtype=np.int64)
+    upper = np.zeros(len(texts), dtype=np.int64)
+    max_tok = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        barr = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        punct[i] = int(np.isin(barr, np.frombuffer(b",.;:!?'\"()-", np.uint8)).sum())
+        digit[i] = int(((barr >= 48) & (barr <= 57)).sum())
+        upper[i] = int(((barr >= 65) & (barr <= 90)).sum())
+        if t:
+            max_tok[i] = max(len(w) for w in t.split())
+    return b.append_column("n_tokens", n_tokens) \
+            .append_column("n_chars", n_chars) \
+            .append_column("n_punct", pa.array(punct)) \
+            .append_column("n_digits", pa.array(digit)) \
+            .append_column("n_upper", pa.array(upper)) \
+            .append_column("max_token_len", pa.array(max_tok))
+
+
+def with_quality(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: quality_metrics_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def quality_score_batch(b: pa.Table) -> pa.Table:
+    """Composite quality score in [0,1] from the integer signals (heuristic:
+    penalize very short docs, high punctuation/digit ratios, huge tokens)."""
+    n_tok = b.column("n_tokens").to_numpy().astype(np.float64)
+    n_ch = np.maximum(b.column("n_chars").to_numpy().astype(np.float64), 1)
+    punct_r = b.column("n_punct").to_numpy() / n_ch
+    digit_r = b.column("n_digits").to_numpy() / n_ch
+    max_tok = b.column("max_token_len").to_numpy().astype(np.float64)
+    score = (np.clip(n_tok / 20.0, 0, 1)
+             * np.clip(1 - 4 * punct_r, 0, 1)
+             * np.clip(1 - 4 * digit_r, 0, 1)
+             * np.where(max_tok > 40, 0.5, 1.0))
+    return b.append_column("quality_score", pa.array(score))
+
+
+def winnowing_fingerprint(text: bytes, k: int = 5, window: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): k-gram rolling hashes, per-window
+    minimum, deduplicated — a compact document fingerprint set."""
+    from .dedup import _shingle_hashes, _perm_constants
+    b = np.frombuffer(text, dtype=np.uint8)
+    if b.size < k:
+        return np.zeros(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    mult = (np.uint64(256) ** np.arange(k, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        h = (win @ mult) * np.uint64(0x9E3779B97F4A7C15)
+    if h.size < window:
+        return np.unique(h.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))
+
+
+def with_fingerprints(ds, text_col: str = "text", k: int = 5, window: int = 4):
+    def kernel(b: pa.Table) -> pa.Table:
+        fps = [winnowing_fingerprint(t.encode("utf-8", "ignore"), k, window)
+               for t in b.column(text_col).to_pylist()]
+        return b.append_column(
+            "fingerprint", pa.array([f.tolist() for f in fps],
+                                    pa.list_(pa.uint64()))) \
+                .append_column("fp_size", pa.array([f.size for f in fps],
+                                                   pa.int64()))
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -275,3 +275,112 @@ def ann_cosine_top10(sf_dir: str, k: int = 10):
 
     return ds.map_batches(scores, batch_format="pyarrow") \
              .sort(["cos_micro", "vec_id"], descending=[True, False]).limit(k)
+
+
+# --- dedup / text-analysis / similarity queries ----------------------------
+
+def docs_charset_jaccard(sf_dir: str, threshold: float = 0.99):
+    from ..ops.dedup import charset_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return charset_jaccard_pairs(ds, threshold)
+
+
+def docs_quality(sf_dir: str):
+    from ..ops.text import with_quality
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = with_quality(ds)
+    return out.drop_columns(["text"])
+
+
+def embed_neardup(sf_dir: str, threshold: float = 0.5):
+    from ..ops.dedup import embedding_neardup_pairs
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold)
+
+
+def docs_minhash_dedup(sf_dir: str, threshold: float = 0.5):
+    from ..ops.dedup import minhash_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(ds, threshold=threshold)
+
+
+def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    from ..ops.dedup import simhash_near_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming)
+
+
+def docs_lang_id(sf_dir: str):
+    from ..ops.text import with_language
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        conf = np.rint(b.column("lang_confidence").to_numpy() * 1e6).astype(np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "detected_lang": b.column("detected_lang"),
+                         "conf_micro": pa.array(conf)})
+
+    return with_language(ds).map_batches(finalize, batch_format="pyarrow")
+
+
+def embed_lsh_top20(sf_dir: str):
+    from ..ops.similarity import lsh_topk
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = 64
+    q = np.sin(np.arange(dim, dtype=np.float64) * 0.1) + 0.5
+    return lsh_topk(ds, q, 20, n_bits=4, n_tables=16)
+
+
+def auid_customer_region(sf_dir: str, res: int = 3):
+    """Distinct customer cells -> optimized CUID set -> canonical AUID.
+    The distributed part is the distinct; the (small) compaction + encode is
+    driver-side as in the reference (SURVEY.md section 2.9)."""
+    from ..core.auid import RHEALPixAUIDGenerator, optimize_cuids
+    import pandas as pd
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(lambda b: _with_cells(b, "c_custkey", res),
+                     batch_format="pyarrow")
+    cuids = sorted(set(ds.unique("cellid")))
+    opt = optimize_cuids(cuids, 3)
+    gen = RHEALPixAUIDGenerator(n_side=3)
+    auid, h = gen.generate_auid_hash_b64(cuids)
+    return pd.DataFrame({"n_cells": [len(cuids)], "n_optimized": [len(opt)],
+                         "auid_b64": [auid], "auid_hash": [h]})
+
+
+def knn_cells_customer(sf_dir: str, k: int = 15):
+    from ..ops.joins import knn_cells
+    ds = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(lambda b: _with_cells(b, "c_custkey", 6),
+                     batch_format="pyarrow") \
+        .rename_columns(["c_custkey", "cellid"])
+    # deterministic query cell: the cell of customer key 1
+    qlon, qlat = derived_lonlat(np.array([1]))
+    qcell = cells_from_lonlat(6, qlon, qlat, DEFAULT_GRID)[0]
+    out = knn_cells(ds, qcell, k)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        d = np.rint(b.column("dist_m").to_numpy()).astype(np.int64)
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "cellid": b.column("cellid"),
+                         "dist_m_int": pa.array(d)})
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
+def images_features(sf_dir: str):
+    from ..io.imagetable import ensure_image_table
+    from ..ops.multimodal import image_features
+    import ray.data as rd
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    path = ensure_image_table(sf)
+    ds = rd.read_parquet(path)
+    feats = image_features(ds)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        cols = {"image_id": b.column("image_id"), "phash": b.column("phash")}
+        for c in ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"):
+            cols[c + "_milli"] = pa.array(
+                np.rint(b.column(c).to_numpy() * 1000).astype(np.int64))
+        return pa.table(cols)
+    return feats.map_batches(to_int, batch_format="pyarrow")

@@ -1,0 +1,193 @@
+"""Dedup / text / similarity / multimodal operator tests with synthetic ground
+truth (known near-dup pairs, known languages, known nearest neighbours)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_near_dups():
+    base = ("the quick brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the rain keeps falling on the roof")
+    rng = np.random.default_rng(4)
+    docs = []
+    for i in range(30):
+        words = [f"w{rng.integers(0, 500)}" for _ in range(40)]
+        docs.append(" ".join(words))
+    docs.append(base)                                   # 30
+    docs.append(base.replace("lazy", "sleepy"))         # 31: near-dup of 30
+    docs.append(base + " extra tail words here")        # 32: near-dup of 30
+    docs.append(base)                                   # 33: exact dup of 30
+    return docs
+
+
+class TestMinhash:
+    def test_minhash_lsh_finds_planted_dups(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.dedup import minhash_dedup
+        docs = _docs_with_near_dups()
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                                     "text": pa.array(docs, pa.string())}))
+        pairs = minhash_dedup(ds, threshold=0.6).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+        assert (30, 33) in got          # exact dup
+        assert (30, 31) in got and (30, 32) in got
+        # no random-doc false positives at this threshold
+        assert all(a >= 30 and b >= 30 for a, b in got)
+
+    def test_signature_stability(self, ray_session):
+        from dggsray.ops.dedup import minhash_batch
+        s1 = minhash_batch([b"hello world hello world"], 64)
+        s2 = minhash_batch([b"hello world hello world"], 64)
+        assert (s1 == s2).all()
+        # identical docs -> identical signatures; different docs differ
+        s3 = minhash_batch([b"completely different content"], 64)
+        assert (s1 != s3).any()
+
+
+class TestSimhash:
+    def test_simhash_near_pairs(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.dedup import simhash_near_pairs, simhash_batch
+        docs = _docs_with_near_dups()
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                                     "text": pa.array(docs, pa.string())}))
+        # exact dup must be at hamming 0
+        h30 = simhash_batch([docs[30].encode()])[0]
+        h33 = simhash_batch([docs[33].encode()])[0]
+        assert h30 == h33
+        pairs = simhash_near_pairs(ds, max_hamming=6).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+        assert (30, 33) in got
+
+
+class TestCharsetJaccard:
+    def test_matches_duckdb_jaccard(self, ray_session):
+        """Pin the definition to DuckDB's jaccard() — used as an oracle."""
+        import duckdb
+        import ray.data as rd
+        from dggsray.ops.dedup import charset_jaccard_pairs
+        texts = ["abcdef", "abcdeg", "xyz", "abc xyz", "aabbcc"]
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                                     "text": pa.array(texts, pa.string())}))
+        ours = charset_jaccard_pairs(ds, threshold=0.0).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("d", __import__("pandas").DataFrame(
+            {"doc_id": range(5), "text": texts}))
+        theirs = con.sql(
+            "SELECT a.doc_id id_a, b.doc_id id_b, "
+            "CAST(round(jaccard(a.text, b.text)*1000000) AS BIGINT) jac_micro "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "ORDER BY id_a, id_b").df()
+        assert ours[["id_a", "id_b", "jac_micro"]].values.tolist() == \
+            theirs.values.tolist()
+
+
+class TestEmbeddingDedup:
+    def test_planted_neighbor(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.dedup import embedding_neardup_pairs
+        rng = np.random.default_rng(9)
+        M = rng.standard_normal((100, 16))
+        M[50] = M[10] + rng.standard_normal(16) * 0.01   # near-dup of 10
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([list(r) for r in M],
+                                  pa.list_(pa.float32()))}))
+        pairs = embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
+        assert (10, 50) in set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+
+
+class TestSimilarity:
+    def test_lsh_topk_vs_brute(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.similarity import brute_topk, lsh_topk
+        rng = np.random.default_rng(1)
+        M = rng.standard_normal((500, 32))
+        q = M[123] + rng.standard_normal(32) * 0.05
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array([list(r) for r in M], pa.list_(pa.float32()))}))
+        brute = brute_topk(ds, q[None, :], 5).to_pandas() \
+            .sort_values("cos_micro", ascending=False)
+        assert brute.iloc[0].vec_id == 123
+        ann = lsh_topk(ds, q, 5).to_pandas().sort_values("cos_micro",
+                                                         ascending=False)
+        # the planted nearest neighbour must survive the LSH filter
+        assert ann.iloc[0].vec_id == 123
+
+
+class TestTextOps:
+    def test_language_id(self, ray_session):
+        from dggsray.ops.text import detect_language
+        assert detect_language("the cat is on the table and it is warm")[0] == "en"
+        assert detect_language("el gato está en la mesa y es de madera")[0] == "es"
+        assert detect_language("der Hund ist in dem Haus und die Katze auch")[0] == "de"
+        assert detect_language("le chien est dans la maison et les chats")[0] == "fr"
+        assert detect_language("")[0] == "und"
+        assert detect_language("zzz qqq www")[0] == "und"
+
+    def test_quality_metrics(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.text import with_quality, quality_score_batch
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["Hello, World! 123", "plain text here"],
+                             pa.string())}))
+        out = with_quality(ds).map_batches(quality_score_batch,
+                                           batch_format="pyarrow").to_pandas()
+        r = out[out.doc_id == 1].iloc[0]
+        assert r.n_tokens == 3 and r.n_punct == 2 and r.n_digits == 3
+        assert r.n_upper == 2
+        assert 0 <= r.quality_score <= 1
+
+    def test_winnowing_fingerprint(self, ray_session):
+        from dggsray.ops.text import winnowing_fingerprint
+        a = winnowing_fingerprint(b"the quick brown fox jumps over the lazy dog")
+        b = winnowing_fingerprint(b"the quick brown fox jumps over the lazy cat")
+        c = winnowing_fingerprint(b"completely unrelated content entirely")
+        overlap_ab = np.intersect1d(a, b).size / max(min(a.size, b.size), 1)
+        overlap_ac = np.intersect1d(a, c).size / max(min(a.size, c.size), 1)
+        assert overlap_ab > 0.5 > overlap_ac
+
+
+class TestMultimodal:
+    def test_resize_and_features(self, ray_session):
+        import ray.data as rd
+        from dggsray.io.imagetable import synth_batch
+        from dggsray.ops.multimodal import resize_images, image_features
+        batch = synth_batch(pa.table({"id": pa.array(np.arange(8), pa.int64())}))
+        ds = rd.from_arrow(batch)
+        small = resize_images(ds, 16, 16, concurrency=2).to_pandas()
+        assert (small.w == 16).all() and (small.h == 16).all()
+        assert all(len(b) == 16 * 16 * 3 for b in small.bytes)
+        feats = image_features(ds, concurrency=2).to_pandas()
+        assert len(feats) == 8
+        # phash recomputed from bytes matches the stored table phash
+        stored = dict(zip(batch.column("image_id").to_pylist(),
+                          batch.column("phash").to_pylist()))
+        assert all(stored[r.image_id] == r.phash for r in feats.itertuples())
+
+    def test_audio_video_stubs(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.multimodal import AudioFeatures, VideoFrameSample
+        pcm = (np.sin(np.arange(2048) * 0.1) * 20000).astype("<i2").tobytes()
+        t = pa.table({"audio_id": pa.array(["a1"], pa.string()),
+                      "bytes": pa.array([pcm], pa.binary()),
+                      "fmt": pa.array(["pcm16"], pa.string())})
+        out = AudioFeatures()(t)
+        assert out.column("n_samples")[0].as_py() == 2048
+        assert 0.4 < out.column("rms")[0].as_py() < 0.7
+        bad = pa.table({"audio_id": pa.array(["a2"], pa.string()),
+                        "bytes": pa.array([b"RIFF...."], pa.binary()),
+                        "fmt": pa.array(["wav"], pa.string())})
+        with pytest.raises(NotImplementedError):
+            AudioFeatures()(bad)
+        frames = np.zeros((25, 4, 4, 3), dtype=np.uint8)
+        vt = pa.table({"video_id": pa.array(["v1"], pa.string()),
+                       "bytes": pa.array([frames.tobytes()], pa.binary()),
+                       "w": pa.array([4], pa.int32()),
+                       "h": pa.array([4], pa.int32()),
+                       "fmt": pa.array(["rawv"], pa.string())})
+        out = VideoFrameSample(every_n=10)(vt)
+        assert out.column("frame_idx").to_pylist() == [0, 10, 20]
