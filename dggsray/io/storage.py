@@ -1,0 +1,100 @@
+"""Cell-table persistence: partitioned parquet + `_meta.json` sidecar carrying the
+table-level metadata dict (the reference persists the same dict as a JSON row in
+a GeoPackage gpkg_metadata table with uri http://www.iaaa.es/geo2dggs/spec/1 —
+/root/reference/dggstools/rhpx/utils/storage.py:32-113; GPKG/PostGIS backends are
+out of scope without GDAL, parquet is the native format here)."""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+META_SPEC_URI = "http://www.iaaa.es/geo2dggs/spec/1"
+
+
+class _NpEncoder(json.JSONEncoder):
+    def default(self, o):
+        if isinstance(o, np.integer):
+            return int(o)
+        if isinstance(o, np.floating):
+            return float(o)
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        return super().default(o)
+
+
+def write_cell_table(ds, path: str, meta: dict):
+    """Dataset (or pyarrow Table) + metadata -> parquet directory + sidecar."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    if isinstance(ds, pa.Table):
+        pq.write_table(ds, os.path.join(path, "part-0.parquet"))
+    else:
+        ds.write_parquet(path)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"spec": META_SPEC_URI, "attrs": meta}, f, cls=_NpEncoder)
+
+
+def read_cell_table(path: str):
+    """-> (Dataset, meta dict)."""
+    import glob
+
+    import ray.data as rd
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)["attrs"]
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return rd.read_parquet(files), meta
+
+
+def get_parquet_rhpx_metadata(path: str) -> dict:
+    """Reference get_gpkg_rhpx_metadata analogue (storage.py:100-113)."""
+    with open(os.path.join(path, "_meta.json")) as f:
+        return json.load(f)["attrs"]
+
+
+def rhealpix_to_parquet(input_tif: str, output_path: str, n_side: int = 3,
+                        geo_id_column_name: str = "cellid", add_uid: bool = False,
+                        values_in_json: bool = False, store_nodata: bool = False):
+    """Composite: rHPX raster file -> cell table parquet (+ metadata), the
+    reference's rhealpix_to_geopackage (storage.py:71-83) on our formats."""
+    from ..core.rhpx import GridConfig
+    from ..ops.raster2dggs import geotiff_to_tiles, tiles_to_cells
+
+    grid = GridConfig(n_side, 1, 0)
+    tiles, meta = geotiff_to_tiles(input_tif, grid)
+    cells = tiles_to_cells(tiles, meta, grid, store_nodata=store_nodata,
+                           values_in_json=values_in_json, add_uid=add_uid)
+    if geo_id_column_name != "cellid":
+        cells = cells.rename_columns({"cellid": geo_id_column_name})
+    write_cell_table(cells, output_path, meta)
+    return meta
+
+
+def parquet_to_rhealpix(input_path: str, output_tif: str, nodata=0,
+                        n_side: int = 3):
+    """Composite inverse: cell-table parquet -> rHPX raster file
+    (reference geopackage_to_rhealpix, storage.py:86-97)."""
+    import json as _json
+
+    from ..core.rhpx import GridConfig
+    from ..core.tiffio import GeoTiff, write_geotiff
+    from ..ops.cells2raster import cells_to_raster_array
+
+    ds, meta = read_cell_table(input_path)
+    grid = GridConfig.from_meta(meta["rhealpixdggs"]) \
+        if meta.get("rhealpixdggs") else GridConfig(n_side, 1, 0)
+    if meta.get("nodata") is None:
+        meta = dict(meta, nodata=nodata, nodatavals=[nodata] * meta["nbands"])
+    arr, _ = cells_to_raster_array(ds, meta=meta, grid=grid)
+    write_geotiff(output_tif, GeoTiff(
+        arr, meta["left"], meta["top"], meta["res"], meta["res"],
+        nodata=meta["nodata"],
+        tags={"GDAL_METADATA":
+              f'<GDALMetadata><Item name="n_side">{grid.n_side}</Item>'
+              f'<Item name="user_metadata">'
+              f'{_json.dumps(meta, cls=_NpEncoder)}</Item></GDALMetadata>'}))
+    return meta

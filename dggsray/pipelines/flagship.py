@@ -124,6 +124,45 @@ class ImageCellJoinAgg(ImageToCells):
         })
 
 
+def flagship_resumable(sf: float, out_dir: str, res: int = FLAGSHIP_RES,
+                       grid: GridConfig = DEFAULT_GRID, n_parts: int | None = None,
+                       fail_after: int | None = None, concurrency=(1, 4)):
+    """Checkpointed flagship run: the image table's parquet files are split into
+    partitions; each writes its own output + lineage record and is skipped on
+    resume (io.lineage).  Returns (n_computed, n_skipped)."""
+    import glob
+    import ray
+
+    from ..io.lineage import run_resumable
+
+    path = ensure_image_table(sf)
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    poly_ref = ray.put(vector_cells_table(res, grid))
+
+    shard_by_rows = len(files) < (n_parts or len(files))
+    op = ImageCellJoinAgg(poly_ref=poly_ref, dst_resolution_idx=res, grid=grid)
+
+    def make(part_files, part, nparts):
+        import ray.data as rd
+        import zlib
+
+        ds = rd.read_parquet(part_files)
+        if shard_by_rows:
+            # few input files: deterministic row buckets by image_id crc
+            def keep(b: pa.Table) -> pa.Table:
+                ids = b.column("image_id").to_pylist()
+                mask = np.array([zlib.crc32(i.encode()) % nparts == part
+                                 for i in ids])
+                return b.filter(pa.array(mask))
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+        # task pool with one shared operator instance (serialized once into the
+        # object store): avoids paying actor-pool startup per partition on the
+        # many small partitions of a resumable run
+        return ds.map_batches(op, batch_format="pyarrow", batch_size=64)
+
+    return run_resumable(files, out_dir, make, n_parts, fail_after)
+
+
 def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
                       grid: GridConfig = DEFAULT_GRID,
                       concurrency=(2, 8), verify: bool = False,

@@ -1,0 +1,84 @@
+"""CLI end-to-end: the seven commands chained on synthetic inputs, exit code 0 and
+"OK" on stdout (the reference's script-test contract,
+tests/script_tests/tests_rhpx_scripts.py:51-95), plus roundtrip bit-equality."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    out = subprocess.run([sys.executable, "-m", "dggsray", *args],
+                         capture_output=True, text=True, cwd=REPO, timeout=300)
+    return out.returncode, out.stdout
+
+
+@pytest.fixture(scope="module")
+def inputs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    from dggsray.core.tiffio import GeoTiff, write_geotiff
+    H, W = 60, 80
+    data = (np.add.outer(np.arange(H), np.arange(W)) % 97).astype(np.int16)[None]
+    tif = str(d / "geo.tif")
+    write_geotiff(tif, GeoTiff(data, left=-4.0, top=41.0, res_x=0.02,
+                               res_y=0.02, nodata=-1))
+    feats = []
+    for lon, lat, he, cls in [(-3.5, 40.5, 0.4, "a"), (-3.0, 40.2, 0.3, "b")]:
+        ring = [[lon - he, lat - he], [lon + he, lat - he],
+                [lon + he, lat + he], [lon - he, lat + he], [lon - he, lat - he]]
+        feats.append({"type": "Feature", "properties": {"class": cls},
+                      "geometry": {"type": "Polygon", "coordinates": [ring]}})
+    gj = str(d / "polys.geojson")
+    json.dump({"type": "FeatureCollection", "features": feats}, open(gj, "w"))
+    return {"dir": d, "tif": tif, "geojson": gj}
+
+
+class TestCli:
+    def test_full_chain(self, inputs):
+        d = inputs["dir"]
+        rc, out = run_cli("ras-to-rhpx-ras", inputs["tif"], str(d / "r.tif"))
+        assert rc == 0 and "OK" in out and "dst_resolution_idx" in out
+
+        rc, out = run_cli("print-ras-rhpx-metadata", str(d / "r.tif"))
+        assert rc == 0 and "'res_idx'" in out and "'n_side': 3" in out
+
+        rc, out = run_cli("ras-rhpx-to-vec-rhpx", str(d / "r.tif"),
+                          str(d / "cells"))
+        assert rc == 0 and "OK" in out
+        assert os.path.exists(d / "cells" / "_meta.json")
+
+        rc, out = run_cli("print-vec-rhpx-metadata", str(d / "cells"))
+        assert rc == 0 and "'res_idx'" in out
+
+        rc, out = run_cli("vec-rhpx-to-ras-rhpx", str(d / "cells"),
+                          str(d / "back.tif"), "--nodata", "-1")
+        assert rc == 0 and "OK" in out
+        from dggsray.core.tiffio import read_geotiff
+        a = read_geotiff(str(d / "r.tif"))
+        b = read_geotiff(str(d / "back.tif"))
+        assert np.array_equal(a.data, b.data)       # zero-RMSE roundtrip
+
+        rc, out = run_cli("vec-to-rhpx-ras", inputs["geojson"],
+                          str(d / "v.tif"), "--property-for-class", "class",
+                          "--dst-resolution-idx", "7")
+        assert rc == 0 and "OK" in out
+
+        rc, out = run_cli("vec-ras-area-error", inputs["geojson"],
+                          str(d / "v.tif"), "--property-for-class", "class")
+        assert rc == 0 and "RMSE:" in out and "BIAS:" in out
+
+    def test_non_rhpx_metadata(self, inputs):
+        # non-rHPX file => res_idx -1 and empty dggs dict (reference
+        # tests_data.py:697-703)
+        rc, out = run_cli("print-ras-rhpx-metadata", inputs["tif"])
+        assert rc == 0 and "'res_idx': -1" in out and "'rhealpixdggs': {}" in out
+
+    def test_bad_rdggs_rejected(self, inputs):
+        rc, out = run_cli("ras-to-rhpx-ras", inputs["tif"], "/tmp/x.tif",
+                          "--rdggs", "5/0/0")
+        assert rc != 0
