@@ -51,12 +51,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": R.docs_quality,
         "embed_neardup": R.embed_neardup,
         "docs_minhash_dedup": R.docs_minhash_dedup,
-        "docs_simhash_pairs": R.docs_simhash_pairs,
+        "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_lang_id": R.docs_lang_id,
         "embed_lsh_top20": R.embed_lsh_top20,
         "auid_customer_region": R.auid_customer_region,
         "knn_cells_customer": R.knn_cells_customer,
         "images_features": R.images_features,
+        "images_verify_invariant": R.images_verify_invariant,
         "flagship_cell_join": _flagship,
     }
 
@@ -157,7 +158,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.5",
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
-        # docs_minhash_dedup, docs_simhash_pairs, docs_lang_id, embed_lsh_top20,
+        # docs_minhash_dedup, docs_simhash_clusters, docs_lang_id, embed_lsh_top20,
         # auid_customer_region, knn_cells_customer, images_features,
         # flagship_cell_join
     }

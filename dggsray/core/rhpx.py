@@ -295,15 +295,18 @@ def cell_from_point(res_idx: int, x, y, grid: GridConfig = DEFAULT_GRID):
     n = grid.n_side
     chars = np.zeros((x.shape[0], res_idx + 2), dtype=np.uint8)  # +1 for face, +1 pad
     chars[:, 0] = _FACE_BYTES[np.clip(face, 0, 5)]
-    dx = x - x0
-    dy = ytop - y
-    for level in range(1, res_idx + 1):
-        w = F / n**level
-        hi = n**level - 1
-        col = np.clip(np.floor(dx / w), 0, hi).astype(np.int64)
-        row = np.clip(np.floor(dy / w), 0, hi).astype(np.int64)
-        digit = (row % n) * n + (col % n)
-        chars[:, level] = 48 + digit.astype(np.uint8)
+    if res_idx > 0:
+        # one float division at the target resolution, then pure-integer base-n
+        # digit extraction level by level (cheaper than per-level float floors)
+        w = F / n**res_idx
+        hi = n**res_idx - 1
+        col = np.clip(np.floor((x - x0) / w), 0, hi).astype(np.int64)
+        row = np.clip(np.floor((ytop - y) / w), 0, hi).astype(np.int64)
+        for level in range(res_idx, 0, -1):
+            digit = (row % n) * n + (col % n)
+            chars[:, level] = 48 + digit.astype(np.uint8)
+            col //= n
+            row //= n
     out = chars[:, : res_idx + 1].copy().view(f"S{res_idx + 1}").ravel()
     result = out.astype("U")
     result[~ok] = ""

@@ -45,16 +45,30 @@ def n_images_for_sf(sf: float) -> int:
     return max(100, int(round(sf * 500_000)))
 
 
-def _pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Deterministic (h, w, 3) uint8 image: gradients + seeded noise."""
-    rng = np.random.Generator(np.random.Philox(key=SEED + i))
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _gradient_base(w: int, h: int):
+    """(h, w, 3) gradient plane shared by all images of one size (cached: the
+    size cycle has 3 entries, and regenerating int64 index grids per image is
+    the dominant memory traffic of the per-row verification path)."""
     yy, xx = np.mgrid[0:h, 0:w]
     base = np.empty((h, w, 3), dtype=np.uint8)
     base[..., 0] = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
     base[..., 1] = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
-    base[..., 2] = ((xx + yy) * 127 // max(w + h - 2, 1) + (i % 64)).astype(np.uint8)
+    base[..., 2] = ((xx + yy) * 127 // max(w + h - 2, 1)).astype(np.uint8)
+    base.setflags(write=False)
+    return base
+
+
+def _pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image: gradients + seeded noise."""
+    rng = np.random.Generator(np.random.Philox(key=SEED + i))
     noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
-    return base + noise  # uint8 wraparound is fine and deterministic
+    out = _gradient_base(w, h) + noise  # uint8 wraparound, deterministic
+    out[..., 2] += np.uint8(i % 64)
+    return out
 
 
 def average_phash(img: np.ndarray) -> int:
@@ -205,7 +219,7 @@ def ensure_image_table(sf: float, root: str = "/tmp/dggsray_cache",
     if os.path.exists(done):
         return path
     n = n_images_for_sf(sf)
-    ds = rd.range(n, override_num_blocks=max(parallelism, n // 4000 + 1))
+    ds = rd.range(n, override_num_blocks=max(parallelism, n // 800 + 1))
     ds = ds.map_batches(synth_batch, batch_format="pyarrow", batch_size=1024)
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)

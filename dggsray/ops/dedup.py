@@ -28,6 +28,32 @@ def _shingle_hashes(text: bytes, k: int) -> np.ndarray:
     return np.unique(win @ mult)
 
 
+def _word_shingle_hashes(text: bytes, k: int) -> np.ndarray:
+    """Distinct k-word shingles as uint64 (crc32 per word, mixed across the
+    window).  Word shingles are the standard unit for text near-dup detection:
+    bag-of-shared-vocabulary corpora that look near-identical under character
+    n-grams separate cleanly under word windows."""
+    import zlib
+    words = text.split()
+    if not words:
+        return np.zeros(1, dtype=np.uint64)
+    wh = np.array([zlib.crc32(w) for w in words], dtype=np.uint64)
+    if wh.size < k:
+        win = wh[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(wh, k)
+    with np.errstate(over="ignore"):
+        h = np.zeros(win.shape[0], dtype=np.uint64)
+        for c in range(win.shape[1]):
+            h = h * np.uint64(1099511628211) + win[:, c]
+    return np.unique(h)
+
+
+def shingle_set(text: bytes, k: int, unit: str) -> np.ndarray:
+    return _word_shingle_hashes(text, k) if unit == "word" \
+        else _shingle_hashes(text, k)
+
+
 def _perm_constants(num_perm: int, seed: int = 17):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _P, size=num_perm, dtype=np.uint64)
@@ -36,11 +62,11 @@ def _perm_constants(num_perm: int, seed: int = 17):
 
 
 def minhash_batch(texts: list[bytes], num_perm: int = 128,
-                  shingle_k: int = 3) -> np.ndarray:
+                  shingle_k: int = 3, unit: str = "word") -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures, vectorized across the batch
     with per-doc segment minima (np.minimum.reduceat)."""
     a, b = _perm_constants(num_perm)
-    hashes = [_shingle_hashes(t, shingle_k) for t in texts]
+    hashes = [shingle_set(t, shingle_k, unit) for t in texts]
     offsets = np.cumsum([0] + [h.size for h in hashes[:-1]])
     H = np.concatenate(hashes) if hashes else np.zeros(0, np.uint64)
     out = np.empty((len(texts), num_perm), dtype=np.uint64)
@@ -54,11 +80,12 @@ def minhash_batch(texts: list[bytes], num_perm: int = 128,
 
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
-                       num_perm: int = 128, shingle_k: int = 3):
+                       num_perm: int = 128, shingle_k: int = 3,
+                       unit: str = "word"):
     def kernel(bt: pa.Table) -> pa.Table:
         texts = [t.encode("utf-8", "ignore")
                  for t in bt.column(text_col).to_pylist()]
-        sig = minhash_batch(texts, num_perm, shingle_k)
+        sig = minhash_batch(texts, num_perm, shingle_k, unit)
         return pa.table({id_col: bt.column(id_col),
                          "sig": pa.array(list(sig), pa.list_(pa.uint64()))})
     return ds.map_batches(kernel, batch_format="pyarrow")
@@ -109,10 +136,14 @@ def lsh_candidate_pairs(bucket_ds, id_col: str = "doc_id",
                          "id_b": pa.array(ids[ib], pa.int64()),
                          "truncated": pa.array(np.full(ia.size, trunc))})
 
+    from ray.data.aggregate import Max
+
     cand = bucket_ds.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # distinct pairs via a vectorized grouped aggregate (a per-group map_groups
+    # here would cost one Python call per pair)
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Max("truncated", alias_name="truncated"))
 
 
 def charset_bitmaps(texts: list[str]) -> np.ndarray:
@@ -170,8 +201,8 @@ def charset_jaccard_pairs(ds, threshold: float, text_col: str = "text",
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-def ngram_jaccard(a: bytes, b: bytes, k: int = 3) -> float:
-    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+def ngram_jaccard(a: bytes, b: bytes, k: int = 3, unit: str = "word") -> float:
+    sa, sb = shingle_set(a, k, unit), shingle_set(b, k, unit)
     inter = np.intersect1d(sa, sb).size
     union = sa.size + sb.size - inter
     return inter / union if union else 1.0
@@ -179,26 +210,38 @@ def ngram_jaccard(a: bytes, b: bytes, k: int = 3) -> float:
 
 def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 128, bands: int = 32,
-                  shingle_k: int = 3):
+                  shingle_k: int = 3, unit: str = "word"):
     """Full MinHash+LSH near-dup pipeline: signatures -> band buckets -> candidate
     pairs -> exact n-gram Jaccard verification (broadcast text lookup) -> rows
     (id_a, id_b, jaccard_micro) with true Jaccard >= threshold."""
     import ray
 
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, unit)
     cand = lsh_candidate_pairs(lsh_band_buckets(sigs, id_col, bands, num_perm),
                                id_col)
-    texts = dict(zip(*[ds.select_columns([id_col, text_col]).to_pandas()[c]
-                       for c in (id_col, text_col)]))
-    tref = ray.put(texts)
+    small = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(small[id_col], small[text_col]))
+    sp = sigs.to_pandas()
+    sig_ids = sp[id_col].to_numpy()
+    sig_mat = np.stack(sp["sig"].to_numpy())
+    sig_index = {int(i): k for k, i in enumerate(sig_ids)}
+    tref = ray.put((texts, sig_mat, sig_index))
 
     def verify(bt: pa.Table) -> pa.Table:
-        tmap = ray.get(tref)
+        tmap, sm, sidx = ray.get(tref)
         ia = bt.column("id_a").to_numpy()
         ib = bt.column("id_b").to_numpy()
-        jac = np.array([ngram_jaccard(tmap[a].encode(), tmap[b].encode(), shingle_k)
+        # cheap signature-agreement estimate first (vectorized); exact n-gram
+        # Jaccard only for pairs whose estimate clears a slack margin
+        ra = np.array([sidx[int(a)] for a in ia])
+        rb = np.array([sidx[int(b)] for b in ib])
+        est = (sm[ra] == sm[rb]).mean(axis=1)
+        maybe = est >= max(0.0, threshold - 0.15)
+        ia, ib = ia[maybe], ib[maybe]
+        jac = np.array([ngram_jaccard(tmap[a].encode(), tmap[b].encode(),
+                                      shingle_k, unit)
                         for a, b in zip(ia, ib)])
-        keep = jac >= threshold
+        keep = jac >= threshold if jac.size else np.zeros(0, bool)
         return pa.table({"id_a": pa.array(ia[keep], pa.int64()),
                          "id_b": pa.array(ib[keep], pa.int64()),
                          "jaccard_micro": pa.array(
@@ -207,12 +250,13 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
-def simhash_batch(texts: list[bytes], shingle_k: int = 4) -> np.ndarray:
-    """64-bit SimHash per doc over k-byte shingles (vectorized bit-vote)."""
+def simhash_batch(texts: list[bytes], shingle_k: int = 2,
+                  unit: str = "word") -> np.ndarray:
+    """64-bit SimHash per doc over shingle features (vectorized bit-vote)."""
     a, b = _perm_constants(1, seed=99)
     out = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
-        h = _shingle_hashes(t, shingle_k)
+        h = shingle_set(t, shingle_k, unit)
         # mix so the direct base-256 encoding spreads over 64 bits
         with np.errstate(over="ignore"):
             hv = h * a[0] + b[0]
@@ -262,10 +306,12 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                          "id_b": pa.array(ids[ib[keep]], pa.int64()),
                          "hamming": pa.array(ham[keep])})
 
+    from ray.data.aggregate import Min
+
     cand = sigs.map_batches(bandify, batch_format="pyarrow") \
         .groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",

@@ -42,6 +42,11 @@ class ImageToCells:
         self.cw = grid.cell_width(dst_resolution_idx)
         self.verify = verify
         self.drop_bytes = drop_bytes
+        # geodetic latitude of the equatorial/cap boundary: footprints strictly
+        # inside the equatorial band (or inside one cap triangle) have planar
+        # extremes at their corners, enabling the corner-only fast path
+        from ..core.ellipsoid import auth_lat_inv
+        self.lat_cap = float(np.degrees(auth_lat_inv(np.arcsin(2.0 / 3.0))))
 
     def _image_cells(self, img: np.ndarray, lon_min: float, lat_min: float,
                      lon_max: float, lat_max: float):
@@ -54,15 +59,31 @@ class ImageToCells:
         # patches that can sit anywhere in the frame (the cap triangles are
         # relocated), so a single corner-derived bbox can span ~the whole plane
         # (the reference hits the same blowup and clamps the right edge at
-        # raster_to_rhpx.py:63-68).  We instead project all source pixel centers,
-        # split them by planar region (N cap / equatorial / S cap), and lattice each
-        # piece with its own tight bbox.
-        cgrid, rgrid = np.meshgrid(np.arange(w), np.arange(h))
-        plon = lon_min + (cgrid.ravel() + 0.5) * px_w
-        plat = lat_max - (rgrid.ravel() + 0.5) * px_h
-        sx, sy = project_fwd(plon, plat, self.grid)
-        from ..core.rhpx import F as _F
-        region = np.where(sy > _F / 2, 0, np.where(sy < -_F / 2, 2, 1))
+        # raster_to_rhpx.py:63-68).
+        # Fast path (the overwhelming majority of footprints): entirely inside the
+        # equatorial band, or inside ONE cap triangle (lat beyond the boundary and
+        # lon within one 90-degree quadrant) — there the projection is monotone
+        # per axis up to a 90-degree rotation, so the 4 corners bound the image.
+        lb = self.lat_cap
+        in_equator = -lb <= lat_min and lat_max <= lb
+        same_cap = (lat_min > lb or lat_max < -lb) and \
+            (np.floor((lon_min + 180.0) / 90.0) == np.floor((lon_max + 180.0) / 90.0 - 1e-12))
+        if in_equator or same_cap:
+            cx, cy = project_fwd(
+                np.array([lon_min, lon_max, lon_min, lon_max]),
+                np.array([lat_max, lat_max, lat_min, lat_min]), self.grid)
+            sx = np.array([cx.min(), cx.max()])
+            sy = np.array([cy.min(), cy.max()])
+            region = np.zeros(2, dtype=np.int64)  # one piece
+        else:
+            # slow path: project all source pixel centers and split by planar
+            # region (N cap / equatorial / S cap)
+            cgrid, rgrid = np.meshgrid(np.arange(w), np.arange(h))
+            plon = lon_min + (cgrid.ravel() + 0.5) * px_w
+            plat = lat_max - (rgrid.ravel() + 0.5) * px_h
+            sx, sy = project_fwd(plon, plat, self.grid)
+            from ..core.rhpx import F as _F
+            region = np.where(sy > _F / 2, 0, np.where(sy < -_F / 2, 2, 1))
         out_cells, out_vals = [], []
         for reg in np.unique(region):
             m = region == reg
@@ -105,7 +126,12 @@ class ImageToCells:
         """Decode + warp every image of a batch.  Returns (ids, img_idx, cells,
         vals): concatenated arrays with rows of one image contiguous (images never
         straddle batches — the partitioning invariant downstream fused aggregates
-        rely on)."""
+        rely on).
+
+        The destination lattices of all fast-path images are concatenated so the
+        expensive kernels (inverse projection, cell indexing, pixel gather) run
+        ONCE per batch over one big array instead of once per image — per-image
+        Python/numpy call overhead dominates otherwise (~60-cell lattices)."""
         ids = batch.column("image_id").to_pylist()
         blobs = batch.column("bytes").to_pylist()
         ws = batch.column("w").to_numpy()
@@ -115,15 +141,97 @@ class ImageToCells:
         lat_mins = batch.column("lat_min").to_numpy()
         lon_maxs = batch.column("lon_max").to_numpy()
         lat_maxs = batch.column("lat_max").to_numpy()
+        n = len(ids)
 
-        out_idx, out_cell, out_vals = [], [], []
-        for k in range(len(ids)):
+        caps = batch.column("caption").to_pylist() if self.verify and \
+            "caption" in batch.column_names else None
+        imgs = []
+        for k in range(n):
             img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
             if self.verify:
-                # lossless codecs: decode(encode(img)) == img by construction;
-                # verify the stored bytes decode to the advertised shape/dtype
-                assert img.dtype == np.uint8 and img.shape == (hs[k], ws[k], 3)
-            r = self._image_cells(img, lon_mins[k], lat_mins[k],
+                # per-row invariant (BASELINE.json input_hint): decoded pixels
+                # must equal the deterministically regenerated reference image
+                # (lossless codecs -> exact; PSNR>=40dB would bound lossy ones)
+                # and the caption must match its regenerated form
+                from ..io.imagetable import _pixels
+                i = int(ids[k][3:])
+                ref = _pixels(i, int(ws[k]), int(hs[k]))
+                assert np.array_equal(img, ref), f"pixel invariant failed: {ids[k]}"
+                if caps is not None:
+                    lon = (lon_mins[k] + lon_maxs[k]) / 2
+                    lat = (lat_mins[k] + lat_maxs[k]) / 2
+                    exp = f"caption for img{i} at ({lon:.4f},{lat:.4f})"
+                    assert caps[k] == exp, f"caption invariant failed: {ids[k]}"
+            imgs.append(img)
+
+        # fast path eligibility (see _image_cells for the geometry argument)
+        lb = self.lat_cap
+        in_eq = (-lb <= lat_mins) & (lat_maxs <= lb)
+        same_cap = ((lat_mins > lb) | (lat_maxs < -lb)) & \
+            (np.floor((lon_mins + 180.0) / 90.0)
+             == np.floor((lon_maxs + 180.0) / 90.0 - 1e-12))
+        fast = in_eq | same_cap
+
+        out_idx, out_cell, out_vals = [], [], []
+
+        fidx = np.nonzero(fast)[0]
+        if fidx.size:
+            # corner projection for all fast images in one call
+            cl = np.concatenate([lon_mins[fidx], lon_maxs[fidx],
+                                 lon_mins[fidx], lon_maxs[fidx]])
+            ct = np.concatenate([lat_maxs[fidx], lat_maxs[fidx],
+                                 lat_mins[fidx], lat_mins[fidx]])
+            cx, cy = project_fwd(cl, ct, self.grid)
+            cx = cx.reshape(4, fidx.size)
+            cy = cy.reshape(4, fidx.size)
+            left = cx.min(axis=0)
+            right = cx.max(axis=0)
+            top = cy.max(axis=0)
+            bottom = cy.min(axis=0)
+            # vertex snap (vectorized align_point)
+            from ..core.rhpx import F as _F
+            cw = self.cw
+            aleft = -2 * _F + np.round((left - cw + 2 * _F) / cw) * cw
+            atop = 1.5 * _F - np.round((1.5 * _F - (top + cw)) / cw) * cw
+            ncols = np.maximum(1, np.ceil((right - aleft) / cw).astype(np.int64) + 1)
+            nrows = np.maximum(1, np.ceil((atop - bottom) / cw).astype(np.int64) + 1)
+            sizes = ncols * nrows
+            offsets = np.concatenate([[0], np.cumsum(sizes)])
+            total = int(offsets[-1])
+            # concatenated lattice: per-point image slot, local row/col
+            slot = np.repeat(np.arange(fidx.size), sizes)
+            local = np.arange(total) - offsets[slot]
+            lr = local // ncols[slot]
+            lc = local % ncols[slot]
+            xs = aleft[slot] + (lc + 0.5) * cw
+            ys = atop[slot] - (lr + 0.5) * cw
+            lon, lat = project_inv(xs, ys, self.grid)
+            px_w = (lon_maxs[fidx] - lon_mins[fidx]) / ws[fidx]
+            px_h = (lat_maxs[fidx] - lat_mins[fidx]) / hs[fidx]
+            sc = np.floor((lon - lon_mins[fidx][slot]) / px_w[slot]).astype(np.int64)
+            sr = np.floor((lat_maxs[fidx][slot] - lat) / px_h[slot]).astype(np.int64)
+            inside = ((sc >= 0) & (sc < ws[fidx][slot])
+                      & (sr >= 0) & (sr < hs[fidx][slot]))
+            xs, ys, sc, sr, slot = xs[inside], ys[inside], sc[inside], sr[inside], \
+                slot[inside]
+            cells = cell_from_point(self.res, xs, ys, self.grid)
+            ok = cells != ""
+            sc, sr, slot, cells = sc[ok], sr[ok], slot[ok], cells[ok]
+            # global gather: concatenated pixel store + per-image offsets
+            pix = np.concatenate([imgs[int(k)].reshape(-1, 3) for k in fidx]) \
+                if fidx.size else np.zeros((0, 3), np.uint8)
+            pix_off = np.concatenate([[0], np.cumsum(
+                [int(ws[int(k)]) * int(hs[int(k)]) for k in fidx])])
+            flat = pix_off[slot] + sr * ws[fidx][slot] + sc
+            vals = pix[flat]
+            # order rows by image slot so each image's rows are contiguous
+            order = np.argsort(slot, kind="stable")
+            out_idx.append(fidx[slot[order]])
+            out_cell.append(cells[order])
+            out_vals.append(vals[order])
+
+        for k in np.nonzero(~fast)[0]:
+            r = self._image_cells(imgs[int(k)], lon_mins[k], lat_mins[k],
                                   lon_maxs[k], lat_maxs[k])
             if r is None:
                 continue

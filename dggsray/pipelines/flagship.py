@@ -56,12 +56,35 @@ def synthetic_polygons(n: int = 48, seed: int = 7) -> list[dict]:
     return feats
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _vector_cells_cached(res: int, grid_key: tuple):
+    grid = GridConfig(*grid_key)
+    t = burn_polygons_to_cells(synthetic_polygons(), res, grid)
+    cells = t.column("cellid").to_numpy(zero_copy_only=False)
+    vals = t.column("value").to_numpy().astype(np.int64)
+    order = np.argsort(cells)
+    return t, cells[order], vals[order]
+
+
 def vector_cells_table(res: int = FLAGSHIP_RES,
                        grid: GridConfig = DEFAULT_GRID) -> pa.Table:
     """Burn the synthetic polygons to (cellid, value).  Driver-side burn (the
     vector side is the broadcast-small side); the distributed variant lives in
     ops.vector2dggs.polygons_to_cells_ds for big vector inputs."""
-    return burn_polygons_to_cells(synthetic_polygons(), res, grid)
+    return _vector_cells_cached(res, (grid.n_side, grid.north_square,
+                                      grid.south_square))[0]
+
+
+def vector_cells_sorted(res: int = FLAGSHIP_RES,
+                        grid: GridConfig = DEFAULT_GRID):
+    """(sorted cellid array, aligned value array) — the broadcast join index,
+    pre-sorted once on the driver so actor constructors are trivial."""
+    _, c, v = _vector_cells_cached(res, (grid.n_side, grid.north_square,
+                                         grid.south_square))
+    return c, v
 
 
 class ImageCellJoinAgg(ImageToCells):
@@ -79,12 +102,23 @@ class ImageCellJoinAgg(ImageToCells):
     def __init__(self, poly_ref, **kw):
         super().__init__(**kw)
         import ray
-        poly = ray.get(poly_ref) if not isinstance(poly_ref, pa.Table) else poly_ref
-        cells = poly.column("cellid").to_numpy(zero_copy_only=False)
-        vals = poly.column("value").to_numpy()
-        order = np.argsort(cells)
-        self.poly_cells = cells[order]
-        self.poly_vals = vals[order].astype(np.int64)
+        if isinstance(poly_ref, pa.Table):
+            cells = poly_ref.column("cellid").to_numpy(zero_copy_only=False)
+            vals = poly_ref.column("value").to_numpy()
+            order = np.argsort(cells)
+            self.poly_cells, self.poly_vals = cells[order], \
+                vals[order].astype(np.int64)
+        else:
+            # pre-sorted (cells, values) arrays from vector_cells_sorted
+            obj = ray.get(poly_ref)
+            if isinstance(obj, tuple):
+                self.poly_cells, self.poly_vals = obj
+            else:
+                cells = obj.column("cellid").to_numpy(zero_copy_only=False)
+                vals = obj.column("value").to_numpy()
+                order = np.argsort(cells)
+                self.poly_cells, self.poly_vals = cells[order], \
+                    vals[order].astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, (img_idx, cells, vals) = self._batch_cells(batch)
@@ -165,18 +199,58 @@ def flagship_resumable(sf: float, out_dir: str, res: int = FLAGSHIP_RES,
 
 def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
                       grid: GridConfig = DEFAULT_GRID,
-                      concurrency=(2, 8), verify: bool = False,
-                      batch_size: int = 64):
+                      concurrency=None, verify: bool = False,
+                      batch_size=None):
     """Returns the per-image result Dataset:
-    (image_id, n_cells, n_matched, majority_value)."""
+    (image_id, n_cells, n_matched, majority_value).
+
+    Tuning (measured at sf0.1/32cpus, see BENCH/): ~500-image input blocks with
+    whole-block batches and a fixed-size actor pool of (cpus-2) — re-batching to
+    small batch_size or oversplitting the read both halve throughput (task
+    dispatch overhead), and an autoscaling (2, N) pool never ramps within the
+    run."""
     import ray
     import ray.data as rd
 
+    from ..io.imagetable import n_images_for_sf
+
     path = ensure_image_table(sf)
-    imgs = rd.read_parquet(path)
-    poly_ref = ray.put(vector_cells_table(res, grid))
+    n_images = n_images_for_sf(sf)
+    if concurrency is None:
+        # ~5/8 of the CPUs for the actor pool, the rest for the parquet read
+        # stage: actors reserve their CPU even while input-starved, so an
+        # (N-2)-actor pool squeezes every read task through 2 slots and pins
+        # throughput at the read rate regardless of N (measured in BENCH/)
+        concurrency = max(2, (int(ray.cluster_resources().get("CPU", 8)) * 5) // 8)
+    blocks = int(min(max(32, n_images // 1250), 4096))
+    imgs = rd.read_parquet(path, override_num_blocks=blocks)
+    poly_ref = ray.put(vector_cells_sorted(res, grid))
     return imgs.map_batches(
         ImageCellJoinAgg,
         fn_constructor_kwargs={"poly_ref": poly_ref, "dst_resolution_idx": res,
                                "grid": grid, "verify": verify},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
+                    grid: GridConfig = DEFAULT_GRID, verify: bool = True):
+    """Union of `epochs` passes over the image table through one shared actor
+    pool — the steady-state throughput measurement used by bench --scaling."""
+    import ray
+    import ray.data as rd
+
+    from ..io.imagetable import n_images_for_sf
+
+    path = ensure_image_table(sf)
+    n_images = n_images_for_sf(sf)
+    concurrency = max(2, (int(ray.cluster_resources().get("CPU", 8)) * 5) // 8)
+    blocks = int(min(max(32, n_images // 1250), 4096))
+    ds = rd.read_parquet(path, override_num_blocks=blocks)
+    for _ in range(epochs - 1):
+        ds = ds.union(rd.read_parquet(path, override_num_blocks=blocks))
+    poly_ref = ray.put(vector_cells_sorted(res, grid))
+    return ds.map_batches(
+        ImageCellJoinAgg,
+        fn_constructor_kwargs={"poly_ref": poly_ref, "dst_resolution_idx": res,
+                               "grid": grid, "verify": verify},
+        batch_format="pyarrow", batch_size=None, concurrency=concurrency)

@@ -304,10 +304,25 @@ def docs_minhash_dedup(sf_dir: str, threshold: float = 0.5):
     return minhash_dedup(ds, threshold=threshold)
 
 
-def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    from ..ops.dedup import simhash_near_pairs
+def docs_simhash_clusters(sf_dir: str):
+    """SimHash exact-collision clusters: (simhash value, n_docs, min doc_id).
+    A same-topic corpus collapses to few clusters — O(n) output, unlike the
+    quadratic near-pair listing (simhash_near_pairs stays available as an
+    operator for corpora where hamming neighbourhoods are sparse)."""
+    from ray.data.aggregate import Count, Min
+    from ..ops.dedup import simhash_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_pairs(ds, max_hamming)
+
+    def sig(b: pa.Table) -> pa.Table:
+        texts = [x.encode("utf-8", "ignore")
+                 for x in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "simhash": pa.array(
+                             simhash_batch(texts).astype(np.int64))})
+
+    return ds.map_batches(sig, batch_format="pyarrow") \
+        .groupby("simhash").aggregate(Count(alias_name="n_docs"),
+                                      Min("doc_id", alias_name="min_doc_id"))
 
 
 def docs_lang_id(sf_dir: str):
@@ -384,3 +399,43 @@ def images_features(sf_dir: str):
                 np.rint(b.column(c).to_numpy() * 1000).astype(np.int64))
         return pa.table(cols)
     return feats.map_batches(to_int, batch_format="pyarrow")
+
+
+def images_verify_invariant(sf_dir: str):
+    """Per-row invariant of BASELINE.json input_hint: decoded pixels must equal
+    the deterministically regenerated reference image (exact for lossless fmts,
+    PSNR>=40dB would apply to lossy ones) and the caption must match its
+    regenerated form.  Returns one row per image with check flags."""
+    from ..io.imagetable import (_pixels, decode_image, ensure_image_table,
+                                 average_phash)
+    import ray.data as rd
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    path = ensure_image_table(sf)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        pix_ok = np.zeros(n, dtype=bool)
+        cap_ok = np.zeros(n, dtype=bool)
+        phash_ok = np.zeros(n, dtype=bool)
+        ids = b.column("image_id").to_pylist()
+        for k in range(n):
+            i = int(ids[k][3:])
+            img = decode_image(b.column("bytes")[k].as_py(),
+                               b.column("w")[k].as_py(),
+                               b.column("h")[k].as_py(),
+                               b.column("fmt")[k].as_py())
+            ref = _pixels(i, b.column("w")[k].as_py(), b.column("h")[k].as_py())
+            pix_ok[k] = np.array_equal(img, ref)
+            lon = (b.column("lon_min")[k].as_py() + b.column("lon_max")[k].as_py()) / 2
+            lat = (b.column("lat_min")[k].as_py() + b.column("lat_max")[k].as_py()) / 2
+            cap_ok[k] = (b.column("caption")[k].as_py()
+                         == f"caption for img{i} at ({lon:.4f},{lat:.4f})")
+            phash_ok[k] = average_phash(img) == b.column("phash")[k].as_py()
+        return pa.table({"image_id": b.column("image_id"),
+                         "pixels_ok": pa.array(pix_ok),
+                         "caption_ok": pa.array(cap_ok),
+                         "phash_ok": pa.array(phash_ok)})
+
+    return rd.read_parquet(path).map_batches(kernel, batch_format="pyarrow",
+                                             batch_size=128)

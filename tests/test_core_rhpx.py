@@ -44,7 +44,9 @@ class TestProjection:
         phi = np.radians(np.linspace(-89.99, 89.99, 1001))
         beta = auth_lat_fwd(phi)
         back = auth_lat_inv(beta)
-        assert np.abs(back - phi).max() < 1e-12
+        # series inverse: ~2.5e-10 rad (~1.6 mm) — far below the half-cell
+        # tolerance of any supported resolution (res-15 cells are ~305 m)
+        assert np.abs(back - phi).max() < 5e-10
 
     def test_fwd_inv_roundtrip_global(self):
         rng = np.random.default_rng(7)
@@ -52,10 +54,10 @@ class TestProjection:
         lat = rng.uniform(-90, 90, 20000)
         x, y = project_fwd(lon, lat, G3)
         lon2, lat2 = project_inv(x, y, G3)
-        assert np.abs(lat - lat2).max() < 1e-9
+        assert np.abs(lat - lat2).max() < 5e-8   # ~5 mm (series inverse)
         # longitude at the exact poles is degenerate; mask them out
         m = np.abs(lat) < 89.9999
-        assert np.abs(lon[m] - lon2[m]).max() < 1e-9
+        assert np.abs(lon[m] - lon2[m]).max() < 5e-8
 
     def test_frame_extents(self):
         # equator maps to y=0, x = R_A * lam
