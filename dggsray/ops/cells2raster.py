@@ -121,3 +121,85 @@ def cells_to_raster_array(ds, meta: dict | None = None,
                                dtype=first_band_type.to_pandas_dtype().__name__)
     tiles = cells_to_tiles(ds, meta, grid, cell_col)
     return assemble_array(tiles, meta), meta
+
+
+def grid_cells_for_bbox(nw: tuple, se: tuple, res: int,
+                        grid: GridConfig = DEFAULT_GRID, as_geodetic: bool = True):
+    """All cells of resolution `res` whose centroids fall inside the geodetic
+    bbox (nw=(lon,lat), se=(lon,lat)) — the reference's
+    rhealpix_grid_as_geodataframe (rhpx_gdf_helper.py:337-366) as a Dataset of
+    (cellid, centroid lon/lat or planar x/y).  Enumeration is lattice-driven:
+    project the bbox, walk the aligned lattice per planar region, keep centroids
+    whose inverse projection is inside the bbox."""
+    import ray.data as rd
+
+    from ..core.rhpx import project_fwd, project_inv, align_point
+
+    lon_w, lat_n = nw
+    lon_e, lat_s = se
+    cw = grid.cell_width(res)
+    # sample the bbox boundary to get per-region planar extents
+    n = 64
+    bx = np.concatenate([np.linspace(lon_w, lon_e, n)] * 2 + [np.full(n, lon_w),
+                                                              np.full(n, lon_e)])
+    by = np.concatenate([np.full(n, lat_n), np.full(n, lat_s),
+                         np.linspace(lat_s, lat_n, n), np.linspace(lat_s, lat_n, n)])
+    px, py = project_fwd(bx, by, grid)
+    from ..core.rhpx import F as _F
+    region = np.where(py > _F / 2, 0, np.where(py < -_F / 2, 2, 1))
+    tabs = []
+    for reg in np.unique(region):
+        m = region == reg
+        left, top = align_point(px[m].min() - cw, py[m].max() + cw, res, grid)
+        ncols = max(1, math.ceil((px[m].max() - left) / cw) + 1)
+        nrows = max(1, math.ceil((top - py[m].min()) / cw) + 1)
+        jj, ii = np.meshgrid(np.arange(ncols), np.arange(nrows))
+        xs = left + (jj.ravel() + 0.5) * cw
+        ys = top - (ii.ravel() + 0.5) * cw
+        lon, lat = project_inv(xs, ys, grid)
+        keep = (lon >= lon_w) & (lon <= lon_e) & (lat >= lat_s) & (lat <= lat_n)
+        if not keep.any():
+            continue
+        from ..core.rhpx import cell_from_point
+        cells = cell_from_point(res, xs[keep], ys[keep], grid)
+        ok = cells != ""
+        if as_geodetic:
+            tabs.append(pa.table({"cellid": pa.array(cells[ok], pa.string()),
+                                  "lon": pa.array(lon[keep][ok]),
+                                  "lat": pa.array(lat[keep][ok])}))
+        else:
+            tabs.append(pa.table({"cellid": pa.array(cells[ok], pa.string()),
+                                  "x": pa.array(xs[keep][ok]),
+                                  "y": pa.array(ys[keep][ok])}))
+    if not tabs:
+        empty = {"cellid": pa.array([], pa.string())}
+        return rd.from_arrow(pa.table(empty))
+    t = pa.concat_tables(tabs)
+    # cells straddling region boundaries can appear twice (padded lattices)
+    import pyarrow.compute as pc
+    t = t.group_by("cellid").aggregate(
+        [(c, "min") for c in t.column_names if c != "cellid"])
+    t = t.rename_columns(["cellid"] + [c for c in (["lon", "lat"] if as_geodetic
+                                                   else ["x", "y"])])
+    return rd.from_arrow(t)
+
+
+def update_cells_from_tiles(original_ds, tiles_ds, meta: dict,
+                            grid: GridConfig = DEFAULT_GRID):
+    """Refresh band values of an existing cell table from a (modified) raster —
+    the reference's rhealpix_file_to_geodataframe_update fast path
+    (rhpx_gdf_helper.py:189-258: extents must match; requires the original to
+    have been built with store_nodata so every pixel has a row).  Implemented as
+    a cellid join: re-explode the raster and inner-join onto the original's
+    cellids, keeping the original row order irrelevant (cell tables are sets)."""
+    from .raster2dggs import tiles_to_cells
+
+    assert meta.get("store_nodata"), \
+        "store_nodata must be True for the original cell table (reference " \
+        "rhpx_gdf_helper.py:207-208)"
+    fresh = tiles_to_cells(tiles_ds, meta, grid, store_nodata=True)
+    keep_cols = [c for c in original_ds.schema().names
+                 if not c.startswith("band")]
+    base = original_ds.select_columns(keep_cols) if keep_cols != ["cellid"] \
+        else original_ds.select_columns(["cellid"])
+    return base.join(fresh, join_type="inner", on=("cellid",), num_partitions=8)
