@@ -58,6 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cells_customer": R.knn_cells_customer,
         "images_features": R.images_features,
         "images_verify_invariant": R.images_verify_invariant,
+        "cell_setops_customer_orders": lambda d: R.cell_setops_customer_orders(d, _RES_JOIN),
+        "cell_topk_densest": R.cell_topk_densest,
+        "events_hourly": R.events_hourly,
+        "orders_lineitem_revenue": R.orders_lineitem_revenue,
         "flagship_cell_join": _flagship,
     }
 
@@ -157,6 +161,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.5",
+        "cell_setops_customer_orders":
+            f"WITH ca AS (SELECT DISTINCT {cell_c_join} AS cellid FROM customer), "
+            f"ob AS (SELECT DISTINCT {cell_o_join} AS cellid FROM orders) "
+            f"SELECT (SELECT COUNT(*) FROM (SELECT cellid FROM ca UNION "
+            f"SELECT cellid FROM ob)) AS n_union, "
+            f"(SELECT COUNT(*) FROM (SELECT cellid FROM ca INTERSECT "
+            f"SELECT cellid FROM ob)) AS n_intersection, "
+            f"(SELECT COUNT(*) FROM (SELECT cellid FROM ca EXCEPT "
+            f"SELECT cellid FROM ob)) AS n_difference",
+        "cell_topk_densest":
+            f"SELECT {cell_c_enc} AS cellid, COUNT(*) AS n_points FROM customer "
+            f"GROUP BY 1 ORDER BY n_points DESC, cellid ASC LIMIT 20",
+        "events_hourly":
+            "SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents, "
+            "COUNT(*) AS n_events FROM events GROUP BY 1, 2",
+        "orders_lineitem_revenue":
+            "WITH rev AS (SELECT l_orderkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)) AS revenue_e4 "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT r.l_orderkey, o.o_orderpriority, r.revenue_e4 "
+            "FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey "
+            "ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 50",
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
         # docs_minhash_dedup, docs_simhash_clusters, docs_lang_id, embed_lsh_top20,
         # auid_customer_region, knn_cells_customer, images_features,

@@ -1,4 +1,4 @@
-from .cli import main
+from .cli import main_safe
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main_safe())

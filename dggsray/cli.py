@@ -214,5 +214,17 @@ def main(argv=None):
     return 0
 
 
+def main_safe(argv=None):
+    """CLI entry with the reference's error style: catch, print message, exit 1
+    (reference __main__.py:67-72)."""
+    try:
+        return main(argv)
+    except SystemExit:
+        raise
+    except Exception as ex:
+        print(f"ERROR: {type(ex).__name__}: {ex}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_safe())

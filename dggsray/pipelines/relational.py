@@ -439,3 +439,89 @@ def images_verify_invariant(sf_dir: str):
 
     return rd.read_parquet(path).map_batches(kernel, batch_format="pyarrow",
                                              batch_size=128)
+
+
+def cell_setops_customer_orders(sf_dir: str, res: int = 3):
+    """Area set algebra between the customer cell set and the orders cell set at
+    one resolution: per-cell membership flags + the three set-op cardinalities,
+    oracle-checkable via SQL set operators."""
+    from ..ops.cellsets import area_setop
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(lambda b: _with_cells(b, "c_custkey", res),
+                     batch_format="pyarrow").select_columns(["cellid"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(lambda b: _with_cells(b, "o_orderkey", res),
+                     batch_format="pyarrow").select_columns(["cellid"])
+    import pandas as pd
+    u = area_setop(cust, orders, "union", res).count()
+    i = area_setop(cust, orders, "intersection", res).count()
+    d = area_setop(cust, orders, "difference", res).count()
+    return pd.DataFrame({"n_union": [u], "n_intersection": [i],
+                         "n_difference": [d]})
+
+
+def cell_topk_densest(sf_dir: str, res: int = 4, k: int = 20):
+    """Top-k cells by customer count (sort+limit over a cell aggregate)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(lambda b: _with_cells(b, "c_custkey", res),
+                     batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["cellid"]).group_by("cellid").aggregate([([], "count_all")])
+        return g.rename_columns(["cellid", "_p"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cellid").aggregate(Sum("_p", alias_name="n_points"))
+    return agg.sort(["n_points", "cellid"], descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str):
+    """Events per (type, hour-of-day): temporal bucketing + grouped aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.hour(b.column("ts"))
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "hour": pc.cast(hours, pa.int32()),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "_s", "_n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("_s", alias_name="value_cents"),
+                   Sum("_n", alias_name="n_events"))
+
+
+def orders_lineitem_revenue(sf_dir: str, k: int = 50):
+    """TPC-H Q3-flavoured: join orders x lineitem, revenue per order in exact
+    cents, top-k (hash join + grouped aggregate + sort/limit)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) \
+            * np.rint((1 - disc) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "rev": pa.array(rev)})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "_r"])
+
+    rev = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("_r", alias_name="revenue_e4"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = rev.join(orders, join_type="inner", on=("l_orderkey",),
+                      right_on=("o_orderkey",), num_partitions=8)
+    out = joined.select_columns(["l_orderkey", "o_orderpriority", "revenue_e4"])
+    return out.sort(["revenue_e4", "l_orderkey"],
+                    descending=[True, False]).limit(k)
