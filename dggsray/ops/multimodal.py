@@ -128,13 +128,20 @@ class VideoFrameSample:
                          "bytes": pa.array(out_bytes, pa.binary())})
 
 
+def _default_pool():
+    import ray
+    return max(2, (int(ray.cluster_resources().get("CPU", 8)) * 5) // 8)
+
+
 def resize_images(ds, out_w: int, out_h: int, out_fmt: str = "raw",
-                  concurrency=(2, 8), batch_size: int = 64):
+                  concurrency=None, batch_size=None):
     return ds.map_batches(ImageResize, fn_constructor_kwargs={
         "out_w": out_w, "out_h": out_h, "out_fmt": out_fmt},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_pool())
 
 
-def image_features(ds, concurrency=(2, 8), batch_size: int = 64):
+def image_features(ds, concurrency=None, batch_size=None):
     return ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size,
+                          concurrency=concurrency or _default_pool())
