@@ -96,7 +96,8 @@ def oracle_sql() -> dict[str, str]:
             f"COUNT(*) AS n_points FROM customer GROUP BY 1",
         "cell_agg_customer":
             f"SELECT substr({cell_c_fine}, 1, {_RES_AGG_COARSE + 1}) AS cell, "
-            f"SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents, "
+            f"CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            f"AS bal_cents, "
             f"COUNT(*) AS n_customers FROM customer GROUP BY 1",
         "cell_join_customer_orders":
             f"WITH cc AS (SELECT {cell_c_join} AS cellid, COUNT(*) AS nc "
@@ -113,16 +114,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT cell, nation AS majority_nation, cnt FROM r WHERE rn = 1",
         "pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents, "
             "COUNT(*) AS n_rows FROM lineitem GROUP BY 1, 2",
         "top_orders":
             "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS "
             "price_cents FROM orders ORDER BY price_cents DESC, o_orderkey ASC "
             "LIMIT 25",
         "events_by_type":
-            "SELECT event_type, SUM(CAST(round(value * 100) AS BIGINT)) AS "
-            "value_cents, COUNT(*) AS n_events FROM events GROUP BY 1",
+            "SELECT event_type, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
+            "AS BIGINT) AS value_cents, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1",
         "docs_dedup_exact":
             "WITH keep AS (SELECT MIN(doc_id) AS keep_id FROM documents "
             "GROUP BY text) "
@@ -130,9 +133,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN keep ON d.doc_id = keep.keep_id GROUP BY 1",
         "docs_token_stats":
             "SELECT lang, "
-            "SUM(CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT)) "
-            "AS n_tokens, "
-            "SUM(CAST(length(text) AS BIGINT)) AS n_chars, "
+            "CAST(SUM(CAST(length(regexp_split_to_array(text, '\\s+')) "
+            "AS BIGINT)) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars, "
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
         "docs_charset_jaccard":
@@ -175,12 +178,14 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY 1 ORDER BY n_points DESC, cellid ASC LIMIT 20",
         "events_hourly":
             "SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, "
-            "SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2",
         "orders_lineitem_revenue":
             "WITH rev AS (SELECT l_orderkey, "
-            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
-            "CAST(round((1 - l_discount) * 100) AS BIGINT)) AS revenue_e4 "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e4 "
             "FROM lineitem GROUP BY 1) "
             "SELECT r.l_orderkey, o.o_orderpriority, r.revenue_e4 "
             "FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey "

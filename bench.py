@@ -43,28 +43,43 @@ def run_suite(num_cpus: int) -> dict:
     n_images = n_images_for_sf(sf)
 
     from dggsray.pipelines.flagship import flagship_pipeline
-    t0 = time.time()
-    n = flagship_pipeline(sf=sf, verify=True).count()
-    flagship_s = time.time() - t0
+
+    def timed(fn, attempts: int = 2):
+        """Run fn to completion, retrying once so a transient Ray fault cannot
+        zero the whole bench (round-1 lesson: one raylet abort -> rc=1, no
+        numbers recorded)."""
+        import ray.data as rd
+        last = None
+        for _ in range(attempts):
+            t0 = time.time()
+            try:
+                res = fn()
+                if isinstance(res, rd.Dataset):
+                    res = res.count()
+                return time.time() - t0, res
+            except Exception as e:          # noqa: BLE001 — bench must survive
+                last = e
+        return None, last
+
+    flagship_s, n = timed(lambda: flagship_pipeline(sf=sf, verify=True))
+    if flagship_s is None:
+        raise RuntimeError(f"flagship failed twice: {n}")
     assert n >= n_images * 0.99, f"flagship produced {n} rows for {n_images} images"
 
     import __ray_entry__ as E
     queries = {"flagship_cell_join": round(flagship_s, 3)}
+    errors = {}
     for name, fn in E.queries().items():
         if name == "flagship_cell_join":
             continue
-        t0 = time.time()
-        res = fn(SF_DIR)
-        try:
-            import ray.data as rd
-            if isinstance(res, rd.Dataset):
-                res.count()
-        except Exception:
-            pass
-        queries[name] = round(time.time() - t0, 3)
+        dt, res = timed(lambda: fn(SF_DIR))
+        if dt is None:
+            errors[name] = repr(res)
+        else:
+            queries[name] = round(dt, 3)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "end-to-end raster+vector->DGGS cell-join (flagship) wall time",
         "value": round(flagship_s, 3),
         "unit": "sec",
@@ -74,6 +89,9 @@ def run_suite(num_cpus: int) -> dict:
         "n_images": n_images,
         "images_per_sec": round(n_images / flagship_s, 1),
     }
+    if errors:
+        out["query_errors"] = errors
+    return out
 
 
 def run_scaling(epochs: int = 4):

@@ -151,12 +151,12 @@ def _flagged(ds, cell_col, flag):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-def area_setop(ds_a, ds_b, op: str, res: int, grid: GridConfig = DEFAULT_GRID,
-               cell_col: str = "cellid"):
-    """union / intersection / difference of two cell areas, computed at a common
-    resolution via descendant expansion + one groupby with presence flags
-    (SURVEY.md section 2.8: absent as reference operators, representable over
-    CUID sets via rhpxutils.py:85-107 expansion)."""
+def area_setop_flags(ds_a, ds_b, res: int, grid: GridConfig = DEFAULT_GRID,
+                     cell_col: str = "cellid"):
+    """One shared pass for ALL set operations: per-cell (in_a, in_b) presence
+    flags at the common resolution.  Union/intersection/difference (and their
+    cardinalities) are cheap filters/aggregates over this single grouped result
+    — computing them does NOT re-expand or re-shuffle the inputs."""
     from ray.data.aggregate import Max
 
     a = _flagged(expand_to_resolution(ds_a, res, grid, cell_col), cell_col, 1)
@@ -164,14 +164,26 @@ def area_setop(ds_a, ds_b, op: str, res: int, grid: GridConfig = DEFAULT_GRID,
     both = a.union(b)
 
     def indicators(t: pa.Table) -> pa.Table:
+        # per-batch partial: collapse duplicate cells before the shuffle
         src = t.column("_src").to_numpy()
-        return pa.table({cell_col: t.column(cell_col),
+        part = pa.table({cell_col: t.column(cell_col),
                          "_a": pa.array((src == 1).astype(np.int8)),
                          "_b": pa.array((src == 2).astype(np.int8))})
+        g = part.group_by(cell_col).aggregate([("_a", "max"), ("_b", "max")])
+        return g.rename_columns([cell_col, "_a", "_b"])
 
-    agg = both.map_batches(indicators, batch_format="pyarrow") \
+    return both.map_batches(indicators, batch_format="pyarrow") \
         .groupby(cell_col).aggregate(Max("_a", alias_name="in_a"),
                                      Max("_b", alias_name="in_b"))
+
+
+def area_setop(ds_a, ds_b, op: str, res: int, grid: GridConfig = DEFAULT_GRID,
+               cell_col: str = "cellid"):
+    """union / intersection / difference of two cell areas, computed at a common
+    resolution via descendant expansion + one groupby with presence flags
+    (SURVEY.md section 2.8: absent as reference operators, representable over
+    CUID sets via rhpxutils.py:85-107 expansion)."""
+    agg = area_setop_flags(ds_a, ds_b, res, grid, cell_col)
 
     if op == "union":
         expr = "in_a == 1 or in_b == 1"

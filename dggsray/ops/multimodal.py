@@ -138,10 +138,11 @@ def resize_images(ds, out_w: int, out_h: int, out_fmt: str = "raw",
     return ds.map_batches(ImageResize, fn_constructor_kwargs={
         "out_w": out_w, "out_h": out_h, "out_fmt": out_fmt},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or _default_pool())
+        concurrency=concurrency or _default_pool(), max_restarts=0)
 
 
 def image_features(ds, concurrency=None, batch_size=None):
     return ds.map_batches(ImageFeatures, batch_format="pyarrow",
                           batch_size=batch_size,
-                          concurrency=concurrency or _default_pool())
+                          concurrency=concurrency or _default_pool(),
+                          max_restarts=0)

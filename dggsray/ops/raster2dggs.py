@@ -369,4 +369,5 @@ def images_to_cells(ds, dst_resolution_idx: int, grid: GridConfig = DEFAULT_GRID
     projection tables live per actor)."""
     return ds.map_batches(ImageToCells, fn_constructor_kwargs={
         "dst_resolution_idx": dst_resolution_idx, "grid": grid, "verify": verify},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        max_restarts=0)

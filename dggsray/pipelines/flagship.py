@@ -101,15 +101,23 @@ class ImageCellJoinAgg(ImageToCells):
 
     def __init__(self, poly_ref, **kw):
         super().__init__(**kw)
-        import ray
-        if isinstance(poly_ref, pa.Table):
+        # NOTE: poly_ref must NOT be a raw ray.ObjectRef when this class is used
+        # as an actor-pool constructor arg — Ray's actor-restart path cannot
+        # re-resolve ObjectRefs in constructor args (ray#53727) and the round-1
+        # driver bench died on exactly that raylet abort.  The vector-side index
+        # is tiny (thousands of rows), so it is passed BY VALUE (tuple of numpy
+        # arrays) and serialized once with the actor creation task.
+        if isinstance(poly_ref, tuple):
+            # pre-sorted (cells, values) arrays from vector_cells_sorted
+            self.poly_cells, self.poly_vals = poly_ref
+        elif isinstance(poly_ref, pa.Table):
             cells = poly_ref.column("cellid").to_numpy(zero_copy_only=False)
             vals = poly_ref.column("value").to_numpy()
             order = np.argsort(cells)
             self.poly_cells, self.poly_vals = cells[order], \
                 vals[order].astype(np.int64)
         else:
-            # pre-sorted (cells, values) arrays from vector_cells_sorted
+            import ray
             obj = ray.get(poly_ref)
             if isinstance(obj, tuple):
                 self.poly_cells, self.poly_vals = obj
@@ -165,16 +173,15 @@ def flagship_resumable(sf: float, out_dir: str, res: int = FLAGSHIP_RES,
     partitions; each writes its own output + lineage record and is skipped on
     resume (io.lineage).  Returns (n_computed, n_skipped)."""
     import glob
-    import ray
 
     from ..io.lineage import run_resumable
 
     path = ensure_image_table(sf)
     files = sorted(glob.glob(f"{path}/*.parquet"))
-    poly_ref = ray.put(vector_cells_table(res, grid))
 
     shard_by_rows = len(files) < (n_parts or len(files))
-    op = ImageCellJoinAgg(poly_ref=poly_ref, dst_resolution_idx=res, grid=grid)
+    op = ImageCellJoinAgg(poly_ref=vector_cells_sorted(res, grid),
+                          dst_resolution_idx=res, grid=grid)
 
     def make(part_files, part, nparts):
         import ray.data as rd
@@ -224,12 +231,15 @@ def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
         concurrency = max(2, (int(ray.cluster_resources().get("CPU", 8)) * 5) // 8)
     blocks = int(min(max(32, n_images // 1250), 4096))
     imgs = rd.read_parquet(path, override_num_blocks=blocks)
-    poly_ref = ray.put(vector_cells_sorted(res, grid))
+    # by-value broadcast (small): avoids the ObjectRef-in-constructor actor
+    # restart defect (ray#53727) that crashed the round-1 driver bench
+    poly_idx = vector_cells_sorted(res, grid)
     return imgs.map_batches(
         ImageCellJoinAgg,
-        fn_constructor_kwargs={"poly_ref": poly_ref, "dst_resolution_idx": res,
+        fn_constructor_kwargs={"poly_ref": poly_idx, "dst_resolution_idx": res,
                                "grid": grid, "verify": verify},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        max_restarts=0)
 
 
 def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
@@ -248,9 +258,10 @@ def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
     ds = rd.read_parquet(path, override_num_blocks=blocks)
     for _ in range(epochs - 1):
         ds = ds.union(rd.read_parquet(path, override_num_blocks=blocks))
-    poly_ref = ray.put(vector_cells_sorted(res, grid))
+    poly_idx = vector_cells_sorted(res, grid)
     return ds.map_batches(
         ImageCellJoinAgg,
-        fn_constructor_kwargs={"poly_ref": poly_ref, "dst_resolution_idx": res,
+        fn_constructor_kwargs={"poly_ref": poly_idx, "dst_resolution_idx": res,
                                "grid": grid, "verify": verify},
-        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=None, concurrency=concurrency,
+        max_restarts=0)

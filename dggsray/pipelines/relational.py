@@ -186,8 +186,9 @@ def top_orders(sf_dir: str, k: int = 25):
         return pa.table({"o_orderkey": b.column("o_orderkey"),
                          "price_cents": pa.array(c, pa.int64())})
 
-    return ds.map_batches(cents, batch_format="pyarrow") \
-             .sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(k)
+    from ..ops.topk import partial_topk
+    return partial_topk(ds.map_batches(cents, batch_format="pyarrow"),
+                        ["price_cents", "o_orderkey"], [True, False], k)
 
 
 def events_by_type(sf_dir: str):
@@ -257,8 +258,6 @@ def ann_cosine_top10(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k against a fixed deterministic query vector:
     numpy matmul per batch (the baseline ANN of the training-data operator set).
     Output scores quantized to int64 micro-units for oracle equality."""
-    import ray.data as rd
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def scores(b: pa.Table) -> pa.Table:
@@ -273,8 +272,9 @@ def ann_cosine_top10(sf_dir: str, k: int = 10):
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "cos_micro": pa.array(micro, pa.int64())})
 
-    return ds.map_batches(scores, batch_format="pyarrow") \
-             .sort(["cos_micro", "vec_id"], descending=[True, False]).limit(k)
+    from ..ops.topk import partial_topk
+    return partial_topk(ds.map_batches(scores, batch_format="pyarrow"),
+                        ["cos_micro", "vec_id"], [True, False], k)
 
 
 # --- dedup / text-analysis / similarity queries ----------------------------
@@ -443,9 +443,10 @@ def images_verify_invariant(sf_dir: str):
 
 def cell_setops_customer_orders(sf_dir: str, res: int = 3):
     """Area set algebra between the customer cell set and the orders cell set at
-    one resolution: per-cell membership flags + the three set-op cardinalities,
-    oracle-checkable via SQL set operators."""
-    from ..ops.cellsets import area_setop
+    one resolution: ONE shared flags pass (per-cell in_a/in_b groupby), then all
+    three cardinalities from a single grouped count — the inputs are encoded,
+    expanded and shuffled exactly once, not once per set operator."""
+    from ..ops.cellsets import area_setop_flags
 
     cust = _read(sf_dir, "customer", ["c_custkey"]) \
         .map_batches(lambda b: _with_cells(b, "c_custkey", res),
@@ -454,11 +455,20 @@ def cell_setops_customer_orders(sf_dir: str, res: int = 3):
         .map_batches(lambda b: _with_cells(b, "o_orderkey", res),
                      batch_format="pyarrow").select_columns(["cellid"])
     import pandas as pd
-    u = area_setop(cust, orders, "union", res).count()
-    i = area_setop(cust, orders, "intersection", res).count()
-    d = area_setop(cust, orders, "difference", res).count()
-    return pd.DataFrame({"n_union": [u], "n_intersection": [i],
-                         "n_difference": [d]})
+    flags = area_setop_flags(cust, orders, res)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        a = b.column("in_a").to_numpy().astype(bool)
+        bb = b.column("in_b").to_numpy().astype(bool)
+        return pa.table({"_u": pa.array([int((a | bb).sum())], pa.int64()),
+                         "_i": pa.array([int((a & bb).sum())], pa.int64()),
+                         "_d": pa.array([int((a & ~bb).sum())], pa.int64())})
+
+    tot = flags.map_batches(partial_counts, batch_format="pyarrow") \
+        .sum(["_u", "_i", "_d"])
+    return pd.DataFrame({"n_union": [int(tot["sum(_u)"])],
+                         "n_intersection": [int(tot["sum(_i)"])],
+                         "n_difference": [int(tot["sum(_d)"])]})
 
 
 def cell_topk_densest(sf_dir: str, res: int = 4, k: int = 20):
@@ -473,9 +483,10 @@ def cell_topk_densest(sf_dir: str, res: int = 4, k: int = 20):
         g = b.select(["cellid"]).group_by("cellid").aggregate([([], "count_all")])
         return g.rename_columns(["cellid", "_p"])
 
+    from ..ops.topk import partial_topk
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("cellid").aggregate(Sum("_p", alias_name="n_points"))
-    return agg.sort(["n_points", "cellid"], descending=[True, False]).limit(k)
+    return partial_topk(agg, ["n_points", "cellid"], [True, False], k)
 
 
 def events_hourly(sf_dir: str):
@@ -520,8 +531,19 @@ def orders_lineitem_revenue(sf_dir: str, k: int = 50):
     rev = li.map_batches(partial, batch_format="pyarrow") \
         .groupby("l_orderkey").aggregate(Sum("_r", alias_name="revenue_e4"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = rev.join(orders, join_type="inner", on=("l_orderkey",),
-                      right_on=("o_orderkey",), num_partitions=8)
-    out = joined.select_columns(["l_orderkey", "o_orderpriority", "revenue_e4"])
-    return out.sort(["revenue_e4", "l_orderkey"],
-                    descending=[True, False]).limit(k)
+    from ..ops.topk import partial_topk
+    # top-k the (l_orderkey, revenue) aggregate BEFORE touching orders: the k
+    # winners (tiny) become a broadcast is_in filter over the orders scan, so
+    # neither side is ever hash-shuffled and there is no global sort
+    top = partial_topk(rev, ["revenue_e4", "l_orderkey"], [True, False], k) \
+        .to_pandas()        # k rows — driver-safe at any input size
+    keyset = pa.array(top["l_orderkey"].to_numpy(), pa.int64())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    matched = orders.map_batches(
+        lambda b: b.filter(pc.is_in(pc.cast(b.column("o_orderkey"), pa.int64()),
+                                    value_set=keyset)),
+        batch_format="pyarrow").to_pandas()    # <= k rows
+    out = top.merge(matched, left_on="l_orderkey", right_on="o_orderkey")
+    out = out[["l_orderkey", "o_orderpriority", "revenue_e4"]]
+    return out.sort_values(["revenue_e4", "l_orderkey"],
+                           ascending=[False, True]).reset_index(drop=True)
