@@ -79,6 +79,43 @@ def _ann_sql(dim: int = 64) -> str:
             f"ORDER BY cos_micro DESC, vec_id ASC LIMIT 10")
 
 
+def _knn_sql(k: int = 15, res: int = 6) -> str:
+    """Mirror of relational.knn_cells_customer: LCP prefix selection + exact
+    planar centroid distance.  The query cell and its centroid are Python-side
+    literals (closed-form, no Ray needed); centroid arithmetic in SQL matches
+    the engine's float op order bit-for-bit (oracle.centroid_xy_sql)."""
+    import numpy as np
+
+    from dggsray.core.rhpx import DEFAULT_GRID, cell_centroid, cells_from_lonlat
+    from dggsray.oracle import centroid_xy_sql
+    from dggsray.pipelines.relational import derived_lonlat
+
+    qlon, qlat = derived_lonlat(np.array([1]))
+    qcell = cells_from_lonlat(res, qlon, qlat, DEFAULT_GRID)[0]
+    qx, qy = cell_centroid([qcell], DEFAULT_GRID)
+    qx, qy = float(qx[0]), float(qy[0])
+    lon, lat = lonlat_sql("c_custkey")
+    cell = cellid_sql(lon, lat, res)
+    qlen = len(qcell)
+    m_cases = " ".join(
+        f"WHEN substr(cellid,1,{p}) = '{qcell[:p]}' THEN {p}"
+        for p in range(qlen, 0, -1))
+    x, y = centroid_xy_sql("cellid", res)
+    return (
+        f"WITH pts AS (SELECT c_custkey, {cell} AS cellid FROM customer), "
+        f"lcp AS (SELECT c_custkey, cellid, "
+        f"(CASE {m_cases} ELSE 0 END) AS m FROM pts), "
+        f"hist AS (SELECT m, COUNT(*) AS c FROM lcp GROUP BY m), "
+        f"cum AS (SELECT p.p AS p, (SELECT COALESCE(SUM(c), 0) FROM hist "
+        f"WHERE m >= p.p) AS n FROM (SELECT unnest(range(1, {qlen + 1})) AS p) p), "
+        f"pstar AS (SELECT COALESCE(MAX(p), 1) AS p FROM cum WHERE n >= {k}), "
+        f"cand AS (SELECT c_custkey, cellid, "
+        f"sqrt(({x} - {qx!r}) * ({x} - {qx!r}) + ({y} - {qy!r}) * ({y} - {qy!r})) "
+        f"AS dist FROM lcp WHERE m >= (SELECT p FROM pstar)) "
+        f"SELECT c_custkey, cellid, CAST(round(dist) AS BIGINT) AS dist_m_int "
+        f"FROM cand ORDER BY dist, cellid, c_custkey LIMIT {k}")
+
+
 def oracle_sql() -> dict[str, str]:
     lon_c, lat_c = lonlat_sql("c_custkey")
     lon_o, lat_o = lonlat_sql("o_orderkey")
@@ -138,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars, "
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
+        "knn_cells_customer": _knn_sql(),
         "docs_charset_jaccard":
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(round(jaccard(a.text, b.text) * 1000000) AS BIGINT) AS "
@@ -192,6 +230,5 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 50",
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
         # docs_minhash_dedup, docs_simhash_clusters, docs_lang_id, embed_lsh_top20,
-        # auid_customer_region, knn_cells_customer, images_features,
-        # flagship_cell_join
+        # auid_customer_region, images_features, flagship_cell_join
     }

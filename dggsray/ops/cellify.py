@@ -100,6 +100,9 @@ def regrid_majority(ds, value_col: str, res: int | None = None,
                .groupby([cell_col, value_col]) \
                .aggregate(Sum("_pcnt", alias_name="_cnt"))
 
+    if pa.types.is_integer(ds.schema().field(value_col).type):
+        return _argmax_by_score(counts, cell_col, value_col, out_col)
+
     def pick(b: pa.Table) -> pa.Table:
         # per-cell argmax: sort by (cell, cnt desc, value asc), keep first per cell
         idx = pc.sort_indices(b, sort_keys=[(cell_col, "ascending"),
@@ -114,9 +117,43 @@ def regrid_majority(ds, value_col: str, res: int | None = None,
                          out_col: out.column(value_col),
                          "n": out.column("_cnt")})
 
-    # the groupby already hash-partitioned by (cell,value); cells can still straddle
-    # blocks, so do the argmax per cell group via a second keyed pass
+    # non-integer values: per-cell-group argmax (one Python call per cell —
+    # acceptable only off the hot path; integer values take the native route)
     return counts.groupby(cell_col).map_groups(pick, batch_format="pyarrow")
+
+
+_MAJ_K = 1 << 21     # value universe for the packed argmax score
+
+
+def _argmax_by_score(counts, cell_col: str, value_col: str, out_col: str):
+    """Per-cell argmax(cnt desc, value asc) as ONE native vectorized Max:
+    score = cnt * K + (K-1-value) packs the comparison into a single int64, so
+    the final reduction is Ray's built-in Max — no per-group Python call even
+    with millions of distinct cells.  Requires 0 <= value < K=2^21 (class ids /
+    nation keys / burn values all qualify) and per-(cell,value) counts < 2^42."""
+    from ray.data.aggregate import Max
+
+    def encode(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy().astype(np.int64)
+        if v.size and (v.min() < 0 or v.max() >= _MAJ_K):
+            raise ValueError(
+                f"majority value out of [0, {_MAJ_K}): packed-score argmax "
+                f"needs bounded non-negative integer values")
+        cnt = b.column("_cnt").to_numpy().astype(np.int64)
+        score = cnt * _MAJ_K + (_MAJ_K - 1 - v)
+        return pa.table({cell_col: b.column(cell_col),
+                         "_score": pa.array(score)})
+
+    best = counts.map_batches(encode, batch_format="pyarrow") \
+        .groupby(cell_col).aggregate(Max("_score", alias_name="_score"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        s = b.column("_score").to_numpy()
+        return pa.table({cell_col: b.column(cell_col),
+                         out_col: pa.array(_MAJ_K - 1 - (s % _MAJ_K)),
+                         "n": pa.array(s // _MAJ_K)})
+
+    return best.map_batches(decode, batch_format="pyarrow")
 
 
 def count_cells_per_value(ds, value_col: str, cell_col: str = "cellid"):

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.auid import optimize_cuids
-from ..core.cells import explode_to_children, truncate_to_resolution
+from ..core.cells import explode_to_children
 from ..core.rhpx import DEFAULT_GRID, GridConfig
 
 
@@ -28,95 +28,55 @@ def _distinct_cells(ds, cell_col: str):
 
 
 def distributed_optimize(ds, n_side: int, cell_col: str = "cellid",
-                         max_levels: int | None = None) -> list[str]:
+                         prefix_depth: int = 2) -> list[str]:
     """Compact a (possibly huge, possibly duplicated) cell-id Dataset to the
-    area-equivalent minimal CUID list.
+    area-equivalent minimal CUID list — semantics identical to
+    core.auid.optimize_cuids (equivalence-tested, incl. the terminal-parent
+    guard for duplicate-area inputs).
 
-    Level loop (deepest -> 1), all Dataset ops:
-      leaves_L   = distinct cells of length L with no deeper descendant and no
-                   present ancestor (terminal-parent guard)
-      complete   = groupby(parent) count == n_side^2 over leaves_L
-      collapse   = drop those children, add their parents
-    The final (small) set gets one exact driver-side optimize pass, which also
-    resolves duplicate-area corner cases across distant levels."""
-    import ray.data as rd
-
-    k = n_side * n_side
+    Design (one shuffle, no driver materialization of the input):
+      1. distinct cells (grouped count);
+      2. cells deeper than `prefix_depth` are grouped by their depth-B prefix —
+         sibling collapses NEVER cross a subtree boundary except by producing
+         the prefix cell itself, so the exact trie optimizer runs independently
+         per subtree (groupby + map_groups);
+      3. a final exact driver pass over (per-subtree residues + the shallow
+         cells, both small: residues are >=9x compacted or tiny, shallow is
+         bounded by sum_{d<=B} 6*k^d) resolves cross-subtree collapses.
+    The terminal-parent guard at the boundary is preserved by injecting the
+    group's own prefix into the subtree optimize when it is itself present.
+    The returned list is driver-side by contract (it feeds AUID generation),
+    but only the final compacted residue ever reaches the driver."""
+    B = prefix_depth
     distinct = _distinct_cells(ds, cell_col)
-    pdf = distinct.to_pandas()  # after the FIRST distinct the set may still be
-    # large; keep it as a Dataset and loop, only materializing level summaries
-    cells_ds = rd.from_arrow(pa.table({cell_col: pa.array(pdf[cell_col],
-                                                          pa.string())}))
-    del pdf
 
-    lens = cells_ds.map_batches(
-        lambda b: pa.table({"len": pc.utf8_length(b.column(cell_col))}),
-        batch_format="pyarrow")
-    max_len = int(lens.max("len"))
-    levels = range(max_len, 1, -1) if max_levels is None else \
-        range(max_len, max(1, max_len - max_levels), -1)
+    def tag(b: pa.Table) -> pa.Table:
+        arr = b.column(cell_col)
+        return pa.table({cell_col: arr,
+                         "_len": pc.utf8_length(arr),
+                         "_prefix": pc.utf8_slice_codeunits(arr, 0, B + 1)})
 
-    for L in levels:
-        # parents that are themselves present (terminal guard) and prefixes of
-        # deeper cells (non-leaf guard), collected as (small) driver sets
-        def lengths_split(b: pa.Table, L=L):
-            ln = pc.utf8_length(b.column(cell_col))
-            return b.append_column("_len", ln)
+    tagged = distinct.map_batches(tag, batch_format="pyarrow")
+    shallow = set()
+    for batch in tagged.filter(expr=f"_len <= {B + 1}") \
+            .iter_batches(batch_format="pyarrow"):
+        shallow.update(batch.column(cell_col).to_pylist())
+    shallow_set = frozenset(shallow)
 
-        tagged = cells_ds.map_batches(lengths_split, batch_format="pyarrow")
-        at_level = tagged.filter(expr=f"_len == {L}")
-        deeper = tagged.filter(expr=f"_len > {L}")
-        shallower_set = set()
-        for batch in tagged.filter(expr=f"_len < {L}") \
-                .iter_batches(batch_format="pyarrow"):
-            shallower_set.update(batch.column(cell_col).to_pylist())
-        deeper_prefixes = set()
-        for batch in deeper.iter_batches(batch_format="pyarrow"):
-            arr = batch.column(cell_col).to_numpy(zero_copy_only=False)
-            deeper_prefixes.update(np.unique(
-                truncate_to_resolution(arr, L - 1)))
-        # complete sibling groups among leaves at level L
-        def parentify(b: pa.Table, L=L):
-            arr = b.column(cell_col).to_numpy(zero_copy_only=False)
-            parents = truncate_to_resolution(arr, L - 2)
-            return pa.table({cell_col: b.column(cell_col),
-                             "_parent": pa.array(parents, pa.string())})
+    def group_opt(g: pa.Table) -> pa.Table:
+        cells = g.column(cell_col).to_pylist()
+        prefix = cells[0][:B + 1]
+        if prefix in shallow_set:
+            cells.append(prefix)      # boundary terminal guard
+        res = optimize_cuids(sorted(cells), n_side)
+        return pa.table({cell_col: pa.array(res, pa.string())})
 
-        from ray.data.aggregate import Count
-        leaves = at_level.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(
-                b.column(cell_col),
-                value_set=pa.array(sorted(deeper_prefixes), pa.string())))),
-            batch_format="pyarrow") if deeper_prefixes else at_level
-        withp = leaves.map_batches(parentify, batch_format="pyarrow")
-        counts = withp.groupby("_parent").aggregate(Count(alias_name="_n")) \
-            .to_pandas()
-        if counts.empty:
-            continue
-        complete = {p for p, n in zip(counts["_parent"], counts["_n"])
-                    if n == k and p not in shallower_set}
-        if not complete:
-            continue
-        comp_np = np.array(sorted(complete), dtype="U")
-
-        def collapse(b: pa.Table, L=L, comp_np=comp_np):
-            arr = np.asarray(b.column(cell_col).to_numpy(zero_copy_only=False),
-                             dtype="U")
-            if arr.size == 0:
-                return pa.table({cell_col: pa.array([], pa.string())})
-            ln = np.char.str_len(arr)
-            parents = truncate_to_resolution(arr, L - 2)
-            drop = (ln == L) & np.isin(parents, comp_np)
-            return pa.table({cell_col: pa.array(arr[~drop], pa.string())})
-
-        kept = cells_ds.map_batches(collapse, batch_format="pyarrow")
-        new_parents = rd.from_arrow(
-            pa.table({cell_col: pa.array(comp_np, pa.string())}))
-        cells_ds = kept.union(new_parents)
-
-    residue = sorted(set(cells_ds.to_pandas()[cell_col]))
-    # exact driver pass on the (now small) residue
-    return optimize_cuids(residue, n_side)
+    residues = tagged.filter(expr=f"_len > {B + 1}") \
+        .groupby("_prefix").map_groups(group_opt, batch_format="pyarrow")
+    final = set()
+    for batch in residues.iter_batches(batch_format="pyarrow"):
+        final.update(batch.column(cell_col).to_pylist())
+    return optimize_cuids(sorted(final | shallow_set), n_side)
 
 
 def expand_to_resolution(ds, res: int, grid: GridConfig = DEFAULT_GRID,

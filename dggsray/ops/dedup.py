@@ -165,17 +165,32 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+def charset_bitmap_table(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Distributed build of the per-doc charset bitmaps: (id, b0..b3) — 40 bytes
+    per document regardless of text length.  The texts themselves never leave
+    their read tasks."""
+    def kernel(bt: pa.Table) -> pa.Table:
+        bm = charset_bitmaps(bt.column(text_col).to_pylist())
+        return pa.table({id_col: bt.column(id_col),
+                         "b0": pa.array(bm[:, 0]), "b1": pa.array(bm[:, 1]),
+                         "b2": pa.array(bm[:, 2]), "b3": pa.array(bm[:, 3])})
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def charset_jaccard_pairs(ds, threshold: float, text_col: str = "text",
                           id_col: str = "doc_id"):
     """All pairs with character-set Jaccard >= threshold (the DuckDB jaccard()
-    definition: |chars(a) n chars(b)| / |chars(a) u chars(b)|), computed as a
-    blocked all-pairs scan: bitmaps for the whole (small) corpus are broadcast,
-    each task compares its block against everything with popcount kernels."""
+    definition: |chars(a) n chars(b)| / |chars(a) u chars(b)|).  The oracle
+    semantics are inherently all-pairs, but the broadcast side is the DISTRIBUTED
+    bitmap aggregate (40 B/doc — 4 GB per 100 G docs), never the corpus text:
+    each task compares its block's bitmaps against the broadcast matrix with
+    popcount kernels."""
     import ray
 
-    small = ds.select_columns([id_col, text_col]).to_pandas()
-    bitmaps = charset_bitmaps(list(small[text_col]))
-    all_ids = small[id_col].to_numpy()
+    bm_tbl = charset_bitmap_table(ds, text_col, id_col).to_pandas()
+    bitmaps = np.stack([bm_tbl[c].to_numpy() for c in
+                        ("b0", "b1", "b2", "b3")], axis=1)
+    all_ids = bm_tbl[id_col].to_numpy()
     bref = ray.put((bitmaps, all_ids))
 
     def kernel(bt: pa.Table) -> pa.Table:
@@ -212,42 +227,69 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 128, bands: int = 32,
                   shingle_k: int = 3, unit: str = "word"):
     """Full MinHash+LSH near-dup pipeline: signatures -> band buckets -> candidate
-    pairs -> exact n-gram Jaccard verification (broadcast text lookup) -> rows
-    (id_a, id_b, jaccard_micro) with true Jaccard >= threshold."""
-    import ray
+    pairs -> exact n-gram Jaccard verification -> rows (id_a, id_b,
+    jaccard_micro) with true Jaccard >= threshold.
 
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, unit)
+    NOTHING is materialized on the driver: the candidate pairs are joined back
+    to (doc_id, text, sig) payload rows with two hash joins (on id_a, then
+    id_b), so the verify stage streams (pair, text_a, text_b) batches.  The
+    shuffles move candidate-pair payload rows only — a vanishing fraction of the
+    corpus when the LSH bands are selective (their whole point)."""
+    def payload(bt: pa.Table) -> pa.Table:
+        texts = [t.encode("utf-8", "ignore")
+                 for t in bt.column(text_col).to_pylist()]
+        sig = minhash_batch(texts, num_perm, shingle_k, unit)
+        # signatures ride as fixed-width binary (num_perm*8 bytes): Acero hash
+        # joins reject list<> payload columns but pass binary through
+        return pa.table({id_col: bt.column(id_col),
+                         "text": bt.column(text_col),
+                         "sig": pa.array([s.tobytes() for s in sig],
+                                         pa.binary())})
+
+    pay = ds.map_batches(payload, batch_format="pyarrow")
+    sigs = pay.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            "sig": pa.array(
+                                [np.frombuffer(s, dtype=np.uint64)
+                                 for s in b.column("sig").to_pylist()],
+                                pa.list_(pa.uint64()))}),
+        batch_format="pyarrow")
     cand = lsh_candidate_pairs(lsh_band_buckets(sigs, id_col, bands, num_perm),
-                               id_col)
-    small = ds.select_columns([id_col, text_col]).to_pandas()
-    texts = dict(zip(small[id_col], small[text_col]))
-    sp = sigs.to_pandas()
-    sig_ids = sp[id_col].to_numpy()
-    sig_mat = np.stack(sp["sig"].to_numpy())
-    sig_index = {int(i): k for k, i in enumerate(sig_ids)}
-    tref = ray.put((texts, sig_mat, sig_index))
+                               id_col).drop_columns(["truncated"])
+    pay_a = pay.rename_columns(["id_a", "text_a", "sig_a"])
+    pay_b = pay.rename_columns(["id_b", "text_b", "sig_b"])
+    joined = cand.join(pay_a, join_type="inner", on=("id_a",),
+                       num_partitions=8) \
+                 .join(pay_b, join_type="inner", on=("id_b",),
+                       num_partitions=8)
 
     def verify(bt: pa.Table) -> pa.Table:
-        tmap, sm, sidx = ray.get(tref)
         ia = bt.column("id_a").to_numpy()
         ib = bt.column("id_b").to_numpy()
+        if ia.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard_micro": pa.array([], pa.int64())})
+        sa = np.stack([np.frombuffer(s, dtype=np.uint64)
+                       for s in bt.column("sig_a").to_pylist()])
+        sb = np.stack([np.frombuffer(s, dtype=np.uint64)
+                       for s in bt.column("sig_b").to_pylist()])
         # cheap signature-agreement estimate first (vectorized); exact n-gram
         # Jaccard only for pairs whose estimate clears a slack margin
-        ra = np.array([sidx[int(a)] for a in ia])
-        rb = np.array([sidx[int(b)] for b in ib])
-        est = (sm[ra] == sm[rb]).mean(axis=1)
+        est = (sa == sb).mean(axis=1)
         maybe = est >= max(0.0, threshold - 0.15)
         ia, ib = ia[maybe], ib[maybe]
-        jac = np.array([ngram_jaccard(tmap[a].encode(), tmap[b].encode(),
-                                      shingle_k, unit)
-                        for a, b in zip(ia, ib)])
+        ta = np.asarray(bt.column("text_a").to_pylist(), dtype=object)[maybe]
+        tb = np.asarray(bt.column("text_b").to_pylist(), dtype=object)[maybe]
+        jac = np.array([ngram_jaccard(a.encode(), b.encode(), shingle_k, unit)
+                        for a, b in zip(ta, tb)])
         keep = jac >= threshold if jac.size else np.zeros(0, bool)
         return pa.table({"id_a": pa.array(ia[keep], pa.int64()),
                          "id_b": pa.array(ib[keep], pa.int64()),
                          "jaccard_micro": pa.array(
                              np.rint(jac[keep] * 1e6).astype(np.int64))})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_batch(texts: list[bytes], shingle_k: int = 2,
@@ -316,9 +358,11 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
 def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
                             emb_col: str = "embedding"):
-    """Pairs with cosine >= threshold: the full (small) matrix is broadcast, each
-    task does a blocked matmul of its batch against it.  At larger corpus sizes
-    swap the broadcast for the LSH bucketing of ops.similarity."""
+    """EXACT pairs with cosine >= threshold: the full matrix is broadcast, each
+    task does a blocked matmul of its batch against it.  This is the oracle
+    baseline (exact, bit-stable); the 100 TB path is
+    embedding_neardup_lsh below, which buckets by sign-bit bands so no task
+    ever sees the whole matrix."""
     import ray
 
     pdf = ds.select_columns([id_col, emb_col]).to_pandas()
@@ -341,3 +385,68 @@ def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
             "cos_micro": pa.array(np.rint(cos[ii, jj] * 1e6).astype(np.int64))})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh(ds, threshold: float, id_col: str = "vec_id",
+                          emb_col: str = "embedding", n_bits: int = 8,
+                          n_tables: int = 12, max_bucket: int = 4000):
+    """Scale path for embedding near-dup: random-hyperplane sign-bit band
+    buckets (ops.similarity plane construction), exact cosine verify WITHIN each
+    bucket, distinct pairs via a grouped max.
+
+    The shuffle moves (table, key, id, embedding) rows — n_tables copies of the
+    embeddings, hash-bucketed — and every verify task touches only one bucket,
+    so no task ever holds the corpus matrix.  Recall is probabilistic in
+    (n_bits, n_tables); recall >= 1 - (1 - (1-theta/pi)^n_bits)^n_tables per
+    pair at angle theta (tested against the exact operator on the testdata
+    corpus).  Partitioning assumption: a single (table, key) bucket fits in one
+    task's heap — max_bucket caps pathological buckets with an explicit
+    'truncated' flag (no silent caps)."""
+    from ray.data.aggregate import Max
+
+    from .similarity import _bucket_keys, _hyperplanes
+
+    def bandify(bt: pa.Table) -> pa.Table:
+        emb = np.stack(bt.column(emb_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        ids = bt.column(id_col).to_numpy()
+        planes = _hyperplanes(emb.shape[1], n_bits, n_tables)
+        keys = _bucket_keys(emb, planes)          # (n, n_tables)
+        n = ids.size
+        return pa.table({
+            "tbl": pa.array(np.repeat(np.arange(n_tables, dtype=np.int32), n)),
+            "key": pa.array(keys.T.reshape(-1)),
+            id_col: pa.array(np.tile(ids, n_tables)),
+            emb_col: pa.concat_arrays([bt.column(emb_col).combine_chunks()]
+                                      * n_tables)})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy()
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cos_micro": pa.array([], pa.int64()),
+                          "truncated": pa.array([], pa.bool_())})
+        if ids.size < 2:
+            return empty
+        order = np.argsort(ids)
+        trunc = ids.size > max_bucket
+        order = order[:max_bucket]
+        ids = ids[order]
+        emb = np.stack(g.column(emb_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)[order]
+        norms = np.linalg.norm(emb, axis=1)
+        cos = (emb @ emb.T) / np.maximum(norms[:, None] * norms[None, :], 1e-300)
+        ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+        if ia.size == 0:
+            return empty
+        return pa.table({
+            "id_a": pa.array(ids[ia], pa.int64()),
+            "id_b": pa.array(ids[ib], pa.int64()),
+            "cos_micro": pa.array(np.rint(cos[ia, ib] * 1e6).astype(np.int64)),
+            "truncated": pa.array(np.full(ia.size, trunc))})
+
+    cand = ds.map_batches(bandify, batch_format="pyarrow") \
+        .groupby(["tbl", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Max("cos_micro", alias_name="cos_micro"),
+        Max("truncated", alias_name="truncated"))

@@ -74,28 +74,60 @@ def hash_join(left, right, on: str = "cellid", join_type: str = "inner",
 
 
 def knn_cells(ds, query_cellid: str, k: int, key_col: str = "cellid",
-              grid: GridConfig = DEFAULT_GRID):
-    """k rows nearest to query cell: widen the cellid prefix until >=k candidate
-    rows match (prefix range scan — cheap filter pushed into map_batches), then
-    exact planar distance + global top-k.  Assumes uniform-resolution cell rows."""
+              grid: GridConfig = DEFAULT_GRID,
+              tiebreak_cols: list[str] | None = None):
+    """k rows nearest to query cell via index-prefix pruning, in TWO dataset
+    passes total (not one per prefix length):
+
+      1. one scan computes every row's longest-common-prefix length with the
+         query cell and aggregates the (tiny, <= res+1 row) LCP histogram;
+      2. the deepest prefix length with >= k cumulative rows selects the
+         candidate region; one filtered scan computes exact planar distances
+         and a partial top-k (ops.topk — no global sort).
+
+    Distances use sqrt(dx^2+dy^2) (not np.hypot) so a SQL oracle computing the
+    same expression agrees to the last ulp.  Ties are broken on tiebreak_cols
+    (default: the cell column) for deterministic output."""
     qx, qy = cell_centroid([query_cellid], grid)
     qx, qy = float(qx[0]), float(qy[0])
+    qlen = len(query_cellid)
 
-    for plen in range(len(query_cellid), 0, -1):
-        prefix = query_cellid[:plen]
+    def lcp_hist(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        m = np.zeros(batch.num_rows, dtype=np.int32)
+        for p in range(1, qlen + 1):
+            hit = pc.equal(pc.utf8_slice_codeunits(col, 0, p),
+                           query_cellid[:p]).to_numpy(zero_copy_only=False)
+            m = np.where(hit, p, m)
+            if not hit.any():
+                break
+        lv, cnt = np.unique(m, return_counts=True)
+        return pa.table({"lcp": pa.array(lv.astype(np.int64), pa.int64()),
+                         "_c": pa.array(cnt.astype(np.int64))})
 
-        def scan(batch: pa.Table, prefix=prefix) -> pa.Table:
-            mask = pc.starts_with(batch.column(key_col), pattern=prefix)
-            return batch.filter(mask)
+    from ray.data.aggregate import Sum
+    hist = ds.map_batches(lcp_hist, batch_format="pyarrow") \
+        .groupby("lcp").aggregate(Sum("_c", alias_name="n")).to_pandas()
+    counts = dict(zip(hist["lcp"], hist["n"]))
+    plen = 1
+    cum = 0
+    for p in range(qlen, 0, -1):
+        cum += int(counts.get(p, 0))
+        if cum >= k:
+            plen = p
+            break
+    prefix = query_cellid[:plen]
 
-        cand = ds.map_batches(scan, batch_format="pyarrow")
-        n = cand.count()
-        if n >= k or plen == 1:
-            def dist(batch: pa.Table) -> pa.Table:
-                cells = batch.column(key_col).to_numpy(zero_copy_only=False)
-                cx, cy = cell_centroid(cells, grid)
-                d = np.hypot(cx - qx, cy - qy)
-                return batch.append_column("dist_m", pa.array(d))
-            return cand.map_batches(dist, batch_format="pyarrow") \
-                       .sort("dist_m").limit(k)
-    raise RuntimeError("unreachable")
+    def dist(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.starts_with(batch.column(key_col),
+                                            pattern=prefix))
+        cells = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cx, cy = cell_centroid(cells, grid)
+        d = np.sqrt((cx - qx) ** 2 + (cy - qy) ** 2)
+        return batch.append_column("dist_m", pa.array(d))
+
+    from .topk import partial_topk
+    ties = tiebreak_cols if tiebreak_cols is not None else [key_col]
+    cand = ds.map_batches(dist, batch_format="pyarrow")
+    return partial_topk(cand, ["dist_m"] + ties,
+                        [False] * (1 + len(ties)), k)

@@ -56,23 +56,28 @@ def quality_metrics_batch(b: pa.Table, text_col: str = "text") -> pa.Table:
     toks = pc.split_pattern_regex(txt, r"\s+")
     n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
     n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
-    texts = txt.to_pylist()
-    punct = np.zeros(len(texts), dtype=np.int64)
-    digit = np.zeros(len(texts), dtype=np.int64)
-    upper = np.zeros(len(texts), dtype=np.int64)
-    max_tok = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        barr = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-        punct[i] = int(np.isin(barr, np.frombuffer(b",.;:!?'\"()-", np.uint8)).sum())
-        digit[i] = int(((barr >= 48) & (barr <= 57)).sum())
-        upper[i] = int(((barr >= 65) & (barr <= 90)).sum())
-        if t:
-            max_tok[i] = max(len(w) for w in t.split())
+    # char-class counts as Arrow RE2 kernels (char-based like the SQL oracle's
+    # regexp_replace length delta) — no per-row Python
+    punct = pc.cast(pc.count_substring_regex(txt, r"[,.;:!?'\"()\-]"), pa.int64())
+    digit = pc.cast(pc.count_substring_regex(txt, "[0-9]"), pa.int64())
+    upper = pc.cast(pc.count_substring_regex(txt, "[A-Z]"), pa.int64())
+    # max token length: utf8_length over the flattened token list, segment max
+    # via reduceat on the list offsets (split of "" yields [""], so no segment
+    # is ever empty, but guard anyway)
+    toks_arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    tok_len = pc.utf8_length(toks_arr.flatten()).to_numpy()
+    off = toks_arr.offsets.to_numpy()
+    off = off - off[0]          # sliced ListArrays carry a nonzero base offset
+    starts, ends = off[:-1], off[1:]
+    max_tok = np.zeros(len(starts), dtype=np.int64)
+    nz = ends > starts
+    if nz.any():
+        max_tok[nz] = np.maximum.reduceat(tok_len, starts[nz])
     return b.append_column("n_tokens", n_tokens) \
             .append_column("n_chars", n_chars) \
-            .append_column("n_punct", pa.array(punct)) \
-            .append_column("n_digits", pa.array(digit)) \
-            .append_column("n_upper", pa.array(upper)) \
+            .append_column("n_punct", punct) \
+            .append_column("n_digits", digit) \
+            .append_column("n_upper", upper) \
             .append_column("max_token_len", pa.array(max_tok))
 
 

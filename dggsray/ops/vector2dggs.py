@@ -158,11 +158,28 @@ def polygons_to_cells_ds(features: list[dict], res: int,
     shards = rd.range(n, override_num_blocks=n).map_batches(
         burn_shard, batch_format="pyarrow", batch_size=1)
 
-    def keep_last_painted(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        idx = pc.sort_indices(g, sort_keys=[("_rank", "descending")])
-        return g.take(idx[:1]).select(["cellid", "value"])
+    # paint order: per cell keep the value of the max rank — packed into one
+    # int64 score so the reduction is a native vectorized Max (no per-cell
+    # Python call), with a per-batch partial max before the shuffle
+    from ray.data.aggregate import Max
+    K = 1 << 21
 
-    # paint order: per cell keep the row of the max rank (one keyed shuffle)
-    return shards.groupby("cellid").map_groups(keep_last_painted,
-                                               batch_format="pyarrow")
+    def encode(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        if v.size and (v.min() < 0 or v.max() >= K):
+            raise ValueError(f"burn value out of [0, {K}) for packed paint order")
+        score = b.column("_rank").to_numpy() * K + v
+        t = pa.table({"cellid": b.column("cellid"),
+                      "_score": pa.array(score, pa.int64())})
+        g = t.group_by("cellid").aggregate([("_score", "max")])
+        return g.rename_columns(["cellid", "_score"])
+
+    best = shards.map_batches(encode, batch_format="pyarrow") \
+        .groupby("cellid").aggregate(Max("_score", alias_name="_score"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        s = b.column("_score").to_numpy()
+        return pa.table({"cellid": b.column("cellid"),
+                         "value": pa.array(s % K, pa.int64())})
+
+    return best.map_batches(decode, batch_format="pyarrow")

@@ -62,6 +62,29 @@ def cellid_sql(lon: str, lat: str, res: int, n_side: int = 3) -> str:
     return "(" + " || ".join(parts) + ")"
 
 
+def centroid_xy_sql(cell: str, res: int, n_side: int = 3) -> tuple[str, str]:
+    """SQL (x, y) planar centroid of a res-`res` cellid string on an equatorial
+    face — exact mirror of core.rhpx.cell_centroid's float ops: the combined
+    col/row indices are integer-exact in SQL, and the final `x0 + (col+0.5)*w`
+    uses the same operation order as the numpy code, so values agree bit-for-bit
+    (no libm calls involved)."""
+    assert n_side == 3, "oracle SQL emitted for N_side=3 grids"
+    x0 = (f"(CASE substr({cell},1,1) WHEN 'O' THEN {-2*F!r} "
+          f"WHEN 'P' THEN {-F!r} WHEN 'Q' THEN 0.0 ELSE {F!r} END)")
+    col_terms, row_terms = [], []
+    for i in range(1, res + 1):
+        d = f"CAST(substr({cell},{i + 1},1) AS BIGINT)"
+        scale = 3 ** (res - i)
+        col_terms.append(f"(({d}) % 3) * {scale}")
+        row_terms.append(f"(({d}) // 3) * {scale}")
+    w = F / n_side**res
+    col = "(" + " + ".join(col_terms) + ")"
+    row = "(" + " + ".join(row_terms) + ")"
+    x = f"({x0} + (CAST({col} AS DOUBLE) + 0.5) * {w!r})"
+    y = f"({F/2!r} - (CAST({row} AS DOUBLE) + 0.5) * {w!r})"
+    return x, y
+
+
 def points_cte(table: str, key: str, res: int, alias: str = "pts") -> str:
     lon, lat = lonlat_sql(key)
     return (f"{alias} AS (SELECT {key} AS key, {cellid_sql(lon, lat, res)} AS cellid "

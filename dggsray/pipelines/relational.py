@@ -140,15 +140,29 @@ def cell_majority_nation(sf_dir: str, res: int = 2):
     counts = ds.map_batches(kernel, batch_format="pyarrow") \
                .groupby(["cell", "nation"]).aggregate(Sum("_p", alias_name="cnt"))
 
-    def pick(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("cnt", "descending"),
-                                            ("nation", "ascending")])
-        top = g.take(idx[:1])
-        return pa.table({"cell": top.column("cell"),
-                         "majority_nation": top.column("nation"),
-                         "cnt": pc.cast(top.column("cnt"), pa.int64())})
+    # per-cell argmax(cnt desc, nation asc) as ONE native Max over a packed
+    # int64 score — no per-group Python call (ops.cellify._argmax_by_score
+    # pattern; nations < 2^21 by a mile)
+    from ray.data.aggregate import Max
+    K = 1 << 21
 
-    return counts.groupby("cell").map_groups(pick, batch_format="pyarrow")
+    def encode(b: pa.Table) -> pa.Table:
+        v = b.column("nation").to_numpy().astype(np.int64)
+        cnt = b.column("cnt").to_numpy().astype(np.int64)
+        return pa.table({"cell": b.column("cell"),
+                         "_score": pa.array(cnt * K + (K - 1 - v))})
+
+    best = counts.map_batches(encode, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Max("_score", alias_name="_score"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        s = b.column("_score").to_numpy()
+        return pa.table({"cell": b.column("cell"),
+                         "majority_nation": pa.array(
+                             (K - 1 - (s % K)).astype(np.int32)),
+                         "cnt": pa.array(s // K)})
+
+    return best.map_batches(decode, batch_format="pyarrow")
 
 
 # --- relational / TPC-H-ish ------------------------------------------------
@@ -373,10 +387,12 @@ def knn_cells_customer(sf_dir: str, k: int = 15):
     # deterministic query cell: the cell of customer key 1
     qlon, qlat = derived_lonlat(np.array([1]))
     qcell = cells_from_lonlat(6, qlon, qlat, DEFAULT_GRID)[0]
-    out = knn_cells(ds, qcell, k)
+    out = knn_cells(ds, qcell, k, tiebreak_cols=["cellid", "c_custkey"])
 
     def to_int(b: pa.Table) -> pa.Table:
-        d = np.rint(b.column("dist_m").to_numpy()).astype(np.int64)
+        # floor(d+0.5) == SQL round() for positive distances (np.rint would
+        # bankers-round and diverge from the oracle at exact .5 m)
+        d = np.floor(b.column("dist_m").to_numpy() + 0.5).astype(np.int64)
         return pa.table({"c_custkey": b.column("c_custkey"),
                          "cellid": b.column("cellid"),
                          "dist_m_int": pa.array(d)})
@@ -414,24 +430,30 @@ def images_verify_invariant(sf_dir: str):
     path = ensure_image_table(sf)
 
     def kernel(b: pa.Table) -> pa.Table:
+        # columns decoded ONCE per batch (decode_image itself is inherently
+        # per-image); no Arrow scalar .as_py() access inside the loop
         n = b.num_rows
+        ids = b.column("image_id").to_pylist()
+        blobs = b.column("bytes").to_pylist()
+        ws = b.column("w").to_numpy()
+        hs = b.column("h").to_numpy()
+        fmts = b.column("fmt").to_pylist()
+        caps = b.column("caption").to_pylist()
+        phs = b.column("phash").to_numpy()
+        lon_c = (b.column("lon_min").to_numpy()
+                 + b.column("lon_max").to_numpy()) / 2
+        lat_c = (b.column("lat_min").to_numpy()
+                 + b.column("lat_max").to_numpy()) / 2
         pix_ok = np.zeros(n, dtype=bool)
         cap_ok = np.zeros(n, dtype=bool)
         phash_ok = np.zeros(n, dtype=bool)
-        ids = b.column("image_id").to_pylist()
         for k in range(n):
             i = int(ids[k][3:])
-            img = decode_image(b.column("bytes")[k].as_py(),
-                               b.column("w")[k].as_py(),
-                               b.column("h")[k].as_py(),
-                               b.column("fmt")[k].as_py())
-            ref = _pixels(i, b.column("w")[k].as_py(), b.column("h")[k].as_py())
-            pix_ok[k] = np.array_equal(img, ref)
-            lon = (b.column("lon_min")[k].as_py() + b.column("lon_max")[k].as_py()) / 2
-            lat = (b.column("lat_min")[k].as_py() + b.column("lat_max")[k].as_py()) / 2
-            cap_ok[k] = (b.column("caption")[k].as_py()
-                         == f"caption for img{i} at ({lon:.4f},{lat:.4f})")
-            phash_ok[k] = average_phash(img) == b.column("phash")[k].as_py()
+            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+            pix_ok[k] = np.array_equal(img, _pixels(i, int(ws[k]), int(hs[k])))
+            cap_ok[k] = (caps[k] == f"caption for img{i} at "
+                                    f"({lon_c[k]:.4f},{lat_c[k]:.4f})")
+            phash_ok[k] = average_phash(img) == phs[k]
         return pa.table({"image_id": b.column("image_id"),
                          "pixels_ok": pa.array(pix_ok),
                          "caption_ok": pa.array(cap_ok),

@@ -97,6 +97,30 @@ class TestEmbeddingDedup:
         pairs = embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
         assert (10, 50) in set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
 
+    def test_lsh_variant_recall_vs_exact(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.dedup import (embedding_neardup_lsh,
+                                       embedding_neardup_pairs)
+        rng = np.random.default_rng(11)
+        M = rng.standard_normal((200, 16))
+        for src, dst in [(10, 50), (20, 60), (30, 70)]:
+            M[dst] = M[src] + rng.standard_normal(16) * 0.02
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(r) for r in M],
+                                  pa.list_(pa.float32()))}))
+        exact = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+        approx = embedding_neardup_lsh(ds, threshold=0.95, n_bits=8,
+                                       n_tables=12).to_pandas()
+        exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values.tolist()))
+        approx_pairs = set(map(tuple, approx[["id_a", "id_b"]].values.tolist()))
+        # high-threshold pairs (near-identical vectors) must all be recalled,
+        # and LSH never invents pairs (every emitted pair is exactly verified)
+        assert exact_pairs <= approx_pairs or \
+            len(exact_pairs & approx_pairs) / max(len(exact_pairs), 1) >= 0.9
+        assert approx_pairs <= exact_pairs
+        assert not approx["truncated"].any()
+
 
 class TestSimilarity:
     def test_lsh_topk_vs_brute(self, ray_session):
