@@ -90,9 +90,10 @@ def main(argv=None):
     sp.add_argument("--rescaling-strategy", default="closest",
                     choices=["higher", "lower", "closest"])
     sp.add_argument("--input-crs", default="geographic",
-                    choices=["geographic", "rhealpix"])
+                    help="geographic | rhealpix | utm:NNh (e.g. utm:30N) | "
+                         "epsg:326NN/327NN")
     sp.add_argument("--resampling", default="nearest",
-                    choices=["nearest", "bilinear"])
+                    choices=["nearest", "bilinear", "cubic"])
     sp.add_argument("--src-nodata", type=float, default=None)
     sp.add_argument("--dst-nodata", type=float, default=None)
 

@@ -19,7 +19,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from ..core.rhpx import DEFAULT_GRID, GridConfig, align_point, cell_from_point, project_fwd
+from ..core.rhpx import (DEFAULT_GRID, F, GridConfig, align_point,
+                         cell_from_point, project_fwd)
 
 
 def feature_class_values(classes, fixed_value: int | None = None) -> np.ndarray:
@@ -118,6 +119,67 @@ def burn_polygons_to_cells(features: list[dict], res: int,
         for c in cells:
             if c:
                 cell_to_val[c] = val   # paint order: later features overwrite
+    if not cell_to_val:
+        return pa.table({"cellid": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64())})
+    return pa.table({"cellid": pa.array(list(cell_to_val.keys()), pa.string()),
+                     "value": pa.array(list(cell_to_val.values()), pa.int64())})
+
+
+def _supercover_cells(x0: float, y0: float, x1: float, y1: float,
+                      left: float, top: float, cw: float) -> np.ndarray:
+    """All lattice cells a planar segment passes through (GDAL all_touched line
+    semantics): parametric crossings of the vertical and horizontal lattice
+    lines, midpoint of each t-interval identifies its cell.  Fully vectorized
+    per segment.  Returns (n, 2) planar points, one strictly inside each cell."""
+    # segment in cell units
+    cx0, cy0 = (x0 - left) / cw, (top - y0) / cw
+    cx1, cy1 = (x1 - left) / cw, (top - y1) / cw
+    dx, dy = cx1 - cx0, cy1 - cy0
+    ts = [np.array([0.0, 1.0])]
+    if dx != 0.0:
+        ks = np.arange(math.ceil(min(cx0, cx1)), math.floor(max(cx0, cx1)) + 1)
+        ts.append((ks - cx0) / dx)
+    if dy != 0.0:
+        ks = np.arange(math.ceil(min(cy0, cy1)), math.floor(max(cy0, cy1)) + 1)
+        ts.append((ks - cy0) / dy)
+    t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+    tm = (t[:-1] + t[1:]) / 2.0
+    tm = tm[t[1:] > t[:-1]]
+    if tm.size == 0:
+        tm = np.array([0.5])
+    mx = cx0 + tm * dx
+    my = cy0 + tm * dy
+    return np.column_stack([left + mx * cw, top - my * cw])
+
+
+def burn_lines_to_cells(features: list[dict], res: int,
+                        grid: GridConfig = DEFAULT_GRID) -> pa.Table:
+    """Burn LineString features onto the res lattice with all_touched line
+    semantics (every cell the line passes through), paint order = later feature
+    wins — the reference's line rasterization path
+    (/root/reference/dggstools/rhpx/vector_to_rhpx.py:562-563, rasterio
+    rasterize(all_touched=True) for non-polygon geometries).  Each feature:
+    {"feature_id": int, "value": int, "coords": np.ndarray (k,2) lonlat}."""
+    cw = grid.cell_width(res)
+    cell_to_val: dict = {}
+    for feat in features:
+        coords = np.asarray(feat["coords"], dtype=np.float64)
+        x, y = project_fwd(coords[:, 0], coords[:, 1], grid)
+        # the cell lattice is globally anchored at (-2F, 1.5F) with pitch cw
+        # (core.rhpx.align_point invariant), so supercover traversal against
+        # that lattice enumerates exactly the touched cells
+        pts = [_supercover_cells(x[i], y[i], x[i + 1], y[i + 1],
+                                 -2 * F, 1.5 * F, cw)
+               for i in range(len(x) - 1)]
+        if not pts:
+            continue
+        allp = np.vstack(pts)
+        cells = cell_from_point(res, allp[:, 0], allp[:, 1], grid)
+        val = int(feat["value"])
+        for c in cells:
+            if c:
+                cell_to_val[c] = val
     if not cell_to_val:
         return pa.table({"cellid": pa.array([], pa.string()),
                          "value": pa.array([], pa.int64())})

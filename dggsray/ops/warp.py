@@ -7,10 +7,13 @@ estimate), RescalingStrategy snap, calculate-transform + vertex-snap alignment,
 right-edge clamp for geographic inputs, nearest/bilinear resampling, n_side tag
 on the output.
 
-CRS support matches this environment: inputs are either geographic WGS84 or
-already in the rHEALPix plane (there is no PROJ database here; the reference
-accepts any rasterio CRS).  The warp runs tiled over destination rows so memory
-stays bounded regardless of output size.
+CRS support: geographic WGS84, the rHEALPix plane itself, and UTM zones
+("utm:30N" / "epsg:326xx/327xx") via the pure-numpy Krüger series in
+core.tmerc — the reference's canonical projected-in-meters input path
+(raster_to_rhpx.py:58-77 via rasterio/PROJ) without a PROJ database.
+Resampling: nearest, bilinear, cubic (4x4 Keys kernel, a=-0.5 — GDAL/rasterio
+`Resampling.cubic` semantics).  The warp runs tiled over destination rows so
+memory stays bounded regardless of output size.
 """
 from __future__ import annotations
 
@@ -22,6 +25,7 @@ import numpy as np
 from ..core.geodesy import get_geodesic_size
 from ..core.rhpx import DEFAULT_GRID, GridConfig, align_point, project_fwd, project_inv
 from ..core.tiffio import GeoTiff, read_geotiff, write_geotiff
+from ..core.tmerc import parse_utm_crs, utm_fwd, utm_inv
 
 
 class RescalingStrategy(enum.Enum):
@@ -30,10 +34,20 @@ class RescalingStrategy(enum.Enum):
     TO_CLOSEST = "closest"
 
 
+def _is_utm(crs: str) -> bool:
+    try:
+        parse_utm_crs(crs)
+        return True
+    except ValueError:
+        return False
+
+
 def infer_resolution_idx(g: GeoTiff, crs: str, grid: GridConfig,
                          strategy: RescalingStrategy) -> int:
-    """Reference raster_to_rhpx.py:156-190 semantics."""
-    if crs == "rhealpix":
+    """Reference raster_to_rhpx.py:156-190 semantics (projected-in-meters
+    inputs use their native pixel size; geographic uses the geodesic
+    estimate)."""
+    if crs == "rhealpix" or _is_utm(crs):
         best = min(abs(g.res_x), abs(g.res_y))
     else:
         right = g.left + g.data.shape[2] * g.res_x
@@ -47,6 +61,84 @@ def infer_resolution_idx(g: GeoTiff, crs: str, grid: GridConfig,
     return grid.get_closest_resolution(best)[0]
 
 
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """(n, 4) Keys cubic-convolution weights, a=-0.5 (GDAL/rasterio cubic):
+    tap offsets -1..2 relative to floor(coord-0.5)."""
+    a = -0.5
+    d = np.empty((t.shape[0], 4), dtype=np.float64)
+    d[:, 0] = 1.0 + t          # |distance| to tap -1
+    d[:, 1] = t
+    d[:, 2] = 1.0 - t
+    d[:, 3] = 2.0 - t
+    ad = np.abs(d)
+    w = np.where(ad <= 1.0,
+                 (a + 2.0) * ad**3 - (a + 3.0) * ad**2 + 1.0,
+                 a * (ad**3 - 5.0 * ad**2 + 8.0 * ad - 4.0))
+    return np.where(ad < 2.0, w, 0.0)
+
+
+def resample_grid(data: np.ndarray, fc: np.ndarray, fr: np.ndarray,
+                  resampling: str, src_nd, dst_nd) -> np.ndarray:
+    """Sample (nbands, H, W) `data` at fractional pixel coords (fc, fr) —
+    fc/fr in pixel units where integer k spans pixel [k, k+1).  Out-of-bounds
+    (and, for nearest, src-nodata) points get dst_nd.  Returns
+    (nbands, n) in the source dtype.  nearest / bilinear / cubic (Keys 4x4,
+    a=-0.5 — rasterio Resampling.cubic)."""
+    nbands, H, W = data.shape
+    n = fc.shape[0]
+    out = np.full((nbands, n), dst_nd, dtype=data.dtype)
+    if resampling == "nearest":
+        sc = np.floor(fc).astype(np.int64)
+        sr = np.floor(fr).astype(np.int64)
+        ok = (sc >= 0) & (sc < W) & (sr >= 0) & (sr < H)
+        for b in range(nbands):
+            v = data[b, sr[ok], sc[ok]]
+            if src_nd is not None:
+                v = np.where(v == src_nd,
+                             np.asarray(dst_nd).astype(data.dtype), v)
+            out[b, ok] = v
+        return out
+    if resampling == "bilinear":
+        x0 = np.floor(fc - 0.5).astype(np.int64)
+        y0 = np.floor(fr - 0.5).astype(np.int64)
+        wx = (fc - 0.5) - x0
+        wy = (fr - 0.5) - y0
+        ok = (x0 >= 0) & (x0 + 1 < W) & (y0 >= 0) & (y0 + 1 < H)
+        xo, yo, wxo, wyo = x0[ok], y0[ok], wx[ok], wy[ok]
+        for b in range(nbands):
+            a00 = data[b, yo, xo].astype(np.float64)
+            a01 = data[b, yo, xo + 1].astype(np.float64)
+            a10 = data[b, yo + 1, xo].astype(np.float64)
+            a11 = data[b, yo + 1, xo + 1].astype(np.float64)
+            out[b, ok] = (a00 * (1 - wxo) * (1 - wyo) + a01 * wxo * (1 - wyo)
+                          + a10 * (1 - wxo) * wyo + a11 * wxo * wyo) \
+                .astype(data.dtype)
+        return out
+    if resampling == "cubic":
+        x0 = np.floor(fc - 0.5).astype(np.int64)
+        y0 = np.floor(fr - 0.5).astype(np.int64)
+        tx = (fc - 0.5) - x0
+        ty = (fr - 0.5) - y0
+        ok = (x0 - 1 >= 0) & (x0 + 2 < W) & (y0 - 1 >= 0) & (y0 + 2 < H)
+        xo, yo = x0[ok], y0[ok]
+        wxk = _cubic_weights(tx[ok])
+        wyk = _cubic_weights(ty[ok])
+        for b in range(nbands):
+            acc = np.zeros(xo.shape[0], dtype=np.float64)
+            for dy in range(-1, 3):
+                rowv = np.zeros(xo.shape[0], dtype=np.float64)
+                for dx in range(-1, 3):
+                    rowv += wxk[:, dx + 1] \
+                        * data[b, yo + dy, xo + dx].astype(np.float64)
+                acc += wyk[:, dy + 1] * rowv
+            if np.issubdtype(data.dtype, np.integer):
+                info = np.iinfo(data.dtype)
+                acc = np.clip(np.rint(acc), info.min, info.max)
+            out[b, ok] = acc.astype(data.dtype)
+        return out
+    raise ValueError(f"unsupported resampling {resampling!r}")
+
+
 def raster_to_rhealpix(input_path: str, output_path: str,
                        grid: GridConfig = DEFAULT_GRID,
                        dst_resolution_idx: int = -1,
@@ -56,6 +148,10 @@ def raster_to_rhealpix(input_path: str, output_path: str,
                        src_nodata=None, dst_nodata=None,
                        row_chunk: int = 1024) -> int:
     """Returns the destination resolution index (reference contract)."""
+    if input_crs not in ("geographic", "rhealpix") and not _is_utm(input_crs):
+        raise ValueError(
+            f"unsupported input CRS {input_crs!r}: geographic | rhealpix | "
+            f"utm:NNh | epsg:326NN/327NN")
     g = read_geotiff(input_path)
     if dst_resolution_idx == -1:
         dst_resolution_idx = infer_resolution_idx(g, input_crs, grid,
@@ -72,8 +168,10 @@ def raster_to_rhealpix(input_path: str, output_path: str,
     if set_dst_nd is None:
         set_dst_nd = 0
 
+    utm = parse_utm_crs(input_crs) if _is_utm(input_crs) else None
+
     # destination bbox: project a boundary sample of the source extent
-    if input_crs == "geographic":
+    if input_crs == "geographic" or utm is not None:
         n = 64
         bx = np.concatenate([np.linspace(g.left, right, n),
                              np.linspace(g.left, right, n),
@@ -81,6 +179,8 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         by = np.concatenate([np.full(n, g.top), np.full(n, bottom),
                              np.linspace(bottom, g.top, n),
                              np.linspace(bottom, g.top, n)])
+        if utm is not None:
+            bx, by = utm_inv(bx, by, *utm)
         px, py = project_fwd(bx, by, grid)
     else:
         px = np.array([g.left, right, g.left, right])
@@ -99,41 +199,15 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         ys = dtop - (ii.ravel() + 0.5) * cw
         if input_crs == "geographic":
             lon, lat = project_inv(xs, ys, grid)
+        elif utm is not None:
+            lon, lat = project_inv(xs, ys, grid)
+            lon, lat = utm_fwd(lon, lat, *utm)
         else:
             lon, lat = xs, ys
         fc = (lon - g.left) / g.res_x
         fr = (g.top - lat) / g.res_y
-        if resampling == "nearest":
-            sc = np.floor(fc).astype(np.int64)
-            sr = np.floor(fr).astype(np.int64)
-            ok = (sc >= 0) & (sc < W) & (sr >= 0) & (sr < H)
-            for b in range(nbands):
-                vals = np.full(xs.shape[0], set_dst_nd, dtype=g.data.dtype)
-                v = g.data[b, sr[ok], sc[ok]]
-                if set_src_nd is not None:
-                    v = np.where(v == set_src_nd, np.asarray(set_dst_nd).astype(
-                        g.data.dtype), v)
-                vals[ok] = v
-                out[b, r0:r1, :] = vals.reshape(r1 - r0, ncols)
-        elif resampling == "bilinear":
-            x0 = np.floor(fc - 0.5).astype(np.int64)
-            y0 = np.floor(fr - 0.5).astype(np.int64)
-            wx = (fc - 0.5) - x0
-            wy = (fr - 0.5) - y0
-            ok = (x0 >= 0) & (x0 + 1 < W) & (y0 >= 0) & (y0 + 1 < H)
-            for b in range(nbands):
-                vals = np.full(xs.shape[0], set_dst_nd, dtype=np.float64)
-                a00 = g.data[b, y0[ok], x0[ok]].astype(np.float64)
-                a01 = g.data[b, y0[ok], x0[ok] + 1].astype(np.float64)
-                a10 = g.data[b, y0[ok] + 1, x0[ok]].astype(np.float64)
-                a11 = g.data[b, y0[ok] + 1, x0[ok] + 1].astype(np.float64)
-                wxo, wyo = wx[ok], wy[ok]
-                vals[ok] = (a00 * (1 - wxo) * (1 - wyo) + a01 * wxo * (1 - wyo)
-                            + a10 * (1 - wxo) * wyo + a11 * wxo * wyo)
-                out[b, r0:r1, :] = vals.reshape(r1 - r0, ncols) \
-                    .astype(g.data.dtype)
-        else:
-            raise ValueError(f"unsupported resampling {resampling!r}")
+        vals = resample_grid(g.data, fc, fr, resampling, set_src_nd, set_dst_nd)
+        out[:, r0:r1, :] = vals.reshape(nbands, r1 - r0, ncols)
 
     write_geotiff(output_path, GeoTiff(
         out, dleft, dtop, cw, cw, nodata=set_dst_nd,
@@ -151,9 +225,22 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
     g = read_geotiff(input_path)
     nbands, H, W = g.data.shape
     oh, ow = math.ceil(H * scale_y), math.ceil(W * scale_x)
-    rr = (np.arange(oh) * (H / oh)).astype(np.int64)
-    cc = (np.arange(ow) * (W / ow)).astype(np.int64)
-    out = g.data[:, rr][:, :, cc]
+    if resampling == "nearest":
+        rr = (np.arange(oh) * (H / oh)).astype(np.int64)
+        cc = (np.arange(ow) * (W / ow)).astype(np.int64)
+        out = g.data[:, rr][:, :, cc]
+    else:
+        # center-mapped interpolating resample (bilinear / cubic)
+        jj, ii = np.meshgrid(np.arange(ow), np.arange(oh))
+        fc = (jj.ravel() + 0.5) * (W / ow)
+        fr = (ii.ravel() + 0.5) * (H / oh)
+        # clamp so edge samples stay inside the interpolation support
+        pad = 1.5 if resampling == "cubic" else 0.5
+        fc = np.clip(fc, pad, W - pad - 1e-9)
+        fr = np.clip(fr, pad, H - pad - 1e-9)
+        out = resample_grid(g.data, fc, fr, resampling, g.nodata, g.nodata
+                            if g.nodata is not None else 0) \
+            .reshape(nbands, oh, ow)
     write_geotiff(output_path, GeoTiff(
         out, g.left, g.top, g.res_x * (W / ow), g.res_y * (H / oh),
         nodata=g.nodata, tags=g.tags))

@@ -1,0 +1,244 @@
+"""UTM input CRS (pure-numpy Krüger TM), cubic resampling, line burning.
+
+Reference parity targets: raster_to_rhpx.py:58-77 (arbitrary projected input
+CRS), tests_data.py:152-153 (cubic), vector_to_rhpx.py:562-563 (line
+rasterize all_touched).
+"""
+import math
+import os
+
+import numpy as np
+import pytest
+
+
+class TestTransverseMercator:
+    def test_central_meridian_equator(self):
+        from dggsray.core.tmerc import utm_fwd
+        e, n = utm_fwd(-3.0, 0.0, 30)
+        assert float(e) == pytest.approx(500_000.0, abs=1e-9)
+        assert float(n) == pytest.approx(0.0, abs=1e-9)
+
+    def test_meridian_arc_vs_independent_integral(self):
+        """y on the central meridian must equal k0 * meridian arc length; the
+        arc is integrated numerically here with no shared code."""
+        from dggsray.core.tmerc import _tm_fwd
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        phi = np.linspace(0.0, np.radians(40.0), 1_000_001)
+        m40 = a * (1 - e2) * np.trapz((1 - e2 * np.sin(phi) ** 2) ** -1.5, phi)
+        _, y40 = _tm_fwd(-3.0, 40.0, -3.0)
+        assert float(y40) == pytest.approx(m40, abs=1e-4)
+
+    def test_roundtrip_zone(self):
+        from dggsray.core.tmerc import utm_fwd, utm_inv
+        rng = np.random.default_rng(3)
+        lon = -3 + rng.uniform(-4, 4, 20000)
+        lat = rng.uniform(-84, 84, 20000)
+        for south in (False, True):
+            e, n = utm_fwd(lon, lat, 30, south)
+            lon2, lat2 = utm_inv(e, n, 30, south)
+            assert np.abs(lon2 - lon).max() < 1e-9
+            assert np.abs(lat2 - lat).max() < 1e-9
+
+    def test_scale_factor_on_cm(self):
+        from dggsray.core.tmerc import utm_fwd
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        _, n1 = utm_fwd(-3.0, 40.0, 30)
+        _, n2 = utm_fwd(-3.0, 40.0 + 1e-6, 30)
+        mrad = a * (1 - e2) / (1 - e2 * np.sin(np.radians(40)) ** 2) ** 1.5
+        k = (n2 - n1) / (mrad * np.radians(1e-6))
+        assert k == pytest.approx(0.9996, abs=1e-6)
+
+    def test_crs_parsing(self):
+        from dggsray.core.tmerc import parse_utm_crs
+        assert parse_utm_crs("utm:30N") == (30, False)
+        assert parse_utm_crs("utm:7s") == (7, True)
+        assert parse_utm_crs("epsg:32630") == (30, False)
+        assert parse_utm_crs("epsg:32733") == (33, True)
+        with pytest.raises(ValueError):
+            parse_utm_crs("epsg:4326")
+
+
+class TestUtmWarp:
+    def _make_utm_fixture(self, path, zone=30, lon0=-3.4, lat0=40.0,
+                          px=100.0, W=64, H=48):
+        from dggsray.core.tiffio import GeoTiff, write_geotiff
+        from dggsray.core.tmerc import utm_fwd
+        e0, n0 = utm_fwd(lon0, lat0, zone)
+        left = math.floor(e0 / px) * px
+        top = math.ceil(n0 / px) * px
+        data = (np.arange(H * W, dtype=np.int32).reshape(1, H, W) % 251) + 1
+        write_geotiff(path, GeoTiff(data, left, top, px, px, nodata=0))
+        return left, top, data
+
+    def test_utm_warp_golden_lattice(self, tmp_path):
+        """Every output cell center must carry the source pixel its center maps
+        to under the (independently validated) UTM chain."""
+        from dggsray.core.rhpx import DEFAULT_GRID, project_inv
+        from dggsray.core.tiffio import read_geotiff
+        from dggsray.core.tmerc import utm_fwd
+        from dggsray.ops.warp import raster_to_rhealpix
+
+        src = str(tmp_path / "utm_src.tif")
+        dst = str(tmp_path / "utm_dst.tif")
+        left, top, data = self._make_utm_fixture(src)
+        res_idx = raster_to_rhealpix(src, dst, input_crs="utm:30N")
+        g = read_geotiff(dst)
+        cw = DEFAULT_GRID.cell_width(res_idx)
+        assert g.res_x == pytest.approx(cw)
+        H, W = data.shape[1], data.shape[2]
+        jj, ii = np.meshgrid(np.arange(g.data.shape[2]),
+                             np.arange(g.data.shape[1]))
+        xs = g.left + (jj.ravel() + 0.5) * g.res_x
+        ys = g.top - (ii.ravel() + 0.5) * g.res_y
+        lon, lat = project_inv(xs, ys, DEFAULT_GRID)
+        e, n = utm_fwd(lon, lat, 30)
+        sc = np.floor((e - left) / 100.0).astype(np.int64)
+        sr = np.floor((top - n) / 100.0).astype(np.int64)
+        ok = (sc >= 0) & (sc < W) & (sr >= 0) & (sr < H)
+        got = g.data[0].ravel()
+        assert (got[ok] == data[0, sr[ok], sc[ok]]).all()
+        assert (got[~ok] == 0).all()
+        # the in-bounds region must be non-trivial
+        assert ok.sum() > 0.5 * ok.size
+
+    def test_utm_resolution_inference_uses_pixel_size(self, tmp_path):
+        from dggsray.core.rhpx import DEFAULT_GRID
+        from dggsray.ops.warp import (RescalingStrategy, infer_resolution_idx)
+        from dggsray.core.tiffio import read_geotiff
+        src = str(tmp_path / "utm_src2.tif")
+        self._make_utm_fixture(src, px=100.0)
+        g = read_geotiff(src)
+        idx = infer_resolution_idx(g, "utm:30N", DEFAULT_GRID,
+                                   RescalingStrategy.TO_CLOSEST)
+        assert idx == DEFAULT_GRID.get_closest_resolution(100.0)[0]
+
+    def test_bad_crs_rejected(self, tmp_path):
+        from dggsray.ops.warp import raster_to_rhealpix
+        src = str(tmp_path / "x.tif")
+        self._make_utm_fixture(src)
+        with pytest.raises(ValueError, match="unsupported input CRS"):
+            raster_to_rhealpix(src, str(tmp_path / "y.tif"),
+                               input_crs="epsg:4326")
+
+
+class TestCubicResampling:
+    def test_integer_centers_are_exact(self):
+        """Sampling exactly at pixel centers (t=0) must return the original
+        values: the Keys kernel is interpolating."""
+        from dggsray.ops.warp import resample_grid
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 255, size=(1, 16, 16)).astype(np.float64)
+        jj, ii = np.meshgrid(np.arange(2, 14), np.arange(2, 14))
+        fc = jj.ravel() + 0.5
+        fr = ii.ravel() + 0.5
+        out = resample_grid(data, fc, fr, "cubic", None, -1.0)
+        assert np.allclose(out[0], data[0, 2:14, 2:14].ravel())
+
+    def test_linear_precision(self):
+        """Cubic convolution reproduces linear ramps exactly (order-2 kernel)."""
+        from dggsray.ops.warp import resample_grid
+        H = W = 20
+        ramp = (3.0 * np.arange(W)[None, :] + 7.0 * np.arange(H)[:, None]
+                )[None].astype(np.float64)
+        rng = np.random.default_rng(6)
+        fc = rng.uniform(2.0, W - 2.5, 500)
+        fr = rng.uniform(2.0, H - 2.5, 500)
+        out = resample_grid(ramp, fc, fr, "cubic", None, np.nan)
+        exp = 3.0 * (fc - 0.5) + 7.0 * (fr - 0.5)
+        assert np.allclose(out[0], exp, atol=1e-9)
+
+    def test_cubic_warp_cli_chain(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import raster_to_rhealpix
+        src = str(tmp_path / "geo.tif")
+        data = np.fromfunction(lambda b, r, c: 10 * r + c, (1, 24, 36)) \
+            .astype(np.float64)
+        write_geotiff(src, GeoTiff(data, -1.0, 41.0, 0.02, 0.02, nodata=-9999))
+        dst = str(tmp_path / "geo_rhpx.tif")
+        idx = raster_to_rhealpix(src, dst, resampling="cubic")
+        g = read_geotiff(dst)
+        inb = g.data[0][g.data[0] != -9999]
+        assert inb.size > 0
+        assert inb.min() >= data.min() - 5 and inb.max() <= data.max() + 5
+
+    def test_scale_raster_cubic(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        src = str(tmp_path / "s.tif")
+        ramp = (2.0 * np.arange(30)[None, :] + np.zeros((30, 1)))[None] \
+            .astype(np.float64)
+        write_geotiff(src, GeoTiff(ramp, 0.0, 30.0, 1.0, 1.0, nodata=None))
+        dst = str(tmp_path / "s2.tif")
+        scale_raster(src, dst, 2.0, resampling="cubic")
+        g = read_geotiff(dst)
+        assert g.data.shape == (1, 60, 60)
+        # interior of the upscaled ramp stays a ramp with half the step
+        mid = g.data[0, 30, 10:50]
+        steps = np.diff(mid)
+        assert np.allclose(steps, 1.0, atol=1e-6)
+
+
+class TestLineBurning:
+    def _dense_expected(self, coords, res, grid):
+        """Touched cells via dense sampling along the line (independent of the
+        supercover traversal)."""
+        from dggsray.core.rhpx import cell_from_point, project_fwd
+        x, y = project_fwd(coords[:, 0], coords[:, 1], grid)
+        pts = []
+        for i in range(len(x) - 1):
+            seglen = math.hypot(x[i + 1] - x[i], y[i + 1] - y[i])
+            n = max(2, int(seglen / (grid.cell_width(res) / 53)))
+            t = np.linspace(0, 1, n)
+            pts.append(np.column_stack([x[i] + t * (x[i + 1] - x[i]),
+                                        y[i] + t * (y[i + 1] - y[i])]))
+        allp = np.vstack(pts)
+        cells = cell_from_point(res, allp[:, 0], allp[:, 1], grid)
+        return {c for c in cells if c}
+
+    def test_supercover_equals_dense_sampling(self):
+        from dggsray.core.rhpx import DEFAULT_GRID
+        from dggsray.ops.vector2dggs import burn_lines_to_cells
+        res = 6
+        coords = np.array([[-1.7, 40.1], [-0.3, 41.2], [0.9, 40.6]])
+        t = burn_lines_to_cells(
+            [{"feature_id": 0, "value": 3, "coords": coords}], res,
+            DEFAULT_GRID)
+        got = set(t.column("cellid").to_pylist())
+        exp = self._dense_expected(coords, res, DEFAULT_GRID)
+        # dense sampling can miss zero-measure corner touches; supercover must
+        # cover every densely-hit cell and add at most corner-touch cells
+        assert exp <= got
+        assert len(got - exp) <= max(2, len(exp) // 20)
+        assert all(v == 3 for v in t.column("value").to_pylist())
+
+    def test_diagonal_supercover_count(self):
+        from dggsray.core.rhpx import DEFAULT_GRID
+        from dggsray.ops.vector2dggs import burn_lines_to_cells
+        res = 5
+        coords = np.array([[-2.0, 39.5], [0.5, 42.0]])
+        t = burn_lines_to_cells(
+            [{"feature_id": 0, "value": 1, "coords": coords}], res,
+            DEFAULT_GRID)
+        # supercover (all_touched) visits ~dx+dy cells on a diagonal, strictly
+        # more than the 8-connected Bresenham max(dx, dy)
+        assert t.num_rows >= 10
+
+    def test_paint_order_later_wins(self):
+        from dggsray.core.rhpx import DEFAULT_GRID
+        from dggsray.ops.vector2dggs import burn_lines_to_cells
+        res = 5
+        a = np.array([[-1.5, 40.0], [0.5, 40.0]])
+        b = np.array([[-0.5, 39.0], [-0.5, 41.0]])
+        t = burn_lines_to_cells(
+            [{"feature_id": 0, "value": 1, "coords": a},
+             {"feature_id": 1, "value": 2, "coords": b}], res, DEFAULT_GRID)
+        m = dict(zip(t.column("cellid").to_pylist(),
+                     t.column("value").to_pylist()))
+        t2 = burn_lines_to_cells(
+            [{"feature_id": 1, "value": 2, "coords": b}], res, DEFAULT_GRID)
+        cross = set(t2.column("cellid").to_pylist()) & {
+            c for c, v in m.items()}
+        assert cross, "lines must intersect"
+        assert all(m[c] == 2 for c in cross)
