@@ -94,7 +94,7 @@ def run_suite(num_cpus: int) -> dict:
     return out
 
 
-def run_scaling(epochs: int = 4):
+def run_scaling(epochs: int = 8):
     """Same flagship job at 8 and 32 CPUs in fresh processes.  The job processes
     the image table `epochs` times (one union-ed pipeline) so the measured
     window is steady-state streaming rather than session startup — the honest
@@ -102,12 +102,17 @@ def run_scaling(epochs: int = 4):
     costs (actor pool spin-up, broadcast build) amortize to zero."""
     results = {}
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-    for cpus in (8, 32):
-        best = None
-        for _ in range(reps):
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "6,24").split(","))
+    # N=6 vs 4N=24 by default: pinning 24 of the 32 cores leaves headroom for
+    # Ray system threads and this host's co-tenant load (ambient 10+ cores
+    # observed), so the 4N level measures the ENGINE's scaling rather than
+    # core-starvation of the whole machine.  Override with GRAFT_SCALING_CPUS.
+    for rep in range(reps):
+        for cpus in (lo, hi):
             # pin the N-cpu run to N physical cores: ray's num_cpus is pure
-            # bookkeeping, so an unpinned "8-cpu" session would still spread its
-            # workers over all 32 cores at full memory bandwidth and flatter N
+            # bookkeeping, so an unpinned "N-cpu" session would still spread
+            # its workers over all cores at full memory bandwidth and flatten N
             cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
                    "--one-flagship"]
             out = subprocess.run(
@@ -117,22 +122,23 @@ def run_scaling(epochs: int = 4):
                 capture_output=True, text=True, timeout=3600)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            best = results.get(cpus)
             if best is None or r["value"] < best["value"]:
-                best = r
-        # best-of-N: the host is shared with other tenants (ambient load of
-        # 10+ cores observed in /proc/stat), so single runs are noisy
-        results[cpus] = best
-    t8, t32 = results[8]["value"], results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+                results[cpus] = r
+        # interleaved reps + best-of-N: the host is shared with other tenants,
+        # so co-tenant bursts hit both levels instead of biasing one
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "flagship N->4N scaling (8 vs 32 cpus, fresh processes)",
+        "metric": f"flagship N->4N scaling ({lo} vs {hi} cpus, fresh processes)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_of(SF_DIR),
         "epochs": epochs,
-        "throughput_8cpus_img_s": results[8]["images_per_sec"],
-        "throughput_32cpus_img_s": results[32]["images_per_sec"],
-        "sec_8cpus": t8, "sec_32cpus": t32,
+        "cpus_n": lo, "cpus_4n": hi,
+        "throughput_n_img_s": results[lo]["images_per_sec"],
+        "throughput_4n_img_s": results[hi]["images_per_sec"],
+        "sec_n": t_lo, "sec_4n": t_hi,
     }))
 
 

@@ -49,6 +49,23 @@ class GeoTiff:
         return row, col
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (RLE) strip decode."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:                      # literal run of c+1 bytes
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                    # repeat next byte 257-c times
+            out += data[i:i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
 def read_geotiff(path: str) -> GeoTiff:
     d = open(path, "rb").read()
     assert d[:2] == b"II", "only little-endian TIFFs supported"
@@ -80,10 +97,19 @@ def read_geotiff(path: str) -> GeoTiff:
     offsets, counts = tags[273], tags[279]
     rows_per_strip = tags.get(278, (h,))[0]
     planar = tags.get(284, (1,))[0]
+    if comp not in (1, 8, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (supported: none=1, "
+            f"DEFLATE=8, PackBits=32773)")
     raw = b""
     for o, c in zip(offsets, counts):
         chunk = d[o:o + c]
-        raw += zlib.decompress(chunk) if comp == 8 else chunk
+        if comp == 8:
+            raw += zlib.decompress(chunk)
+        elif comp == 32773:
+            raw += _packbits_decode(chunk)
+        else:
+            raw += chunk
     arr = np.frombuffer(raw, dtype=dtype)
     if planar == 2 and bands > 1:
         data = arr.reshape(bands, h, w)
@@ -132,14 +158,23 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool = True):
 
     sf = _INV_SF[dt]
     bits = dt.itemsize * 8
-    add(256, 3, [w], "H")
-    add(257, 3, [h], "H")
+
+    def dim(tag, v):
+        # SHORT when it fits, LONG beyond 65535 (TIFF 6.0 allows both for
+        # 256/257/278; warp outputs can exceed 16-bit dimensions)
+        if v <= 0xFFFF:
+            add(tag, 3, [v], "H")
+        else:
+            add(tag, 4, [v], "I")
+
+    dim(256, w)
+    dim(257, h)
     add(258, 3, [bits] * bands, "H")
     add(259, 3, [8 if compress else 1], "H")
     add(262, 3, [1], "H")
     add(273, 4, [0], "I")          # patched below
     add(277, 3, [bands], "H")
-    add(278, 3, [h], "H")
+    dim(278, h)
     add(279, 4, [len(payload)], "I")
     add(339, 3, [sf] * bands, "H")
     add(33550, 12, [g.res_x, g.res_y, 0.0], "d")

@@ -62,10 +62,27 @@ def _gradient_base(w: int, h: int):
     return base
 
 
+@functools.lru_cache(maxsize=16)
+def _idx_mix(n: int):
+    """Cached per-position term of the noise hash (one multiply per size)."""
+    with np.errstate(over="ignore"):
+        return np.arange(n, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+
+
 def _pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Deterministic (h, w, 3) uint8 image: gradients + seeded noise."""
-    rng = np.random.Generator(np.random.Philox(key=SEED + i))
-    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
+    """Deterministic (h, w, 3) uint8 image: gradients + seeded noise.
+
+    Noise is a splitmix64-style counter hash (pure vectorized uint64 ops) —
+    the per-row verify invariant regenerates every reference image, and a
+    Generator-based draw made that regeneration 40% of the whole flagship
+    kernel (profiled)."""
+    n = h * w * 3
+    with np.errstate(over="ignore"):
+        z = np.uint64((SEED + i) * 0x9E3779B97F4A7C15 % (1 << 64)) + _idx_mix(n)
+        z ^= z >> np.uint64(31)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(29)
+    noise = (z & np.uint64(31)).astype(np.uint8).reshape(h, w, 3)
     out = _gradient_base(w, h) + noise  # uint8 wraparound, deterministic
     out[..., 2] += np.uint8(i % 64)
     return out
@@ -204,7 +221,9 @@ def synth_batch(batch: "pa.Table") -> pa.Table:
 
 
 def image_table_path(sf: float, root: str = "/tmp/dggsray_cache") -> str:
-    return os.path.join(root, f"images_sf{sf}")
+    # v2: noise generator changed (splitmix counter hash) — new cache key so a
+    # stale cached table can never fail the pixel invariant
+    return os.path.join(root, f"images_v2_sf{sf}")
 
 
 def ensure_image_table(sf: float, root: str = "/tmp/dggsray_cache",

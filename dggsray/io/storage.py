@@ -24,30 +24,73 @@ class _NpEncoder(json.JSONEncoder):
         return super().default(o)
 
 
-def write_cell_table(ds, path: str, meta: dict):
-    """Dataset (or pyarrow Table) + metadata -> parquet directory + sidecar."""
+def write_cell_table(ds, path: str, meta: dict, fmt: str = "parquet"):
+    """Dataset (or pyarrow Table) + metadata -> parquet/feather directory +
+    sidecar.  Feather (= Arrow IPC file) is written one file per block INSIDE
+    the map tasks — distributed, no driver materialization (reference feather
+    output: tests_data.py:325-326 via GeoDataFrame.to_feather)."""
     import pyarrow as pa
+    import pyarrow.feather as paf
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    if isinstance(ds, pa.Table):
-        pq.write_table(ds, os.path.join(path, "part-0.parquet"))
+    if fmt == "parquet":
+        if isinstance(ds, pa.Table):
+            pq.write_table(ds, os.path.join(path, "part-0.parquet"))
+        else:
+            ds.write_parquet(path)
+    elif fmt == "feather":
+        if isinstance(ds, pa.Table):
+            paf.write_feather(ds, os.path.join(path, "part-0.feather"))
+        else:
+            def write_block(b: pa.Table) -> pa.Table:
+                import uuid
+                name = f"part-{uuid.uuid4().hex}.feather"
+                paf.write_feather(b, os.path.join(path, name))
+                return pa.table({"file": pa.array([name], pa.string()),
+                                 "rows": pa.array([b.num_rows], pa.int64())})
+            manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                                      batch_size=None).take_all()
+            with open(os.path.join(path, "_manifest.json"), "w") as f:
+                json.dump(sorted(r["file"] for r in manifest), f)
     else:
-        ds.write_parquet(path)
+        raise ValueError(f"unsupported format {fmt!r}")
     with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump({"spec": META_SPEC_URI, "attrs": meta}, f, cls=_NpEncoder)
+        json.dump({"spec": META_SPEC_URI, "attrs": meta, "format": fmt},
+                  f, cls=_NpEncoder)
 
 
 def read_cell_table(path: str):
-    """-> (Dataset, meta dict)."""
+    """-> (Dataset, meta dict); reads parquet or feather per the sidecar."""
     import glob
 
     import ray.data as rd
 
     with open(os.path.join(path, "_meta.json")) as f:
-        meta = json.load(f)["attrs"]
+        side = json.load(f)
+    meta = side["attrs"]
+    if side.get("format", "parquet") == "feather":
+        files = sorted(glob.glob(os.path.join(path, "*.feather")))
+        return _read_feather(files), meta
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     return rd.read_parquet(files), meta
+
+
+def _read_feather(files: list[str]):
+    """Distributed feather read: binary-file source + per-task IPC decode
+    (Ray Data has no feather reader; feather v2 is the Arrow IPC file format,
+    so each task deserializes its file zero-copy)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def decode(b: pa.Table) -> pa.Table:
+        import pyarrow.ipc as ipc
+        tabs = [ipc.open_file(pa.BufferReader(blob)).read_all()
+                for blob in b.column("bytes").to_pylist()]
+        return pa.concat_tables(tabs)
+
+    return rd.read_binary_files(files).map_batches(
+        decode, batch_format="pyarrow", batch_size=1)
 
 
 def get_parquet_rhpx_metadata(path: str) -> dict:

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.rhpx import DEFAULT_GRID, GridConfig, cell_centroid, cell_ul_vertex
+from .joins import join_partitions
 
 DEFAULT_TILE = 512  # cells per tile side
 
@@ -202,4 +203,4 @@ def update_cells_from_tiles(original_ds, tiles_ds, meta: dict,
                  if not c.startswith("band")]
     base = original_ds.select_columns(keep_cols) if keep_cols != ["cellid"] \
         else original_ds.select_columns(["cellid"])
-    return base.join(fresh, join_type="inner", on=("cellid",), num_partitions=8)
+    return base.join(fresh, join_type="inner", on=("cellid",), num_partitions=join_partitions())

@@ -14,8 +14,23 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .joins import join_partitions
 
 _P = (1 << 61) - 1  # Mersenne prime for the permutation universe
+
+
+def collect_typed(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL result Dataset into one typed Arrow table.  Ray Data
+    drops empty blocks, so a zero-match run yields a schema-less Dataset whose
+    to_pandas() has no columns — breaking column-wise compares downstream.
+    Only for results that are small by construction (near-dup pair lists,
+    top-k, scalars); the scale paths keep returning Datasets."""
+    tabs = [b.select(schema.names) for b in
+            ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows]
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables(tabs).cast(schema)
 
 
 def _shingle_hashes(text: bytes, k: int) -> np.ndarray:
@@ -259,9 +274,9 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
     pay_a = pay.rename_columns(["id_a", "text_a", "sig_a"])
     pay_b = pay.rename_columns(["id_b", "text_b", "sig_b"])
     joined = cand.join(pay_a, join_type="inner", on=("id_a",),
-                       num_partitions=8) \
+                       num_partitions=join_partitions()) \
                  .join(pay_b, join_type="inner", on=("id_b",),
-                       num_partitions=8)
+                       num_partitions=join_partitions())
 
     def verify(bt: pa.Table) -> pa.Table:
         ia = bt.column("id_a").to_numpy()
@@ -289,7 +304,10 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                          "jaccard_micro": pa.array(
                              np.rint(jac[keep] * 1e6).astype(np.int64))})
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("jaccard_micro", pa.int64())])
+    return collect_typed(joined.map_batches(verify, batch_format="pyarrow"),
+                         schema)
 
 
 def simhash_batch(texts: list[bytes], shingle_k: int = 2,
@@ -384,7 +402,10 @@ def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
             "id_b": pa.array(ids_a[jj], pa.int64()),
             "cos_micro": pa.array(np.rint(cos[ii, jj] * 1e6).astype(np.int64))})
 
-    return ds.map_batches(kernel, batch_format="pyarrow")
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("cos_micro", pa.int64())])
+    return collect_typed(ds.map_batches(kernel, batch_format="pyarrow"),
+                         schema)
 
 
 def embedding_neardup_lsh(ds, threshold: float, id_col: str = "vec_id",

@@ -18,6 +18,14 @@ from ..core.cells import truncate_to_resolution
 from ..core.rhpx import DEFAULT_GRID, GridConfig, cell_centroid
 
 
+def join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: ~1 partition per CPU
+    (floor 8).  A fixed 8 would serialize the probe side on a 256-node
+    cluster; per-CPU keeps partitions ~constant-sized as the cluster grows."""
+    import ray
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
 def broadcast_semi_join(ds, keys, key_col: str = "cellid", res: int | None = None,
                         anti: bool = False):
     """Keep rows whose (optionally prefix-truncated) key is in `keys`.

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.rhpx import (DEFAULT_GRID, GridConfig, align_point, cell_from_point,
-                         project_fwd, project_inv)
+                         cell_keys_from_point, project_fwd, project_inv)
 from ..io.imagetable import decode_image
 
 
@@ -42,11 +42,22 @@ class ImageToCells:
         self.cw = grid.cell_width(dst_resolution_idx)
         self.verify = verify
         self.drop_bytes = drop_bytes
+        # use_keys: emit packed int64 cell keys instead of cellid strings —
+        # the fused-join subclass flips this (see core.rhpx.cell_keys_from_point)
+        self.use_keys = False
         # geodetic latitude of the equatorial/cap boundary: footprints strictly
         # inside the equatorial band (or inside one cap triangle) have planar
         # extremes at their corners, enabling the corner-only fast path
         from ..core.ellipsoid import auth_lat_inv
         self.lat_cap = float(np.degrees(auth_lat_inv(np.arcsin(2.0 / 3.0))))
+
+    def _cells_of(self, xs: np.ndarray, ys: np.ndarray):
+        """(cells-or-keys, valid-mask) at self.res — string or packed form."""
+        if self.use_keys:
+            k = cell_keys_from_point(self.res, xs, ys, self.grid)
+            return k, k >= 0
+        c = cell_from_point(self.res, xs, ys, self.grid)
+        return c, c != ""
 
     def _image_cells(self, img: np.ndarray, lon_min: float, lat_min: float,
                      lon_max: float, lat_max: float):
@@ -108,8 +119,7 @@ class ImageToCells:
             if not inside.any():
                 continue
             xs, ys, sc, sr = xs[inside], ys[inside], sc[inside], sr[inside]
-            cells = cell_from_point(self.res, xs, ys, self.grid)
-            ok = cells != ""
+            cells, ok = self._cells_of(xs, ys)
             out_cells.append(cells[ok])
             out_vals.append(img[sr[ok], sc[ok], :])
         if not out_cells:
@@ -196,6 +206,12 @@ class ImageToCells:
             ncols = np.maximum(1, np.ceil((right - aleft) / cw).astype(np.int64) + 1)
             nrows = np.maximum(1, np.ceil((atop - bottom) / cw).astype(np.int64) + 1)
             sizes = ncols * nrows
+            if sizes.size and int(sizes.max()) > 8_000_000:
+                # same guard as the slow path: a footprint spanning a wide
+                # range would otherwise allocate a multi-billion-point lattice
+                raise ValueError(
+                    f"target lattice of {int(sizes.max())} points too large "
+                    f"for one image; raise tile granularity")
             offsets = np.concatenate([[0], np.cumsum(sizes)])
             total = int(offsets[-1])
             # concatenated lattice: per-point image slot, local row/col
@@ -214,8 +230,7 @@ class ImageToCells:
                       & (sr >= 0) & (sr < hs[fidx][slot]))
             xs, ys, sc, sr, slot = xs[inside], ys[inside], sc[inside], sr[inside], \
                 slot[inside]
-            cells = cell_from_point(self.res, xs, ys, self.grid)
-            ok = cells != ""
+            cells, ok = self._cells_of(xs, ys)
             sc, sr, slot, cells = sc[ok], sr[ok], slot[ok], cells[ok]
             # global gather: concatenated pixel store + per-image offsets
             pix = np.concatenate([imgs[int(k)].reshape(-1, 3) for k in fidx]) \
@@ -240,7 +255,9 @@ class ImageToCells:
             out_cell.append(cells)
             out_vals.append(vals)
         if not out_cell:
-            return ids, (np.zeros(0, np.int64), np.zeros(0, "U1"),
+            empty_cells = np.zeros(0, np.int64) if self.use_keys \
+                else np.zeros(0, "U1")
+            return ids, (np.zeros(0, np.int64), empty_cells,
                          np.zeros((0, 3), np.uint8))
         return ids, (np.concatenate(out_idx), np.concatenate(out_cell),
                      np.concatenate(out_vals, axis=0))

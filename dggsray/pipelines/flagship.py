@@ -65,8 +65,13 @@ def _vector_cells_cached(res: int, grid_key: tuple):
     t = burn_polygons_to_cells(synthetic_polygons(), res, grid)
     cells = t.column("cellid").to_numpy(zero_copy_only=False)
     vals = t.column("value").to_numpy().astype(np.int64)
-    order = np.argsort(cells)
-    return t, cells[order], vals[order]
+    # packed int64 join keys (via each cell's centroid — strictly inside the
+    # cell, so the key is exact): 8 B/cell instead of a 36+ B unicode cell.
+    from ..core.rhpx import cell_centroid, cell_keys_from_point
+    cx, cy = cell_centroid(cells, grid)
+    keys = cell_keys_from_point(res, cx, cy, grid)
+    order = np.argsort(keys)
+    return t, keys[order], vals[order]
 
 
 def vector_cells_table(res: int = FLAGSHIP_RES,
@@ -80,8 +85,9 @@ def vector_cells_table(res: int = FLAGSHIP_RES,
 
 def vector_cells_sorted(res: int = FLAGSHIP_RES,
                         grid: GridConfig = DEFAULT_GRID):
-    """(sorted cellid array, aligned value array) — the broadcast join index,
-    pre-sorted once on the driver so actor constructors are trivial."""
+    """(sorted packed-int64 cell keys, aligned value array) — the broadcast
+    join index, pre-sorted once on the driver so actor constructors are
+    trivial."""
     _, c, v = _vector_cells_cached(res, (grid.n_side, grid.north_square,
                                          grid.south_square))
     return c, v
@@ -101,32 +107,33 @@ class ImageCellJoinAgg(ImageToCells):
 
     def __init__(self, poly_ref, **kw):
         super().__init__(**kw)
-        # NOTE: poly_ref must NOT be a raw ray.ObjectRef when this class is used
-        # as an actor-pool constructor arg — Ray's actor-restart path cannot
-        # re-resolve ObjectRefs in constructor args (ray#53727) and the round-1
-        # driver bench died on exactly that raylet abort.  The vector-side index
-        # is tiny (thousands of rows), so it is passed BY VALUE (tuple of numpy
-        # arrays) and serialized once with the actor creation task.
-        if isinstance(poly_ref, tuple):
-            # pre-sorted (cells, values) arrays from vector_cells_sorted
-            self.poly_cells, self.poly_vals = poly_ref
-        elif isinstance(poly_ref, pa.Table):
-            cells = poly_ref.column("cellid").to_numpy(zero_copy_only=False)
-            vals = poly_ref.column("value").to_numpy()
-            order = np.argsort(cells)
-            self.poly_cells, self.poly_vals = cells[order], \
-                vals[order].astype(np.int64)
-        else:
+        # Broadcast contract: poly_ref is a 1-element list WRAPPING a
+        # ray.ObjectRef ([ref]).  A nested ref is NOT resolved by Ray's
+        # actor-argument path, so the ray#53727 restart defect (raw ObjectRef
+        # constructor args — the round-1 driver-bench raylet abort) cannot
+        # trigger (restarts are additionally disabled via max_restarts=0), and
+        # the ~13 MB cell index is fetched zero-copy from the LOCAL object
+        # store instead of being serialized into the transform closure — the
+        # by-value variant measurably delayed the first actor call by ~4 s.
+        # Tuples/Tables by value are still accepted for driver-side use.
+        self.use_keys = True       # join on packed int64 keys, never strings
+        if isinstance(poly_ref, list):
             import ray
-            obj = ray.get(poly_ref)
-            if isinstance(obj, tuple):
-                self.poly_cells, self.poly_vals = obj
-            else:
-                cells = obj.column("cellid").to_numpy(zero_copy_only=False)
-                vals = obj.column("value").to_numpy()
-                order = np.argsort(cells)
-                self.poly_cells, self.poly_vals = cells[order], \
-                    vals[order].astype(np.int64)
+            poly_ref = ray.get(poly_ref[0])
+        elif not isinstance(poly_ref, (tuple, pa.Table)):
+            import ray
+            poly_ref = ray.get(poly_ref)
+        if isinstance(poly_ref, pa.Table):
+            # (cellid, value) string table: pack via centroids
+            from ..core.rhpx import cell_centroid, cell_keys_from_point
+            cells = poly_ref.column("cellid").to_numpy(zero_copy_only=False)
+            vals = poly_ref.column("value").to_numpy().astype(np.int64)
+            cx, cy = cell_centroid(cells, self.grid)
+            keys = cell_keys_from_point(self.res, cx, cy, self.grid)
+            order = np.argsort(keys)
+            poly_ref = (keys[order], vals[order])
+        # pre-sorted (packed keys, values) arrays from vector_cells_sorted
+        self.poly_cells, self.poly_vals = poly_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, (img_idx, cells, vals) = self._batch_cells(batch)
@@ -204,6 +211,21 @@ def flagship_resumable(sf: float, out_dir: str, res: int = FLAGSHIP_RES,
     return run_resumable(files, out_dir, make, n_parts, fail_after)
 
 
+def _flagship_blocks(n_images: int, concurrency: int,
+                     rounds: int = 3, epochs: int = 1) -> int:
+    """Input block count sized to the pool: ~`rounds` tasks per actor across
+    the whole run, capped so a block stays under ~12.5k images (memory) and
+    floored at one task per actor per epoch.  Scales with the cluster instead
+    of the data, so the task dispatch rate stays far below the scheduler's
+    single-thread ceiling at any CPU count."""
+    if isinstance(concurrency, tuple):   # autoscaling (min, max) pool
+        concurrency = concurrency[-1]
+    per_epoch = max(1, (rounds * concurrency) // max(1, epochs))
+    per_epoch = max(per_epoch, concurrency)
+    per_epoch = max(per_epoch, n_images // 12_500 + 1)
+    return int(min(per_epoch, 4096))
+
+
 def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
                       grid: GridConfig = DEFAULT_GRID,
                       concurrency=None, verify: bool = False,
@@ -211,11 +233,12 @@ def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
     """Returns the per-image result Dataset:
     (image_id, n_cells, n_matched, majority_value).
 
-    Tuning (measured at sf0.1/32cpus, see BENCH/): ~500-image input blocks with
-    whole-block batches and a fixed-size actor pool of (cpus-2) — re-batching to
-    small batch_size or oversplitting the read both halve throughput (task
-    dispatch overhead), and an autoscaling (2, N) pool never ramps within the
-    run."""
+    Tuning (measured at sf0.1/32cpus, see BENCH/): task count is sized to the
+    ACTOR POOL (~6 task rounds per actor), not to a fixed per-block image
+    count — with fixed-size blocks the 32-cpu pool needs task dispatch faster
+    than the single-threaded scheduler can feed (~30 blocks/s measured), which
+    was the dominant N->4N scaling loss.  Re-batching to small batch_size or an
+    autoscaling (2, N) pool both halve throughput (measured)."""
     import ray
     import ray.data as rd
 
@@ -224,16 +247,15 @@ def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
     path = ensure_image_table(sf)
     n_images = n_images_for_sf(sf)
     if concurrency is None:
-        # ~5/8 of the CPUs for the actor pool, the rest for the parquet read
-        # stage: actors reserve their CPU even while input-starved, so an
-        # (N-2)-actor pool squeezes every read task through 2 slots and pins
-        # throughput at the read rate regardless of N (measured in BENCH/)
-        concurrency = max(2, (int(ray.cluster_resources().get("CPU", 8)) * 5) // 8)
-    blocks = int(min(max(32, n_images // 1250), 4096))
+        # pool = cpus-3: with the packed-key kernel the actors no longer
+        # contend on memory, so the bigger pool wins (swept 12/15/18/21 at 24
+        # cpus: 20.1k/31.0k/33.4k/34.7k img/s); 3 slots are enough for the
+        # short parquet read tasks to stay ahead of the pool
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 3)
+    blocks = _flagship_blocks(n_images, concurrency)
     imgs = rd.read_parquet(path, override_num_blocks=blocks)
-    # by-value broadcast (small): avoids the ObjectRef-in-constructor actor
-    # restart defect (ray#53727) that crashed the round-1 driver bench
-    poly_idx = vector_cells_sorted(res, grid)
+    # nested-ref broadcast: plasma-shared, restart-safe (see ImageCellJoinAgg)
+    poly_idx = [ray.put(vector_cells_sorted(res, grid))]
     return imgs.map_batches(
         ImageCellJoinAgg,
         fn_constructor_kwargs={"poly_ref": poly_idx, "dst_resolution_idx": res,
@@ -253,12 +275,12 @@ def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
 
     path = ensure_image_table(sf)
     n_images = n_images_for_sf(sf)
-    concurrency = max(2, (int(ray.cluster_resources().get("CPU", 8)) * 5) // 8)
-    blocks = int(min(max(32, n_images // 1250), 4096))
+    concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 3)
+    blocks = _flagship_blocks(n_images, concurrency, epochs=epochs)
     ds = rd.read_parquet(path, override_num_blocks=blocks)
     for _ in range(epochs - 1):
         ds = ds.union(rd.read_parquet(path, override_num_blocks=blocks))
-    poly_idx = vector_cells_sorted(res, grid)
+    poly_idx = [ray.put(vector_cells_sorted(res, grid))]
     return ds.map_batches(
         ImageCellJoinAgg,
         fn_constructor_kwargs={"poly_ref": poly_idx, "dst_resolution_idx": res,

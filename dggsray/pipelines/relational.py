@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 from ..core.cells import truncate_to_resolution
 from ..core.rhpx import DEFAULT_GRID, cells_from_lonlat
 from ..oracle import G_LAT, G_LON
+from ..ops.joins import join_partitions
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -111,7 +112,7 @@ def cell_join_customer_orders(sf_dir: str, res: int = 3):
         lambda b: b.group_by("cellid").aggregate([([], "count_all")])
                    .rename_columns(["cellid", "_c"]),
         batch_format="pyarrow").groupby("cellid").aggregate(Sum("_c", alias_name="no"))
-    joined = cc.join(oc, join_type="inner", on=("cellid",), num_partitions=8)
+    joined = cc.join(oc, join_type="inner", on=("cellid",), num_partitions=join_partitions())
 
     def mul(b: pa.Table) -> pa.Table:
         pairs = pc.multiply(b.column("nc"), b.column("no"))
@@ -233,7 +234,7 @@ def docs_dedup_exact(sf_dir: str):
     keep = ds.groupby("text").aggregate(Min("doc_id", alias_name="keep_id"))
     lang = _read(sf_dir, "documents", ["doc_id", "lang"])
     joined = keep.join(lang, join_type="inner", on=("keep_id",),
-                       right_on=("doc_id",), num_partitions=8)
+                       right_on=("doc_id",), num_partitions=join_partitions())
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["lang"]).group_by("lang").aggregate([([], "count_all")])
