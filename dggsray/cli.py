@@ -200,7 +200,11 @@ def main(argv=None):
         from .io.storage import parquet_to_rhealpix
         parquet_to_rhealpix(args.input, args.output, args.nodata, grid.n_side)
     elif args.cmd == "print-ras-rhpx-metadata":
+        from .core.raster import raster_subdatasets
         from .ops.warp import get_rhpx_metadata
+        subs = raster_subdatasets(args.input)
+        if subs:        # gdalinfo-style listing for NetCDF containers
+            print({"subdatasets": subs})
         print(get_rhpx_metadata(args.input, grid.n_side))
     elif args.cmd == "print-vec-rhpx-metadata":
         from .io.storage import get_parquet_rhpx_metadata

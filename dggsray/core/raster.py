@@ -1,0 +1,47 @@
+"""Format dispatch for raster inputs (reference: rasterio/GDAL opens anything;
+here the supported set is GeoTIFF (DEFLATE/PackBits/uncompressed, tiffio) and
+NetCDF classic subdatasets (netcdfio) — the two formats the reference's own
+test fixtures use).  GDAL-style subdataset syntax is accepted:
+
+    open_raster("scene.tif")
+    open_raster("product.nc")                     # first 2D+ variable
+    open_raster('NETCDF:"product.nc":sce500')     # explicit subdataset
+    open_raster("product.nc:sce500")              # shorthand
+"""
+from __future__ import annotations
+
+from .tiffio import GeoTiff, read_geotiff
+
+
+def parse_raster_path(path: str) -> tuple[str, str | None]:
+    """(file_path, subdataset_or_None) from plain or GDAL-subdataset syntax."""
+    if path.upper().startswith("NETCDF:"):
+        rest = path[len("NETCDF:"):]
+        if rest.startswith('"'):
+            end = rest.index('"', 1)
+            return rest[1:end], rest[end + 2:] or None
+        if ":" in rest:
+            f, v = rest.rsplit(":", 1)
+            return f, v or None
+        return rest, None
+    if ".nc:" in path:
+        f, v = path.rsplit(":", 1)
+        return f, v
+    return path, None
+
+
+def open_raster(path: str) -> GeoTiff:
+    f, sub = parse_raster_path(path)
+    if f.lower().endswith(".nc"):
+        from .netcdfio import read_netcdf_raster
+        g, _meta = read_netcdf_raster(f, sub)
+        return g
+    return read_geotiff(f)
+
+
+def raster_subdatasets(path: str) -> list[str]:
+    f, _sub = parse_raster_path(path)
+    if f.lower().endswith(".nc"):
+        from .netcdfio import NetCDFClassic
+        return [f'NETCDF:"{f}":{v}' for v in NetCDFClassic(f).subdatasets()]
+    return []

@@ -356,9 +356,9 @@ def geotiff_to_tiles(path: str, grid: GridConfig = DEFAULT_GRID, tile: int = 512
     file-path entry of the reference's ras-rhpx-to-vec-rhpx chain.  The raster is
     chunked into tile rows so the explode runs distributed."""
     import ray.data as rd
-    from ..core.tiffio import read_geotiff
+    from ..core.raster import open_raster
 
-    g = read_geotiff(path)
+    g = open_raster(path)
     nbands, H, W = g.data.shape
     res_idx, _ = grid.get_closest_resolution(abs(g.res_x))
     res_idx_y, _ = grid.get_closest_resolution(abs(g.res_y))

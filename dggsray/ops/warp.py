@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core.geodesy import get_geodesic_size
 from ..core.rhpx import DEFAULT_GRID, GridConfig, align_point, project_fwd, project_inv
+from ..core.raster import open_raster
 from ..core.tiffio import GeoTiff, read_geotiff, write_geotiff
 from ..core.tmerc import parse_utm_crs, utm_fwd, utm_inv
 
@@ -152,7 +153,7 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         raise ValueError(
             f"unsupported input CRS {input_crs!r}: geographic | rhealpix | "
             f"utm:NNh | epsg:326NN/327NN")
-    g = read_geotiff(input_path)
+    g = open_raster(input_path)
     if dst_resolution_idx == -1:
         dst_resolution_idx = infer_resolution_idx(g, input_crs, grid,
                                                   rescaling_strategy)
@@ -222,7 +223,7 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
     ceil output shape, rescaled transform)."""
     if scale_y is None:
         scale_y = scale_x
-    g = read_geotiff(input_path)
+    g = open_raster(input_path)
     nbands, H, W = g.data.shape
     oh, ow = math.ceil(H * scale_y), math.ceil(W * scale_x)
     if resampling == "nearest":
@@ -249,7 +250,7 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
 def get_rhpx_metadata(input_path: str, n_side: int = 3) -> dict:
     """Reference get_gdf_attrs_from_rhealpix_file semantics
     (rhpxutils.py:110-145): {} and res_idx -1 for non-rHPX files."""
-    g = read_geotiff(input_path)
+    g = open_raster(input_path)
     grid = GridConfig(n_side, 1, 0)
     meta = {"left": g.left, "top": g.top,
             "right": g.left + g.data.shape[2] * g.res_x,

@@ -226,19 +226,37 @@ def _flagship_blocks(n_images: int, concurrency: int,
     return int(min(per_epoch, 4096))
 
 
+def _flagship_concurrency() -> int:
+    """Actor pool size: all CPUs minus ~1/8 reserved for the read stage and
+    Ray system threads (floor 1 reserved).  Swept at 6 cpus: pool=5 gives
+    7.7k img/s vs 3.7k at pool=3 (cpus-3 over-reserved at small N); at 24
+    cpus pool=21 was the sweep winner (20.1k/31.0k/33.4k/34.7k img/s for
+    pools 12/15/18/21)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus - max(1, cpus // 8))
+
+
+# Per-batch image cap for the fused join kernel: the concatenated per-batch
+# lattice (images x 4096 pixel cells) must stay inside the LLC working set —
+# measured 0.33 ms/img at <=1250 images/batch vs 3.13 ms/img at 5555 (cache
+# thrash in the packed-key searchsorted probe).  Blocks stay pool-sized for
+# dispatch amortization; Ray slices them into batches inside the actor.
+FLAGSHIP_BATCH = 625
+
+
 def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
                       grid: GridConfig = DEFAULT_GRID,
                       concurrency=None, verify: bool = False,
-                      batch_size=None):
+                      batch_size=FLAGSHIP_BATCH):
     """Returns the per-image result Dataset:
     (image_id, n_cells, n_matched, majority_value).
 
-    Tuning (measured at sf0.1/32cpus, see BENCH/): task count is sized to the
+    Tuning (measured at sf0.1, see BENCH/): task count is sized to the
     ACTOR POOL (~6 task rounds per actor), not to a fixed per-block image
     count — with fixed-size blocks the 32-cpu pool needs task dispatch faster
-    than the single-threaded scheduler can feed (~30 blocks/s measured), which
-    was the dominant N->4N scaling loss.  Re-batching to small batch_size or an
-    autoscaling (2, N) pool both halve throughput (measured)."""
+    than the single-threaded scheduler can feed (~30 blocks/s measured);
+    batch_size caps the in-actor working set (see FLAGSHIP_BATCH)."""
     import ray
     import ray.data as rd
 
@@ -247,11 +265,7 @@ def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
     path = ensure_image_table(sf)
     n_images = n_images_for_sf(sf)
     if concurrency is None:
-        # pool = cpus-3: with the packed-key kernel the actors no longer
-        # contend on memory, so the bigger pool wins (swept 12/15/18/21 at 24
-        # cpus: 20.1k/31.0k/33.4k/34.7k img/s); 3 slots are enough for the
-        # short parquet read tasks to stay ahead of the pool
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 3)
+        concurrency = _flagship_concurrency()
     blocks = _flagship_blocks(n_images, concurrency)
     imgs = rd.read_parquet(path, override_num_blocks=blocks)
     # nested-ref broadcast: plasma-shared, restart-safe (see ImageCellJoinAgg)
@@ -275,7 +289,7 @@ def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
 
     path = ensure_image_table(sf)
     n_images = n_images_for_sf(sf)
-    concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 3)
+    concurrency = _flagship_concurrency()
     blocks = _flagship_blocks(n_images, concurrency, epochs=epochs)
     ds = rd.read_parquet(path, override_num_blocks=blocks)
     for _ in range(epochs - 1):
@@ -285,5 +299,5 @@ def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
         ImageCellJoinAgg,
         fn_constructor_kwargs={"poly_ref": poly_idx, "dst_resolution_idx": res,
                                "grid": grid, "verify": verify},
-        batch_format="pyarrow", batch_size=None, concurrency=concurrency,
-        max_restarts=0)
+        batch_format="pyarrow", batch_size=FLAGSHIP_BATCH,
+        concurrency=concurrency, max_restarts=0)
