@@ -66,6 +66,94 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, ClearCode 256, EOI 257, early
+    change: the code width bumps one code earlier than generic LZW)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    bitbuf = 0
+    bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                next_code = 258
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                next_code += 1
+            else:                        # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            out += entry
+            prev = entry
+            if next_code == (1 << width) - 1 and width < 12:   # early change
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (round-trip partner of _lzw_decode)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code, width):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    width = 9
+    next_code = 258
+    emit(CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # early change: encoder switches right after ADDING entry 2^w - 1
+        # (the decoder, one entry behind, switches at its next_code 2^w - 1)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:            # table nearly full: restart
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width = 9
+            next_code = 258
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
 def read_geotiff(path: str) -> GeoTiff:
     d = open(path, "rb").read()
     assert d[:2] == b"II", "only little-endian TIFFs supported"
@@ -97,20 +185,27 @@ def read_geotiff(path: str) -> GeoTiff:
     offsets, counts = tags[273], tags[279]
     rows_per_strip = tags.get(278, (h,))[0]
     planar = tags.get(284, (1,))[0]
-    if comp not in (1, 8, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (supported: none=1, "
+            f"unsupported TIFF compression {comp} (supported: none=1, LZW=5, "
             f"DEFLATE=8, PackBits=32773)")
     raw = b""
     for o, c in zip(offsets, counts):
         chunk = d[o:o + c]
         if comp == 8:
             raw += zlib.decompress(chunk)
+        elif comp == 5:
+            raw += _lzw_decode(chunk)
         elif comp == 32773:
             raw += _packbits_decode(chunk)
         else:
             raw += chunk
     arr = np.frombuffer(raw, dtype=dtype)
+    if tags.get(317, (1,))[0] == 2:      # horizontal-differencing predictor
+        spp = bands if planar != 2 else 1
+        arr = np.cumsum(
+            arr.reshape(-1, w, spp).astype(dtype), axis=1,
+            dtype=dtype).ravel()
     if planar == 2 and bands > 1:
         data = arr.reshape(bands, h, w)
     else:
@@ -134,13 +229,21 @@ def read_geotiff(path: str) -> GeoTiff:
                    ascii_tags)
 
 
-def write_geotiff(path: str, g: GeoTiff, compress: bool = True):
+def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True):
+    """compress: True/"deflate" -> DEFLATE(8), "lzw" -> LZW(5),
+    "packbits"-style RLE is read-only; False -> uncompressed."""
     bands, h, w = g.data.shape
     dt = g.data.dtype
     pix = np.moveaxis(g.data, 0, 2).astype(dt, copy=False)  # interleaved
     payload = pix.tobytes()
-    if compress:
+    if compress == "lzw":
+        comp_tag = 5
+        payload = _lzw_encode(payload)
+    elif compress:
+        comp_tag = 8
         payload = zlib.compress(payload, 6)
+    else:
+        comp_tag = 1
 
     entries = []
     extra = bytearray()
@@ -170,7 +273,7 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool = True):
     dim(256, w)
     dim(257, h)
     add(258, 3, [bits] * bands, "H")
-    add(259, 3, [8 if compress else 1], "H")
+    add(259, 3, [comp_tag], "H")
     add(262, 3, [1], "H")
     add(273, 4, [0], "I")          # patched below
     add(277, 3, [bands], "H")

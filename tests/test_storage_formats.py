@@ -53,3 +53,56 @@ class TestWkt:
         from dggsray.core.rhpx import GridConfig
         with pytest.raises(ValueError, match="rHEALPix"):
             GridConfig.from_wkt('PROJCRS["WGS 84 / UTM zone 30N"]')
+
+
+class TestLZW:
+    def test_codec_roundtrip(self):
+        rng = np.random.default_rng(3)
+        cases = [b"", b"A", b"TOBEORNOTTOBEORTOBEORNOT" * 10,
+                 rng.integers(0, 256, 100000, dtype=np.uint8).tobytes(),
+                 (b"\x00" * 5000 + b"\x01\x02" * 3000) * 4,
+                 bytes(range(256)) * 40]
+        from dggsray.core.tiffio import _lzw_decode, _lzw_encode
+        for data in cases:       # random data forces width bumps + table reset
+            assert _lzw_decode(_lzw_encode(data)) == data
+
+    def test_geotiff_lzw_roundtrip(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 1000, (2, 37, 53)).astype(np.int16)
+        p = str(tmp_path / "z.tif")
+        write_geotiff(p, GeoTiff(arr, -10.0, 50.0, 0.1, 0.1, nodata=7),
+                      compress="lzw")
+        r = read_geotiff(p)
+        assert (r.data == arr).all()
+        assert r.nodata == 7
+
+    def test_lzw_predictor2(self, tmp_path):
+        """Hand-built minimal TIFF: LZW strips of horizontally-differenced
+        uint8 rows + Predictor=2 tag -> read_geotiff must reconstruct."""
+        import struct
+        from dggsray.core.tiffio import _lzw_encode, read_geotiff
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 255, (4, 6), dtype=np.uint8)
+        diff = a.astype(np.int16)
+        diff[:, 1:] -= a.astype(np.int16)[:, :-1]
+        payload = _lzw_encode((diff % 256).astype(np.uint8).tobytes())
+        entries = [(256, 3, 1, 6), (257, 3, 1, 4), (258, 3, 1, 8),
+                   (259, 3, 1, 5), (262, 3, 1, 1), (273, 4, 1, 0),
+                   (277, 3, 1, 1), (278, 3, 1, 4),
+                   (279, 4, 1, len(payload)), (317, 3, 1, 2)]
+        ifd_off = 8
+        data_off = ifd_off + 2 + len(entries) * 12 + 4
+        buf = b"II*\x00" + struct.pack("<I", ifd_off)
+        buf += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            buf += struct.pack("<HHI", tag, typ, cnt)
+            buf += struct.pack("<I", val) if typ == 4 \
+                else struct.pack("<HH", val, 0)
+        buf += struct.pack("<I", 0) + payload
+        p = str(tmp_path / "pred.tif")
+        open(p, "wb").write(buf)
+        r = read_geotiff(p)
+        assert (r.data[0] == a).all()
