@@ -119,6 +119,7 @@ def run_scaling(epochs: int = 8):
     # Ray system threads and this host's co-tenant load (ambient 10+ cores
     # observed), so the 4N level measures the ENGINE's scaling rather than
     # core-starvation of the whole machine.  Override with GRAFT_SCALING_CPUS.
+    pair_effs = []
     for rep in range(reps):
         for cpus in (lo, hi):
             # pin the N-cpu run to N physical cores: ray's num_cpus is pure
@@ -136,14 +137,23 @@ def run_scaling(epochs: int = 8):
             best = results.get(cpus)
             if best is None or r["value"] < best["value"]:
                 results[cpus] = r
-        # interleaved reps + best-of-N: the host is shared with other tenants,
-        # so co-tenant bursts hit both levels instead of biasing one
+            results.setdefault(("rep", cpus, rep), r)
+        # matched pairs: each rep's two levels ran back-to-back, so a
+        # co-tenant burst hits the PAIR, and the per-rep efficiency stays
+        # meaningful; best-of-each-level pairing would instead divide one
+        # level's luckiest run by the other's, biasing the ratio either way
+        r_lo = results[("rep", lo, rep)]
+        r_hi = results[("rep", hi, rep)]
+        pair_effs.append(
+            (r_lo["value"] / r_hi["value"]) / (hi / lo))
+    pair_effs.sort()
+    eff = pair_effs[len(pair_effs) // 2]     # median of matched-pair effs
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
         "metric": f"flagship N->4N scaling ({lo} vs {hi} cpus, fresh processes)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "sf": sf_of(SF_DIR),
         "epochs": epochs,
         "cpus_n": lo, "cpus_4n": hi,
