@@ -133,6 +133,42 @@ def lsh_band_buckets(sig_ds, id_col: str = "doc_id", bands: int = 32,
     return sig_ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def _run_pairs(new: np.ndarray, max_bucket: int):
+    """All intra-run index pairs of a run-length-encoded sorted array.
+
+    `new[k]` marks the first row of each run (bucket).  Returns global row
+    indices (ia, ib) of every within-run pair (row-major upper triangle,
+    runs capped at max_bucket rows) and a per-pair truncation flag.  The
+    (i, j) recovery from the flat pair index is the closed-form inversion
+    i = floor(m - 1/2 - sqrt((m - 1/2)^2 - 2t)) with one-step integer
+    corrections (validated exhaustively to m=5000 in tests)."""
+    n = new.size
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    trunc_runs = lens > max_bucket
+    m_all = np.minimum(lens, max_bucket).astype(np.int64)
+    npairs = m_all * (m_all - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, bool)
+    run_of = np.repeat(np.arange(m_all.size), npairs)
+    off = np.concatenate(([0], np.cumsum(npairs)))[:-1]
+    t = np.arange(total, dtype=np.int64) - off[run_of]
+    m = m_all[run_of]
+    mm = m.astype(np.float64)
+    i = np.floor(mm - 0.5 - np.sqrt((mm - 0.5) ** 2 - 2.0 * t)).astype(np.int64)
+    i = np.clip(i, 0, m - 2)
+    base = i * (2 * m - i - 1) // 2
+    i -= (base > t).astype(np.int64)
+    bump = t >= (i + 1) * (2 * m - i - 2) // 2
+    i = i + bump.astype(np.int64)
+    base = i * (2 * m - i - 1) // 2
+    j = t - base + i + 1
+    gi = starts[run_of]
+    return gi + i, gi + j, trunc_runs[run_of]
+
+
 def lsh_candidate_pairs(bucket_ds, id_col: str = "doc_id",
                         max_bucket: int = 2000, n_parts: int = 256):
     """(band, band_hash) buckets -> all intra-bucket pairs (id_a < id_b), deduped.
@@ -161,39 +197,10 @@ def lsh_candidate_pairs(bucket_ds, id_col: str = "doc_id",
         n = ids.size
         new = np.ones(n, dtype=bool)
         new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, n))
-        trunc_runs = lens > max_bucket
-        lens = np.minimum(lens, max_bucket)
-        # pairs per run: m*(m-1)/2; vectorized triangular expansion:
-        # for each run, id_a index walks 0..m-2 repeated (m-1-i) times
-        m = lens.astype(np.int64)
-        npairs = m * (m - 1) // 2
-        total = int(npairs.sum())
-        if total == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "truncated": pa.array([], pa.bool_())})
-        run_of = np.repeat(np.arange(m.size), npairs)
-        # local pair index within each run, 0..npairs[r]-1
-        off = np.concatenate(([0], np.cumsum(npairs)))[:-1]
-        t = np.arange(total, dtype=np.int64) - off[run_of]
-        # invert t -> (i, j) of the upper triangle row-major:
-        # i = floor(m - 0.5 - sqrt((m-0.5)^2 - 2t)), j = t - i*m + i(i+1)/2 + i + 1
-        mm = m[run_of].astype(np.float64)
-        i = np.floor(mm - 0.5 - np.sqrt((mm - 0.5) ** 2 - 2.0 * t)).astype(np.int64)
-        i = np.clip(i, 0, m[run_of] - 2)
-        # one-step corrections for float edge cases (base(i) = pairs before row i)
-        base = i * (2 * m[run_of] - i - 1) // 2
-        i -= (base > t).astype(np.int64)
-        bump = t >= (i + 1) * (2 * m[run_of] - i - 2) // 2
-        i = i + bump.astype(np.int64)
-        base = i * (2 * m[run_of] - i - 1) // 2
-        j = t - base + i + 1
-        gi = starts[run_of]
-        return pa.table({"id_a": pa.array(ids[gi + i], pa.int64()),
-                         "id_b": pa.array(ids[gi + j], pa.int64()),
-                         "truncated": pa.array(trunc_runs[run_of])})
+        ia, ib, trunc = _run_pairs(new, max_bucket)
+        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
+                         "id_b": pa.array(ids[ib], pa.int64()),
+                         "truncated": pa.array(trunc)})
 
     from ray.data.aggregate import Max
 
@@ -437,16 +444,27 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             out["simhash"].append(h)
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
-    def pairs(g: pa.Table) -> pa.Table:
+    def part_key(bt: pa.Table) -> pa.Table:
+        # coarse partition (whole (band, key) buckets never split) so the
+        # expansion below runs <= 256 Python calls, each vectorized over ALL
+        # its buckets — not one map_groups call per bucket
+        comb = pc.add(pc.multiply(pc.cast(bt.column("band"), pa.int64()),
+                                  65536), bt.column("key"))
+        return bt.append_column(
+            "_part", pc.cast(pc.bit_wise_and(comb, 255), pa.int32()))
+
+    def pairs_vec(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("band", "ascending"),
+                                              ("key", "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        band = g.column("band").to_numpy()
+        key = g.column("key").to_numpy()
         ids = g.column(id_col).to_numpy()
         hs = g.column("simhash").to_numpy()
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        ia, ib = np.triu_indices(ids.size, k=1)
-        if ia.size == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
+        new = np.ones(ids.size, dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        ia, ib, _ = _run_pairs(new, max_bucket=100_000)
         ham = _popcount64(hs[ia] ^ hs[ib]).astype(np.int64)
         keep = ham <= max_hamming
         return pa.table({"id_a": pa.array(ids[ia[keep]], pa.int64()),
@@ -458,7 +476,8 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     from .joins import sized_groupby
 
     cand = sigs.map_batches(bandify, batch_format="pyarrow") \
-        .groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
+        .map_batches(part_key, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pairs_vec, batch_format="pyarrow")
     return sized_groupby(cand, ["id_a", "id_b"],
                          Min("hamming", alias_name="hamming"))
 
@@ -530,35 +549,54 @@ def embedding_neardup_lsh(ds, threshold: float, id_col: str = "vec_id",
             emb_col: pa.concat_arrays([bt.column(emb_col).combine_chunks()]
                                       * n_tables)})
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_numpy()
+    def part_key(bt: pa.Table) -> pa.Table:
+        comb = pc.add(pc.multiply(pc.cast(bt.column("tbl"), pa.int64()),
+                                  1 << n_bits), bt.column("key"))
+        return bt.append_column(
+            "_part", pc.cast(pc.bit_wise_and(comb, 255), pa.int32()))
+
+    def bucket_pairs_vec(g: pa.Table) -> pa.Table:
+        """ALL buckets of a coarse partition expanded in one vectorized call:
+        sort by (tbl, key, id), run-length boundaries, closed-form triangular
+        pair expansion (_run_pairs), then one row-wise einsum for the exact
+        cosines — per-pair dots instead of a per-bucket dense matmul."""
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "cos_micro": pa.array([], pa.int64()),
                           "truncated": pa.array([], pa.bool_())})
-        if ids.size < 2:
+        if g.num_rows < 2:
             return empty
-        order = np.argsort(ids)
-        trunc = ids.size > max_bucket
-        order = order[:max_bucket]
-        ids = ids[order]
-        emb = np.stack(g.column(emb_col).to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)[order]
-        norms = np.linalg.norm(emb, axis=1)
-        cos = (emb @ emb.T) / np.maximum(norms[:, None] * norms[None, :], 1e-300)
-        ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+        order = pc.sort_indices(g, sort_keys=[("tbl", "ascending"),
+                                              ("key", "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        tbl = g.column("tbl").to_numpy()
+        key = g.column("key").to_numpy()
+        ids = g.column(id_col).to_numpy()
+        new = np.ones(ids.size, dtype=bool)
+        new[1:] = (tbl[1:] != tbl[:-1]) | (key[1:] != key[:-1])
+        ia, ib, trunc = _run_pairs(new, max_bucket)
         if ia.size == 0:
             return empty
+        emb = np.stack(g.column(emb_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        num = np.einsum("ij,ij->i", emb[ia], emb[ib])
+        cos = num / np.maximum(norms[ia] * norms[ib], 1e-300)
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
         return pa.table({
-            "id_a": pa.array(ids[ia], pa.int64()),
-            "id_b": pa.array(ids[ib], pa.int64()),
-            "cos_micro": pa.array(np.rint(cos[ia, ib] * 1e6).astype(np.int64)),
-            "truncated": pa.array(np.full(ia.size, trunc))})
+            "id_a": pa.array(ids[ia[keep]], pa.int64()),
+            "id_b": pa.array(ids[ib[keep]], pa.int64()),
+            "cos_micro": pa.array(np.rint(cos[keep] * 1e6).astype(np.int64)),
+            "truncated": pa.array(trunc[keep])})
 
     from .joins import sized_groupby
 
     cand = ds.map_batches(bandify, batch_format="pyarrow") \
-        .groupby(["tbl", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(part_key, batch_format="pyarrow") \
+        .groupby("_part").map_groups(bucket_pairs_vec, batch_format="pyarrow")
     return sized_groupby(cand, ["id_a", "id_b"],
                          Max("cos_micro", alias_name="cos_micro"),
                          Max("truncated", alias_name="truncated"))

@@ -96,3 +96,79 @@ def lsh_topk(ds, query: np.ndarray, k: int, id_col: str = "vec_id",
 
     cand = ds.map_batches(filter_candidates, batch_format="pyarrow")
     return brute_topk(cand, q[None, :], k, id_col, emb_col)
+
+
+def kmeans_centroids(X: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 41) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side SAMPLE (the IVF coarse quantizer
+    is always trained on a sample, not the corpus).  Deterministic seeding;
+    empty clusters re-seeded from the farthest points."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    C = X[rng.choice(X.shape[0], size=min(n_centroids, X.shape[0]),
+                     replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
+            if X.shape[0] * C.shape[0] * X.shape[1] < 5e7 else None
+        if d2 is None:      # blocked distance for big samples
+            d2 = (X ** 2).sum(1)[:, None] - 2 * X @ C.T + (C ** 2).sum(1)[None, :]
+        assign = d2.argmin(axis=1)
+        for c in range(C.shape[0]):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+            else:
+                C[c] = X[d2.min(axis=1).argmax()]
+    return C
+
+
+def ivf_assign(ds, centroids: np.ndarray, emb_col: str = "embedding"):
+    """Add the IVF list id (nearest centroid) to every row — ONE streaming
+    pass with the centroid matrix broadcast via ray.put.  Persisting the
+    result partitioned by list_id IS the IVF index: a probe then reads only
+    nprobe partitions of the corpus."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        emb = np.stack(b.column(emb_col).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        d2 = (emb ** 2).sum(1)[:, None] - 2 * emb @ C.T + (C ** 2).sum(1)[None, :]
+        return b.append_column("list_id",
+                               pa.array(d2.argmin(axis=1).astype(np.int32)))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def ivf_topk(ds, query: np.ndarray, k: int, centroids: np.ndarray,
+             nprobe: int = 8, id_col: str = "vec_id",
+             emb_col: str = "embedding"):
+    """IVF ANN top-k: probe the nprobe lists nearest to the query, exact
+    rerank within them (partial top-k per batch + tiny final merge).  With a
+    list_id-partitioned parquet index the filter becomes a partition-pruned
+    read; over a raw dataset it streams and recomputes assignment per batch
+    (no materialized state, same result)."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2q = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(d2q)[:nprobe]).astype(np.int32)
+    cref = ray.put((C, probe))
+
+    def filter_lists(b: pa.Table) -> pa.Table:
+        Cm, pr = ray.get(cref)
+        if "list_id" in b.column_names:
+            lid = b.column("list_id").to_numpy()
+        else:
+            emb = np.stack(b.column(emb_col).to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            d2 = (emb ** 2).sum(1)[:, None] - 2 * emb @ Cm.T \
+                + (Cm ** 2).sum(1)[None, :]
+            lid = d2.argmin(axis=1).astype(np.int32)
+        return b.filter(pa.array(np.isin(lid, pr)))
+
+    cand = ds.map_batches(filter_lists, batch_format="pyarrow")
+    return brute_topk(cand, q[None, :], k, id_col, emb_col)

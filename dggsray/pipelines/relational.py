@@ -373,6 +373,20 @@ def embed_lsh_top20(sf_dir: str):
     return lsh_topk(ds, q, 20, n_bits=4, n_tables=16)
 
 
+def embed_ivf_top10(sf_dir: str, n_centroids: int = 32, nprobe: int = 8):
+    """IVF ANN: k-means coarse quantizer trained on a driver-side sample,
+    nprobe nearest lists probed + exact rerank (ops.similarity.ivf_topk).
+    The corpus streams; only the (n_centroids x dim) quantizer is broadcast."""
+    from ..ops.similarity import ivf_topk, kmeans_centroids
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = ds.limit(2048).to_pandas()
+    X = np.stack(sample["embedding"].to_numpy())
+    C = kmeans_centroids(X, n_centroids)
+    dim = X.shape[1]
+    q = np.sin(np.arange(dim, dtype=np.float64) * 0.1) + 0.5
+    return ivf_topk(ds, q, 10, C, nprobe=nprobe)
+
+
 def auid_customer_region(sf_dir: str, res: int = 3):
     """Distinct customer cells -> optimized CUID set -> canonical AUID.
     The distributed part is the distinct; the (small) compaction + encode is

@@ -215,3 +215,38 @@ class TestMultimodal:
                        "fmt": pa.array(["rawv"], pa.string())})
         out = VideoFrameSample(every_n=10)(vt)
         assert out.column("frame_idx").to_pylist() == [0, 10, 20]
+
+
+class TestIVF:
+    def test_ivf_topk_vs_brute(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.similarity import (brute_topk, ivf_assign, ivf_topk,
+                                            kmeans_centroids)
+        rng = np.random.default_rng(11)
+        emb = rng.standard_normal((800, 16))
+        q = emb[123] + rng.standard_normal(16) * 0.01
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(800), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64()))}))
+        C = kmeans_centroids(emb[:400], 16)
+        exact = brute_topk(ds, q[None, :], 5).to_pandas() \
+            .sort_values("cos_micro", ascending=False)
+        ann = ivf_topk(ds, q, 5, C, nprobe=6).to_pandas() \
+            .sort_values("cos_micro", ascending=False)
+        # the near-duplicate of the query must be found, and recall >= 3/5
+        assert ann.iloc[0]["vec_id"] == exact.iloc[0]["vec_id"] == 123
+        assert len(set(ann["vec_id"]) & set(exact["vec_id"])) >= 3
+
+    def test_ivf_assign_partitions_cover_corpus(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.similarity import ivf_assign, kmeans_centroids
+        rng = np.random.default_rng(12)
+        emb = rng.standard_normal((300, 8))
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(300), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64()))}))
+        C = kmeans_centroids(emb, 8)
+        out = ivf_assign(ds, C).to_pandas()
+        assert len(out) == 300
+        assert out["list_id"].between(0, 7).all()
+        assert out["list_id"].nunique() >= 4    # lists actually used
