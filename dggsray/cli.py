@@ -91,7 +91,8 @@ def main(argv=None):
                     choices=["higher", "lower", "closest"])
     sp.add_argument("--input-crs", default="geographic",
                     help="geographic | rhealpix | utm:NNh (e.g. utm:30N) | "
-                         "epsg:326NN/327NN")
+                         "epsg:326NN/327NN | albers | auto (read the CRS "
+                         "embedded in the file, e.g. ERDAS .img)")
     sp.add_argument("--resampling", default="nearest",
                     choices=["nearest", "bilinear", "cubic"])
     sp.add_argument("--src-nodata", type=float, default=None)

@@ -36,6 +36,10 @@ def open_raster(path: str) -> GeoTiff:
         from .netcdfio import read_netcdf_raster
         g, _meta = read_netcdf_raster(f, sub)
         return g
+    if f.lower().endswith(".img"):
+        from .hfaio import read_img
+        g, _meta = read_img(f)
+        return g
     return read_geotiff(f)
 
 

@@ -48,7 +48,7 @@ def infer_resolution_idx(g: GeoTiff, crs: str, grid: GridConfig,
     """Reference raster_to_rhpx.py:156-190 semantics (projected-in-meters
     inputs use their native pixel size; geographic uses the geodesic
     estimate)."""
-    if crs == "rhealpix" or _is_utm(crs):
+    if crs in ("rhealpix", "albers") or _is_utm(crs):
         best = min(abs(g.res_x), abs(g.res_y))
     else:
         right = g.left + g.data.shape[2] * g.res_x
@@ -149,11 +149,27 @@ def raster_to_rhealpix(input_path: str, output_path: str,
                        src_nodata=None, dst_nodata=None,
                        row_chunk: int = 1024) -> int:
     """Returns the destination resolution index (reference contract)."""
-    if input_crs not in ("geographic", "rhealpix") and not _is_utm(input_crs):
+    if input_crs not in ("geographic", "rhealpix", "auto", "albers") \
+            and not _is_utm(input_crs):
         raise ValueError(
             f"unsupported input CRS {input_crs!r}: geographic | rhealpix | "
-            f"utm:NNh | epsg:326NN/327NN")
+            f"utm:NNh | epsg:326NN/327NN | albers | auto")
     g = open_raster(input_path)
+    albers = None
+    if input_crs in ("auto", "albers"):
+        # "auto": take the CRS the file itself carries (HFA Eprj_ProParameters
+        # -> core.hfaio tags; the reference reads CRS from the file via
+        # rasterio the same way).  Files without projection metadata are
+        # treated as geographic.
+        proj = g.tags.get("proj")
+        if proj is not None and "Albers" in proj.get("name", ""):
+            from ..core.albers import AlbersParams
+            albers = AlbersParams.from_hfa(proj)
+            input_crs = "albers"
+        elif input_crs == "albers":
+            raise ValueError(f"{input_path}: no Albers parameters in file")
+        else:
+            input_crs = "geographic"
     if dst_resolution_idx == -1:
         dst_resolution_idx = infer_resolution_idx(g, input_crs, grid,
                                                   rescaling_strategy)
@@ -172,7 +188,7 @@ def raster_to_rhealpix(input_path: str, output_path: str,
     utm = parse_utm_crs(input_crs) if _is_utm(input_crs) else None
 
     # destination bbox: project a boundary sample of the source extent
-    if input_crs == "geographic" or utm is not None:
+    if input_crs == "geographic" or utm is not None or albers is not None:
         n = 64
         bx = np.concatenate([np.linspace(g.left, right, n),
                              np.linspace(g.left, right, n),
@@ -182,6 +198,9 @@ def raster_to_rhealpix(input_path: str, output_path: str,
                              np.linspace(bottom, g.top, n)])
         if utm is not None:
             bx, by = utm_inv(bx, by, *utm)
+        elif albers is not None:
+            from ..core.albers import albers_inv
+            bx, by = albers_inv(bx, by, albers)
         px, py = project_fwd(bx, by, grid)
     else:
         px = np.array([g.left, right, g.left, right])
@@ -203,6 +222,10 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         elif utm is not None:
             lon, lat = project_inv(xs, ys, grid)
             lon, lat = utm_fwd(lon, lat, *utm)
+        elif albers is not None:
+            from ..core.albers import albers_fwd
+            lon, lat = project_inv(xs, ys, grid)
+            lon, lat = albers_fwd(lon, lat, albers)
         else:
             lon, lat = xs, ys
         fc = (lon - g.left) / g.res_x
