@@ -192,14 +192,28 @@ def main(argv=None):
         print(f"total_cells_area: {tc:.0f}")
     elif args.cmd == "ras-rhpx-to-vec-rhpx":
         _ray_init()
-        from .io.storage import rhealpix_to_parquet
-        rhealpix_to_parquet(args.input, args.output, grid.n_side,
-                            args.geo_id_column_name, args.add_uid,
-                            args.values_in_json, args.store_nodata)
+        if args.output.endswith(".gpkg"):
+            from .io.gpkg import rhealpix_to_geopackage
+            rhealpix_to_geopackage(args.input, args.output, grid.n_side,
+                                   args.geo_id_column_name,
+                                   add_uid=args.add_uid,
+                                   values_in_json=args.values_in_json,
+                                   store_nodata=args.store_nodata)
+        else:
+            from .io.storage import rhealpix_to_parquet
+            rhealpix_to_parquet(args.input, args.output, grid.n_side,
+                                args.geo_id_column_name, args.add_uid,
+                                args.values_in_json, args.store_nodata)
     elif args.cmd == "vec-rhpx-to-ras-rhpx":
         _ray_init()
-        from .io.storage import parquet_to_rhealpix
-        parquet_to_rhealpix(args.input, args.output, args.nodata, grid.n_side)
+        if args.input.endswith(".gpkg"):
+            from .io.gpkg import geopackage_to_rhealpix
+            geopackage_to_rhealpix(args.input, args.output, args.nodata,
+                                   grid.n_side)
+        else:
+            from .io.storage import parquet_to_rhealpix
+            parquet_to_rhealpix(args.input, args.output, args.nodata,
+                                grid.n_side)
     elif args.cmd == "print-ras-rhpx-metadata":
         from .core.raster import raster_subdatasets
         from .ops.warp import get_rhpx_metadata
@@ -208,8 +222,12 @@ def main(argv=None):
             print({"subdatasets": subs})
         print(get_rhpx_metadata(args.input, grid.n_side))
     elif args.cmd == "print-vec-rhpx-metadata":
-        from .io.storage import get_parquet_rhpx_metadata
-        print(get_parquet_rhpx_metadata(args.input))
+        if args.input.endswith(".gpkg"):
+            from .io.gpkg import get_gpkg_rhpx_metadata
+            print(get_gpkg_rhpx_metadata(args.input))
+        else:
+            from .io.storage import get_parquet_rhpx_metadata
+            print(get_parquet_rhpx_metadata(args.input))
     print("OK")
     try:
         import ray

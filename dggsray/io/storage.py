@@ -1,8 +1,10 @@
 """Cell-table persistence: partitioned parquet + `_meta.json` sidecar carrying the
 table-level metadata dict (the reference persists the same dict as a JSON row in
 a GeoPackage gpkg_metadata table with uri http://www.iaaa.es/geo2dggs/spec/1 —
-/root/reference/dggstools/rhpx/utils/storage.py:32-113; GPKG/PostGIS backends are
-out of scope without GDAL, parquet is the native format here)."""
+/root/reference/dggstools/rhpx/utils/storage.py:32-113).  Parquet is the
+distributed-native format; REAL GeoPackage read/write (stdlib sqlite3 +
+hand-built GPKG binary geometry, same metadata rows) lives in io.gpkg.
+PostGIS remains out of scope (no network/DB in this environment)."""
 from __future__ import annotations
 
 import json

@@ -1,0 +1,104 @@
+"""Real GeoPackage backend (stdlib sqlite3 + hand-built GP/WKB binary):
+write/read roundtrip with the reference's metadata scheme, raster composite
+roundtrip, and reading the reference's own NYC fixture."""
+import os
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+NYC = "/root/reference/tests/test_data/NYC_Noise_Part_UTM_18N_WGS84.gpkg"
+
+
+class TestRoundtrip:
+    def test_write_read_with_metadata(self, ray_session, tmp_path):
+        from dggsray.io.gpkg import (get_gpkg_rhpx_metadata, read_geopackage,
+                                     write_geopackage)
+        t = pa.table({"cellid": pa.array(["N0", "N1", "N24", "S3"]),
+                      "band1": pa.array([10, 20, 30, 40], pa.int64())})
+        meta = {"rhealpixdggs": {"n_side": 3, "north_square": 1,
+                                 "south_square": 0}, "nbands": 1}
+        p = str(tmp_path / "cells.gpkg")
+        assert write_geopackage(t, p, meta) == 4
+        ds, m2 = read_geopackage(p)
+        df = ds.to_pandas().sort_values("cellid").reset_index(drop=True)
+        assert list(df["band1"]) == [10, 20, 30, 40]
+        assert m2 == meta
+        assert get_gpkg_rhpx_metadata(p) == meta
+        # geometry envelopes are real planar cell squares (width = res width)
+        from dggsray.core.rhpx import DEFAULT_GRID
+        w = DEFAULT_GRID.cell_width(1)
+        row = df[df.cellid == "N0"].iloc[0]
+        assert row.geom_max_x - row.geom_min_x == pytest.approx(w)
+
+    def test_gpkg_core_tables_standard(self, tmp_path):
+        """The file carries the GPKG application_id and the spec core tables
+        plus the reference's exact metadata extension rows
+        (reference storage.py:53-66)."""
+        from dggsray.io.gpkg import write_geopackage
+        t = pa.table({"cellid": pa.array(["N0"]),
+                      "v": pa.array([1], pa.int64())})
+        p = str(tmp_path / "c.gpkg")
+        write_geopackage(t, p, {"x": 1})
+        con = sqlite3.connect(p)
+        app_id = con.execute("PRAGMA application_id").fetchone()[0]
+        assert app_id == 0x47504B47          # 'GPKG'
+        tables = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        assert {"gpkg_spatial_ref_sys", "gpkg_contents",
+                "gpkg_geometry_columns", "gpkg_metadata",
+                "gpkg_extensions", "data"} <= tables
+        uri = con.execute(
+            "SELECT md_standard_uri FROM gpkg_metadata WHERE id=1").fetchone()[0]
+        assert uri == "http://www.iaaa.es/geo2dggs/spec/1"
+        ext = con.execute(
+            "SELECT table_name FROM gpkg_extensions").fetchall()
+        assert ("gpkg_metadata",) in ext and ("gpkg_metadata_reference",) in ext
+        # the rhealpix CRS rides as WKT in gpkg_spatial_ref_sys
+        wkt = con.execute(
+            "SELECT definition FROM gpkg_spatial_ref_sys WHERE srs_id=100000"
+        ).fetchone()[0]
+        assert "rhealpix" in wkt.lower() or "healpix" in wkt.lower()
+        con.close()
+
+    def test_raster_gpkg_raster_composite(self, ray_session, tmp_path):
+        """rhealpix_to_geopackage + geopackage_to_rhealpix = exact raster
+        roundtrip (the reference's storage composites, storage.py:71-97)."""
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.core.rhpx import DEFAULT_GRID, align_point
+        from dggsray.io.gpkg import (geopackage_to_rhealpix,
+                                     rhealpix_to_geopackage)
+        rng = np.random.default_rng(7)
+        res = 3
+        w = DEFAULT_GRID.cell_width(res)
+        left, top = align_point(-1e6, 1e6, res, DEFAULT_GRID)
+        arr = rng.integers(1, 9, (1, 6, 7)).astype(np.int32)
+        src = str(tmp_path / "src.tif")
+        write_geotiff(src, GeoTiff(arr, left, top, w, w, nodata=0,
+                                   tags={"GDAL_METADATA":
+                                         '<GDALMetadata><Item name="n_side">3'
+                                         '</Item></GDALMetadata>'}))
+        gp = str(tmp_path / "cells.gpkg")
+        rhealpix_to_geopackage(src, gp)
+        back = str(tmp_path / "back.tif")
+        geopackage_to_rhealpix(gp, back)
+        g2 = read_geotiff(back)
+        assert (g2.data == arr).all()
+        assert g2.left == pytest.approx(left)
+        assert g2.res_x == pytest.approx(w)
+
+
+@pytest.mark.skipif(not os.path.exists(NYC), reason="reference fixture absent")
+def test_read_reference_nyc_fixture(ray_session):
+    """The reference's own GPKG (written by GDAL) reads with attributes and
+    per-feature geometry envelopes."""
+    from dggsray.io.gpkg import read_geopackage
+    ds, _meta = read_geopackage(NYC)
+    df = ds.to_pandas()
+    assert len(df) == 23432
+    assert {"lat", "lng", "geom_min_x", "geom_min_y"} <= set(df.columns)
+    # NYC in UTM 18N: eastings ~500-600 km, northings ~4.49-4.53 Mm
+    assert df.geom_min_x.between(500_000, 620_000).all()
+    assert df.geom_min_y.between(4_480_000, 4_540_000).all()
+    assert df.lat.between(40.4, 41.0).all()
