@@ -31,9 +31,23 @@ def parse_rdggs(s: str):
 
 def _load_geojson_features(path: str, property_for_class: str | None,
                            fixed_value: int, geom_types=("Polygon", "MultiPolygon")):
-    """GeoJSON FeatureCollection -> engine feature dicts (rings in lonlat).
-    MultiPolygon parts become separate rings of one feature."""
+    """Vector file -> engine feature dicts (rings in lonlat).  GeoJSON
+    FeatureCollections and ESRI Shapefiles (io.shapefile, UTM .prj handled)
+    are accepted; MultiPolygon parts become separate rings of one feature."""
     from .ops.vector2dggs import feature_class_values
+
+    if path.lower().endswith(".shp"):
+        from .io.shapefile import read_shapefile
+        feats, attrs, _crs = read_shapefile(path)
+        feats = [f for f in feats if "rings" in f or "coords" in f]
+        if property_for_class is not None:
+            classes = [a[property_for_class] for a in attrs[:len(feats)]]
+        else:
+            classes = [int(fixed_value)] * len(feats)
+        values = feature_class_values(classes)
+        for ft, v in zip(feats, values):
+            ft["value"] = int(v)
+        return feats
 
     with open(path) as f:
         gj = json.load(f)

@@ -1,0 +1,59 @@
+"""Shapefile reader against the reference's own vector fixtures (the inputs
+of its vector tests and AUID benchmarks, tests_data.py:195-198,437-500)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/tests/test_data"
+ARAGON = f"{DATA}/Aragón_ETRS89_30N.shp"
+
+
+@pytest.mark.skipif(not os.path.exists(ARAGON), reason="fixtures absent")
+class TestFixtures:
+    def test_aragon(self):
+        from dggsray.io.shapefile import read_shapefile
+        feats, attrs, crs = read_shapefile(ARAGON)
+        assert crs == ("utm", (30, True))
+        assert len(feats) == 1
+        assert len(feats[0]["rings"]) == 3
+        assert attrs[0]["CODIGO"] == "02"
+        assert attrs[0]["TEXTO"] == "Aragón"       # UTF-8 dbf text
+        r = np.vstack(feats[0]["rings"])
+        # Aragón's geodetic bbox (ETRS89): lon -2.2..0.8, lat 39.8..42.9
+        assert -2.2 < r[:, 0].min() < -2.1 and 0.7 < r[:, 0].max() < 0.8
+        assert 39.8 < r[:, 1].min() < 39.9 and 42.9 < r[:, 1].max() < 43.0
+
+    def test_comunidades(self):
+        from dggsray.io.shapefile import read_shapefile
+        feats, attrs, crs = read_shapefile(
+            f"{DATA}/Comunidades_Autonomas_ETRS89_30N.shp")
+        assert len(feats) == 19            # Spain's autonomous communities
+        assert sum(len(f["rings"]) for f in feats) == 449
+        assert attrs[0]["Texto"] == "Andalucía"
+
+    def test_pop_agric_geographic(self):
+        from dggsray.io.shapefile import read_shapefile
+        feats, attrs, crs = read_shapefile(f"{DATA}/Pop_AgricRegion.shp")
+        assert crs[0] == "geographic"      # no UTM in .prj
+        assert len(feats) == 73
+        assert attrs[0]["OBJECTID"] == 1
+        assert isinstance(attrs[0]["SE_AREA_SH"], float)
+        r = feats[0]["rings"][0]
+        assert 25 < r[:, 0].min() < 31     # southern Africa lon range
+
+    def test_cli_burn_aragon(self, tmp_path):
+        """vec-to-rhpx-ras straight from the .shp with a class property —
+        mirrors the reference's Aragón vector test inputs."""
+        out = str(tmp_path / "aragon.tif")
+        res = subprocess.run(
+            [sys.executable, "-m", "dggsray", "vec-to-rhpx-ras", ARAGON, out,
+             "--dst-resolution-idx", "6", "--property-for-class", "CODIGO"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+        assert "OK" in res.stdout, res.stderr[-800:]
+        from dggsray.core.tiffio import read_geotiff
+        g = read_geotiff(out)
+        burned = (g.data[0] != 0).sum()
+        assert 250 < burned < 350          # ~296 res-6 cells cover Aragón
