@@ -24,9 +24,11 @@ from ..core.rhpx import (DEFAULT_GRID, F, GridConfig, align_point,
 
 
 def feature_class_values(classes, fixed_value: int | None = None) -> np.ndarray:
-    """Class value per feature: ints pass through, strings get first-seen
-    auto-increment ids starting at 1, floats are rejected
-    (reference _get_feature_class, vector_to_rhpx.py:38-65)."""
+    """Class value per feature: ints (and int-convertible strings like '02')
+    pass through int(), remaining strings get first-seen auto-increment ids
+    starting at 1, floats are rejected — exactly the reference's
+    _get_feature_class try-int-first chain (vector_to_rhpx.py:38-65, where
+    int('02') -> 2 before the string dictionary is consulted)."""
     if fixed_value is not None:
         return np.full(len(classes), fixed_value, dtype=np.int64)
     out = np.empty(len(classes), dtype=np.int64)
@@ -41,9 +43,21 @@ def feature_class_values(classes, fixed_value: int | None = None) -> np.ndarray:
         if isinstance(v, (int, np.integer)):
             out[i] = int(v)
         else:
-            if v not in mapping:
-                mapping[v] = len(mapping) + 1
-            out[i] = mapping[v]
+            try:
+                out[i] = int(v)
+                continue
+            except ValueError:
+                pass
+            try:
+                float(v)
+            except ValueError:
+                if v not in mapping:
+                    mapping[v] = len(mapping) + 1
+                out[i] = mapping[v]
+                continue
+            raise ValueError(
+                "float class properties are not supported (reference "
+                "vector_to_rhpx.py:55-57)")
     return out
 
 

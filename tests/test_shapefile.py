@@ -57,3 +57,27 @@ class TestFixtures:
         g = read_geotiff(out)
         burned = (g.data[0] != 0).sum()
         assert 250 < burned < 350          # ~296 res-6 cells cover Aragón
+
+
+@pytest.mark.skipif(not os.path.exists(ARAGON), reason="fixtures absent")
+def test_aragon_auid_roundtrip(ray_session, tmp_path):
+    """The reference's AUID-for-Aragón benchmark shape (tests_data.py:437-468):
+    burn the shapefile at res 6 with CODIGO ('02' -> int 2, the reference's
+    try-int-first class mapping), take band1==2 cells, generate the AUID and
+    recover the identical sorted CUID set."""
+    from dggsray.cli import _load_geojson_features
+    from dggsray.core.auid import AUIDGenerator
+    from dggsray.ops.vector2dggs import burn_polygons_to_cells
+
+    feats = _load_geojson_features(ARAGON, "CODIGO", 1)
+    assert feats[0]["value"] == 2          # int('02'), not first-seen 1
+    cells = burn_polygons_to_cells(feats, 6)
+    cellids = cells.column("cellid").to_pylist()
+    vals = cells.column("value").to_pylist()
+    cuids = sorted(c for c, v in zip(cellids, vals) if v == 2)
+    assert len(cuids) > 200
+    gen = AUIDGenerator()
+    auid_b64, _h = gen.generate_auid_hash_b64(cuids)
+    back = gen.cuids_from_auid_b64(auid_b64)
+    assert sorted(back) == back            # reference's own assertion
+    assert back == cuids
