@@ -98,14 +98,69 @@ def lowcard_groupby(ds, key, *aggs, parts: int | None = None):
     return ds.repartition(parts).groupby(key).aggregate(*aggs)
 
 
-def sized_groupby(ds, key, *aggs, rows_per_part: int = 1_000_000):
-    """groupby for HIGH-cardinality keys: coalesce input to ~rows_per_part-row
-    blocks first (shuffle=False repartition = minimal movement), so the sort
-    shuffle's map-side slice count tracks DATA SIZE instead of whatever block
-    count the read stage happened to produce.  Tiny inputs collapse to one
-    partition (one local sort); 100 TB inputs still fan out to thousands."""
-    return ds.repartition(target_num_rows_per_block=rows_per_part) \
-             .groupby(key).aggregate(*aggs)
+_ARROW_FNS = {"Sum": "sum", "Min": "min", "Max": "max"}
+
+
+def sized_groupby(ds, key, *aggs, rows_per_part: int = 1_000_000,
+                  single_block_rows: int = 8_000_000):
+    """Adaptive groupby for HIGH-cardinality keys.
+
+    Phase 1 always runs: per-block Arrow group_by partials (Sum of Sums /
+    Min of Mins / Max of Maxes are associative) on blocks coalesced to
+    ~rows_per_part rows, materialized — partials are bounded by
+    (distinct keys x blocks), tiny relative to input.
+
+    Phase 2 picks by MEASURED size (the streaming planner cannot know it):
+    under single_block_rows, ONE more Arrow group_by over the concatenated
+    partials finishes the job in a single task — measured 0.8 s vs 6-8 s for
+    Ray's sort/hash Aggregate on a 580k-row input, whose per-operator constant
+    dominates below ~10M rows.  Above the limit (the true 100 TB regime,
+    where keys do not fit one block) it falls back to the distributed
+    Aggregate, whose overhead amortizes at that scale."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spec = []          # (src_col_or_None, level1_fn, alias); Count -> row
+    for a in aggs:     # count at level 1, Sum of counts afterwards
+        cls = type(a).__name__
+        if cls == "Count":
+            spec.append((None, "count_all", a.name))
+            continue
+        fn = _ARROW_FNS.get(cls)
+        if fn is None:                       # non-decomposable agg: shuffle
+            return ds.repartition(target_num_rows_per_block=rows_per_part) \
+                     .groupby(key).aggregate(*aggs)
+        spec.append((a._target_col_name, fn, a.name))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [([] if c is None else c, fn) for c, fn, _ in spec])
+        return g.rename_columns(keys + [alias for _, _, alias in spec])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(target_num_rows_per_block=rows_per_part) \
+        .map_batches(partial_again(keys, spec), batch_format="pyarrow",
+                     batch_size=None) \
+        .materialize()
+    if partials.count() <= single_block_rows:
+        return partials.repartition(1).map_batches(
+            partial_again(keys, spec), batch_format="pyarrow",
+            batch_size=None)
+    import ray.data.aggregate as agg_mod
+    final_aggs = [
+        (agg_mod.Sum if type(a).__name__ == "Count"
+         else getattr(agg_mod, type(a).__name__))(alias, alias_name=alias)
+        for a, (_, _, alias) in zip(aggs, spec)]
+    return partials.groupby(key).aggregate(*final_aggs)
+
+
+def partial_again(keys, spec):
+    """Second/final-level combiner: aggregate the alias columns in place
+    (counts combine by sum)."""
+    def kernel(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [(alias, "sum" if fn == "count_all" else fn)
+             for _, fn, alias in spec])
+        return g.rename_columns(keys + [alias for _, _, alias in spec])
+    return kernel
 
 
 def union_groupby_inner(left, right, key_col: str,
