@@ -95,7 +95,10 @@ def lowcard_groupby(ds, key, *aggs, parts: int | None = None):
     if parts is None:
         import ray
         parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
-    return ds.repartition(parts).groupby(key).aggregate(*aggs)
+    # low-cardinality partials always fit one block -> sized_groupby's
+    # measured-size fast path finishes with a single Arrow pass
+    return sized_groupby(ds, key, *aggs,
+                         rows_per_part=1_000_000)
 
 
 _ARROW_FNS = {"Sum": "sum", "Min": "min", "Max": "max"}
