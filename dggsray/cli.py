@@ -36,6 +36,11 @@ def _load_geojson_features(path: str, property_for_class: str | None,
     are accepted; MultiPolygon parts become separate rings of one feature."""
     from .ops.vector2dggs import feature_class_values
 
+    if path.lower().endswith(".gpkg"):
+        from .io.gpkg import read_geopackage_features
+        return read_geopackage_features(
+            path, property_for_class=property_for_class,
+            fixed_value=fixed_value)
     if path.lower().endswith(".shp"):
         from .io.shapefile import read_shapefile
         feats, attrs, _crs = read_shapefile(path)

@@ -368,3 +368,93 @@ def geopackage_to_rhealpix(input_gpkg: str, output_tif: str, nodata=0,
               f'<Item name="user_metadata">'
               f'{_json.dumps(meta, cls=_NpEncoder)}</Item></GDALMetadata>'}))
     return meta
+
+
+def _wkb_rings(wkb: bytes) -> list[np.ndarray]:
+    """POLYGON/MULTIPOLYGON WKB -> list of (n, 2) XY ring arrays (Z dropped)."""
+    order = "<" if wkb[0] == 1 else ">"
+    typ = struct.unpack_from(order + "I", wkb, 1)[0]
+    base = typ % 1000
+    has_z = (typ // 1000) in (1, 3) or bool(typ & 0x80000000)
+    dim = 3 if has_z else 2
+    if base == 3:
+        nrings = struct.unpack_from(order + "I", wkb, 5)[0]
+        pos = 9
+        rings = []
+        for _ in range(nrings):
+            n = struct.unpack_from(order + "I", wkb, pos)[0]
+            pos += 4
+            arr = np.frombuffer(wkb, dtype=np.dtype(order + "f8"),
+                                count=n * dim, offset=pos).reshape(n, dim)
+            rings.append(arr[:, :2].copy())
+            pos += n * dim * 8
+        return rings
+    if base == 6:        # multipolygon: concatenate member rings
+        n = struct.unpack_from(order + "I", wkb, 5)[0]
+        pos = 9
+        rings = []
+        for _ in range(n):
+            sub = wkb[pos:]
+            rings.extend(_wkb_rings(sub))
+            pos += _wkb_length(sub)
+        return rings
+    raise ValueError(f"not a polygon WKB (type {typ})")
+
+
+def read_geopackage_features(path: str, layer: str | None = None,
+                             property_for_class: str | None = None,
+                             fixed_value: int = 1):
+    """GPKG polygon layer -> engine feature dicts [{feature_id, rings, value}]
+    in lon/lat (UTM layers inverted through core.tmerc; the srs definition WKT
+    names the zone).  The vector-side twin of the shapefile loader, matching
+    the reference's read of gpkg vector layers (storage.py:86-97 via
+    geopandas.read_file)."""
+    from ..ops.vector2dggs import feature_class_values
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    cur = con.cursor()
+    if layer is None:
+        layer = cur.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type='features'"
+        ).fetchone()[0]
+    geom_col, srs_id = cur.execute(
+        "SELECT column_name, srs_id FROM gpkg_geometry_columns "
+        "WHERE table_name=?", (layer,)).fetchone()
+    srs_wkt = cur.execute(
+        "SELECT definition FROM gpkg_spatial_ref_sys WHERE srs_id=?",
+        (srs_id,)).fetchone()[0]
+    from .shapefile import parse_prj_text
+    crs = parse_prj_text(srs_wkt)
+    cols = [r[1] for r in cur.execute(f'PRAGMA table_info("{layer}")')]
+    attr_cols = [c for c in cols if c not in ("fid", geom_col)]
+    sel = ", ".join([f'"{geom_col}"'] + [f'"{c}"' for c in attr_cols])
+    rows = cur.execute(f'SELECT {sel} FROM "{layer}"').fetchall()
+    con.close()
+
+    def tr(arr: np.ndarray) -> np.ndarray:
+        if crs[0] == "utm":
+            from ..core.tmerc import utm_inv
+            zone, north = crs[1]
+            lon, lat = utm_inv(arr[:, 0], arr[:, 1], zone, south=not north)
+            return np.column_stack([lon, lat])
+        if crs[0] != "geographic":
+            raise ValueError(
+                f"layer {layer}: unsupported srs for feature extraction "
+                f"(geographic / UTM only): {srs_wkt[:60]}...")
+        return arr
+
+    feats, classes = [], []
+    for i, r in enumerate(rows):
+        if r[0] is None:
+            continue
+        wkb, _srs = _parse_gp_blob(r[0])
+        feats.append({"feature_id": i,
+                      "rings": [tr(ring) for ring in _wkb_rings(wkb)]})
+        if property_for_class is not None:
+            classes.append(r[1 + attr_cols.index(property_for_class)])
+        else:
+            classes.append(int(fixed_value))
+    values = feature_class_values(classes)
+    for ft, v in zip(feats, values):
+        ft["value"] = int(v)
+    return feats

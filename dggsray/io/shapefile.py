@@ -112,13 +112,10 @@ def read_shp(path: str) -> list[dict]:
     return out
 
 
-def parse_prj(path: str):
+def parse_prj_text(wkt: str):
     """-> ("geographic", None) | ("utm", (zone, north)) | ("unknown", wkt).
     Recognizes the WKT1 shapes the reference fixtures use (ETRS89/WGS84 UTM
     zones and plain geographic CRSs)."""
-    if not os.path.exists(path):
-        return ("geographic", None)
-    wkt = open(path, encoding="latin1").read()
     m = re.search(r"UTM[_ ]Zone[_ ](\d+)(N|S)?", wkt, re.IGNORECASE)
     if m:
         zone = int(m.group(1))
@@ -127,6 +124,12 @@ def parse_prj(path: str):
     if wkt.startswith("GEOGCS") or wkt.startswith("GEOGCRS"):
         return ("geographic", None)
     return ("unknown", wkt)
+
+
+def parse_prj(path: str):
+    if not os.path.exists(path):
+        return ("geographic", None)
+    return parse_prj_text(open(path, encoding="latin1").read())
 
 
 def read_shapefile(path: str, to_lonlat: bool = True):

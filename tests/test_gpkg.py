@@ -102,3 +102,47 @@ def test_read_reference_nyc_fixture(ray_session):
     assert df.geom_min_x.between(500_000, 620_000).all()
     assert df.geom_min_y.between(4_480_000, 4_540_000).all()
     assert df.lat.between(40.4, 41.0).all()
+
+
+def test_read_geopackage_features_and_burn(ray_session, tmp_path):
+    """A WGS84 polygon layer (built with the module's own GP/WKB encoders)
+    loads as engine features and burns to cells — the reference's gpkg vector
+    input path (geopandas.read_file + vector_to_rhealpix)."""
+    import struct
+
+    from dggsray.io.gpkg import _gp_header, _wkb_polygon, \
+        read_geopackage_features
+    from dggsray.ops.vector2dggs import burn_polygons_to_cells
+
+    p = str(tmp_path / "poly.gpkg")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA application_id = 1196444487")
+    con.execute("CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT, srs_id "
+                "INTEGER PRIMARY KEY, organization TEXT, "
+                "organization_coordsys_id INTEGER, definition TEXT, "
+                "description TEXT)")
+    con.execute("INSERT INTO gpkg_spatial_ref_sys VALUES ('WGS 84', 4326, "
+                "'EPSG', 4326, 'GEOGCS[\"WGS 84\"]', NULL)")
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, "
+                "data_type TEXT, identifier TEXT, srs_id INTEGER)")
+    con.execute("INSERT INTO gpkg_contents VALUES ('zones', 'features', "
+                "'zones', 4326)")
+    con.execute("CREATE TABLE gpkg_geometry_columns (table_name TEXT, "
+                "column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, "
+                "z TINYINT, m TINYINT)")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('zones', 'geom', "
+                "'POLYGON', 4326, 0, 0)")
+    con.execute("CREATE TABLE zones (fid INTEGER PRIMARY KEY, geom BLOB, "
+                "kind TEXT)")
+    # a ~4x4-degree square over the equator
+    xs = np.array([0.0, 4.0, 4.0, 0.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 0.0])
+    blob = _gp_header(4326, 0, 4, 0, 4) + _wkb_polygon(xs, ys)
+    con.execute("INSERT INTO zones (geom, kind) VALUES (?, 'farm')", (blob,))
+    con.commit()
+    con.close()
+
+    feats = read_geopackage_features(p, property_for_class="kind")
+    assert len(feats) == 1 and feats[0]["value"] == 1
+    cells = burn_polygons_to_cells(feats, 4)
+    assert cells.num_rows > 10            # the square covers many res-4 cells
