@@ -69,11 +69,37 @@ class ImageFeatures:
             "phash": pa.array(ph)})
 
 
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode via the stdlib wave module -> (mono float64 in
+    [-1, 1], sample_rate).  8/16/32-bit PCM; multichannel averaged to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
 class AudioFeatures:
-    """Actor stage for audio binary columns: fmt 'pcm16' (deterministic fake =
-    little-endian int16 mono) is decoded for real; everything else raises
-    NotImplementedError (no audio codecs in this environment — swap the decode
-    branch for soundfile/ffmpeg when available)."""
+    """Actor stage for audio binary columns.  REAL decoders: 'wav' (RIFF PCM
+    through the stdlib wave module) and 'pcm16' (headerless little-endian
+    int16 mono); compressed codecs (mp3/ogg/flac) raise NotImplementedError —
+    no codec libraries in this environment, swap the decode branch for
+    soundfile/ffmpeg when available.  Features per clip: rms, peak, zero
+    crossings, spectral centroid (rFFT)."""
 
     def __init__(self, frame: int = 1024):
         self.frame = frame
@@ -81,20 +107,37 @@ class AudioFeatures:
     def __call__(self, b: pa.Table) -> pa.Table:
         blobs = b.column("bytes").to_pylist()
         fmts = b.column("fmt").to_pylist()
-        rms = np.empty(len(blobs))
-        peak = np.empty(len(blobs))
-        n_samples = np.empty(len(blobs), dtype=np.int64)
+        n = len(blobs)
+        rms = np.empty(n)
+        peak = np.empty(n)
+        zcr = np.empty(n)
+        cent = np.empty(n)
+        n_samples = np.empty(n, dtype=np.int64)
         for k, (blob, fmt) in enumerate(zip(blobs, fmts)):
-            if fmt != "pcm16":
+            if fmt == "wav":
+                pcm, rate = decode_wav(blob)
+            elif fmt == "pcm16":
+                pcm = np.frombuffer(blob, dtype="<i2").astype(np.float64) / 32768.0
+                rate = 16000
+            else:
                 raise NotImplementedError(
-                    f"audio codec {fmt!r}: no audio libraries in this "
-                    f"environment; only the 'pcm16' fake is decodable")
-            pcm = np.frombuffer(blob, dtype="<i2").astype(np.float64) / 32768.0
-            rms[k] = float(np.sqrt((pcm ** 2).mean())) if pcm.size else 0.0
-            peak[k] = float(np.abs(pcm).max()) if pcm.size else 0.0
+                    f"audio codec {fmt!r}: only wav/pcm16 decodable here "
+                    f"(no compressed-audio libraries in this environment)")
+            if pcm.size:
+                rms[k] = float(np.sqrt((pcm ** 2).mean()))
+                peak[k] = float(np.abs(pcm).max())
+                zcr[k] = float((np.diff(np.signbit(pcm)) != 0).mean())
+                spec = np.abs(np.fft.rfft(pcm[: 1 << 16]))
+                freqs = np.fft.rfftfreq(min(pcm.size, 1 << 16), d=1.0 / rate)
+                tot = spec.sum()
+                cent[k] = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+            else:
+                rms[k] = peak[k] = zcr[k] = cent[k] = 0.0
             n_samples[k] = pcm.size
         return pa.table({"audio_id": b.column("audio_id"),
                          "rms": pa.array(rms), "peak": pa.array(peak),
+                         "zcr": pa.array(zcr),
+                         "spectral_centroid_hz": pa.array(cent),
                          "n_samples": pa.array(n_samples)})
 
 

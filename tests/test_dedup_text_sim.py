@@ -202,9 +202,11 @@ class TestMultimodal:
         out = AudioFeatures()(t)
         assert out.column("n_samples")[0].as_py() == 2048
         assert 0.4 < out.column("rms")[0].as_py() < 0.7
+        # wav is now a REAL decoder (stdlib wave); compressed codecs stay
+        # NotImplementedError stubs
         bad = pa.table({"audio_id": pa.array(["a2"], pa.string()),
-                        "bytes": pa.array([b"RIFF...."], pa.binary()),
-                        "fmt": pa.array(["wav"], pa.string())})
+                        "bytes": pa.array([b"ID3...."], pa.binary()),
+                        "fmt": pa.array(["mp3"], pa.string())})
         with pytest.raises(NotImplementedError):
             AudioFeatures()(bad)
         frames = np.zeros((25, 4, 4, 3), dtype=np.uint8)
@@ -250,3 +252,40 @@ class TestIVF:
         assert len(out) == 300
         assert out["list_id"].between(0, 7).all()
         assert out["list_id"].nunique() >= 4    # lists actually used
+
+
+class TestWav:
+    def test_wav_features_through_actor_pool(self, ray_session):
+        """REAL RIFF/WAVE PCM decode (stdlib wave) through the audio actor
+        stage: a 440 Hz sine's rms, zero-crossing rate, and spectral centroid
+        come out at their analytic values."""
+        import io
+        import wave
+
+        import ray.data as rd
+        from dggsray.ops.multimodal import AudioFeatures
+
+        def tone(freq, rate=16000, secs=1.0, ch=1, width=2):
+            t = np.arange(int(rate * secs)) / rate
+            sig = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(ch)
+                w.setsampwidth(width)
+                w.setframerate(rate)
+                frames = np.repeat(sig, ch).tobytes() if ch > 1 else sig.tobytes()
+                w.writeframes(frames)
+            return buf.getvalue()
+
+        t = pa.table({"audio_id": pa.array(["a440", "a880"], pa.string()),
+                      "bytes": pa.array([tone(440), tone(880, ch=2)],
+                                        pa.binary()),
+                      "fmt": pa.array(["wav", "wav"], pa.string())})
+        out = rd.from_arrow(t).map_batches(
+            AudioFeatures, concurrency=1, batch_format="pyarrow").to_pandas()
+        out = out.set_index("audio_id")
+        assert out.loc["a440", "rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+        assert out.loc["a440", "zcr"] == pytest.approx(2 * 440 / 16000, rel=0.02)
+        assert out.loc["a440", "spectral_centroid_hz"] == pytest.approx(440, rel=0.05)
+        assert out.loc["a880", "spectral_centroid_hz"] == pytest.approx(880, rel=0.05)
+        assert out.loc["a880", "n_samples"] == 16000   # stereo folded to mono
