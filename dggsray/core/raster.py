@@ -40,6 +40,10 @@ def open_raster(path: str) -> GeoTiff:
         from .hfaio import read_img
         g, _meta = read_img(f)
         return g
+    if f.lower().endswith((".jpg", ".jpeg")):
+        from .jpegio import read_jpeg_raster
+        g, _srs = read_jpeg_raster(f)
+        return g
     return read_geotiff(f)
 
 

@@ -168,6 +168,9 @@ def raster_to_rhealpix(input_path: str, output_path: str,
             input_crs = "albers"
         elif input_crs == "albers":
             raise ValueError(f"{input_path}: no Albers parameters in file")
+        elif "utm" in g.tags:             # JPEG+PAM / world-file UTM rasters
+            zone, north = g.tags["utm"]
+            input_crs = f"utm:{zone}{'N' if north else 'S'}"
         else:
             input_crs = "geographic"
     if dst_resolution_idx == -1:

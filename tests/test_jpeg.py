@@ -1,0 +1,80 @@
+"""Baseline JPEG decoder: hand-built minimal bitstream (exact expected
+pixels), the reference's real PNOA aerial fixture (statistical + continuity
+checks — no second decoder exists in this environment), and the JPEG+PAM
+georeferenced conversion the reference performs at tests_data.py:149,182."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+PNOA = "/root/reference/tests/test_data/pnoa_2015_25830_0354_4_4.jpg"
+
+
+def _minimal_jpeg(dc_diff_bits: str = "", flat: int = 128) -> bytes:
+    """8x8 grayscale baseline JPEG with trivial Huffman tables (symbol 0 only
+    for DC and AC -> zero DC diff + immediate EOB): decodes to all-`flat`."""
+    out = bytearray(b"\xff\xd8")
+    qt = bytes([0]) + bytes([1] * 64)                     # quant table 0, all 1
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DC table 0 and AC table 0: one 1-bit code for symbol 0
+    for tc in (0x00, 0x10):
+        dht = bytes([tc, 1] + [0] * 15 + [0])
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes([0b00111111])          # DC sym0 + AC EOB, padded with 1s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_minimal_jpeg_decodes_flat():
+    from dggsray.core.jpegio import decode_jpeg
+    img = decode_jpeg(_minimal_jpeg())
+    assert img.shape == (8, 8)
+    assert (img == 128).all()           # zero coefficients + level shift
+
+
+def test_world_file_parsing(tmp_path):
+    from dggsray.core.jpegio import read_jpeg_raster
+    p = str(tmp_path / "t.jpg")
+    open(p, "wb").write(_minimal_jpeg())
+    open(str(tmp_path / "t.jgw"), "w").write(
+        "2.0\n0.0\n0.0\n-2.0\n100.0\n50.0\n")   # center-of-UL-pixel convention
+    g, srs = read_jpeg_raster(p)
+    assert g.left == pytest.approx(99.0)
+    assert g.top == pytest.approx(51.0)
+    assert g.res_x == 2.0 and g.res_y == 2.0
+
+
+@pytest.mark.skipif(not os.path.exists(PNOA), reason="fixture absent")
+class TestPNOA:
+    def test_decode_and_convert(self, tmp_path):
+        """One full decode of the 1815x1250 aerial ortho: SOF dims honored,
+        plausible image statistics, strong spatial continuity across the 8-px
+        block grid (a Huffman/IDCT bug destroys it), then the reference's
+        conversion path (JPEG + PAM EPSG:25830) to a rhealpix raster."""
+        from dggsray.core.jpegio import read_jpeg_raster
+        from dggsray.core.tiffio import read_geotiff
+        from dggsray.ops.warp import raster_to_rhealpix
+
+        g, srs = read_jpeg_raster(PNOA)
+        assert g.data.shape == (3, 1250, 1815)
+        assert g.res_x == 4.0 and g.res_y == 4.0
+        assert g.left == pytest.approx(671488.25)
+        assert g.tags["utm"] == (30, True)      # EPSG:25830 from the PAM SRS
+        means = g.data.mean(axis=(1, 2))
+        assert ((means > 80) & (means < 180)).all()
+        d = g.data[0].astype(np.float64)
+        assert np.corrcoef(d[639], d[640])[0, 1] > 0.7   # cross-block rows
+        assert np.corrcoef(d[:, 799], d[:, 800])[0, 1] > 0.7
+
+        out = str(tmp_path / "pnoa_rhpx.tif")
+        res = raster_to_rhealpix(PNOA, out, dst_resolution_idx=10,
+                                 input_crs="auto")
+        assert res == 10
+        r = read_geotiff(out)
+        assert r.data.shape[0] == 3
+        assert abs(r.data.mean() - g.data.mean()) < 15   # same scene content
