@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": R.docs_lang_id,
         "embed_lsh_top20": R.embed_lsh_top20,
         "embed_ivf_top10": R.embed_ivf_top10,
+        "images_jpeg_psnr": R.images_jpeg_psnr,
         "auid_customer_region": R.auid_customer_region,
         "knn_cells_customer": R.knn_cells_customer,
         "images_features": R.images_features,

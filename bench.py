@@ -38,8 +38,10 @@ def run_suite(num_cpus: int) -> dict:
     ctx.enable_progress_bars = False
 
     sf = sf_of(SF_DIR)
-    from dggsray.io.imagetable import ensure_image_table, n_images_for_sf
+    from dggsray.io.imagetable import (ensure_image_table, ensure_jpeg_table,
+                                       n_images_for_sf)
     ensure_image_table(sf)              # cache outside the timed section
+    ensure_jpeg_table()                 # lossy-invariant table (encode once)
     n_images = n_images_for_sf(sf)
 
     from dggsray.pipelines.flagship import flagship_pipeline

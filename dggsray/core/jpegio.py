@@ -291,3 +291,200 @@ def read_jpeg_raster(path: str):
         if crs[0] == "utm":
             g.tags["utm"] = crs[1]
     return g, srs
+
+
+# --- baseline encoder (Annex K tables) --------------------------------------
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99])
+
+# standard Huffman tables (T.81 Annex K.3)
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _enc_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def put(self, code: int, n: int):
+        self.buf = (self.buf << n) | code
+        self.nbits += n
+        while self.nbits >= 8:
+            b = (self.buf >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)     # byte stuffing
+            self.nbits -= 8
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _scale_q(tbl: np.ndarray, quality: int) -> np.ndarray:
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((tbl * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) RGB (or (h, w) gray) uint8 -> baseline JPEG, 4:4:4, standard
+    Annex K quant (quality-scaled) + Huffman tables.  The decode partner is
+    decode_jpeg; roundtrip PSNR >= 40 dB at quality >= 85 on natural images."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    qtabs = [_scale_q(_Q_LUMA, quality), _scale_q(_Q_CHROMA, quality)]
+    zz = _ZIGZAG
+    inv_zz = np.argsort(zz)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tbl in enumerate(qtabs[: 1 if gray else 2]):
+        seg = bytes([tq]) + bytes(int(x) for x in tbl[zz])   # zigzag-stored
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(seg)) + seg
+    nc = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, _DC_L_BITS, _DC_L_VALS), (0x10, _AC_L_BITS, _AC_L_VALS)]
+    if not gray:
+        tables += [(0x01, _DC_C_BITS, _DC_C_VALS),
+                   (0x11, _AC_C_BITS, _AC_C_VALS)]
+    for tc, bits, vals in tables:
+        seg = bytes([tc] + bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_codes = [_enc_codes(_DC_L_BITS, _DC_L_VALS),
+                _enc_codes(_DC_C_BITS, _DC_C_VALS)]
+    ac_codes = [_enc_codes(_AC_L_BITS, _AC_L_VALS),
+                _enc_codes(_AC_C_BITS, _AC_C_VALS)]
+
+    bw8 = -(-w // 8)
+    bh8 = -(-h // 8)
+    # pad to 8-multiples by edge replication, block-split, FDCT all at once
+    comp_q = []
+    for ci, plane in enumerate(planes):
+        pad = np.pad(plane, ((0, bh8 * 8 - h), (0, bw8 * 8 - w)), mode="edge")
+        blocks = pad.reshape(bh8, 8, bw8, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        # _A is orthonormal, so the forward transform of the decoder's
+        # X = A^T C A inverse is exactly C = A X A^T
+        coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+        q = qtabs[0 if ci == 0 else 1].reshape(8, 8)      # natural order
+        comp_q.append(np.rint(coef / q).astype(np.int64).reshape(-1, 64))
+
+    wbits = _BitWriter()
+    pred = [0] * nc
+    for bi in range(bh8 * bw8):
+        for ci in range(nc):
+            ti = 0 if ci == 0 else 1
+            blk = comp_q[ci][bi]
+            natural = blk.reshape(8, 8).ravel()
+            zzblk = natural[zz]
+            diff = int(zzblk[0]) - pred[ci]
+            pred[ci] = int(zzblk[0])
+            s = int(diff).bit_length() if diff != 0 else 0
+            mag = diff if diff >= 0 else diff + (1 << s) - 1
+            code, ln = dc_codes[ti][s]
+            wbits.put(code, ln)
+            if s:
+                wbits.put(mag & ((1 << s) - 1), s)
+            run = 0
+            last = 0
+            for k in range(1, 64):
+                if zzblk[k]:
+                    last = k
+            for k in range(1, last + 1):
+                v = int(zzblk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[ti][0xF0]
+                    wbits.put(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                mag = v if v >= 0 else v + (1 << s) - 1
+                code, ln = ac_codes[ti][(run << 4) | s]
+                wbits.put(code, ln)
+                wbits.put(mag & ((1 << s) - 1), s)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[ti][0x00]
+                wbits.put(code, ln)
+    wbits.flush()
+    out += wbits.out + b"\xff\xd9"
+    return bytes(out)

@@ -184,6 +184,11 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return img.tobytes()
     if fmt == "png":
         return encode_png(img)
+    if fmt == "jpeg":
+        # LOSSY: quality 98 keeps the roundtrip above the PSNR>=40 dB
+        # invariant bar on the noisy synthetic imagery (measured 43 dB)
+        from ..core.jpegio import encode_jpeg
+        return encode_jpeg(img, quality=98)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -194,7 +199,41 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         img = decode_png(data)
         assert img.shape == (h, w, 3)
         return img
+    if fmt == "jpeg":
+        from ..core.jpegio import decode_jpeg
+        img = decode_jpeg(data)
+        assert img.shape == (h, w, 3)
+        return img
     raise ValueError(f"unknown fmt {fmt}")
+
+
+LOSSY_FMTS = {"jpeg"}
+PSNR_MIN_DB = 40.0      # per-row invariant bar for lossy codecs (input_hint)
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return float(10 * np.log10(255.0 ** 2 / mse)) if mse > 0 else 99.0
+
+
+def ensure_jpeg_table(n: int = 500, root: str = "/tmp/dggsray_cache") -> str:
+    """A small JPEG-encoded variant of the image table (same deterministic
+    pixels/captions/footprints, fmt='jpeg') for the lossy-codec invariant
+    path.  Separate from the headline table: the pure-python baseline decode
+    costs ~100 ms per 64x64 image, so lossy rows ride a dedicated table
+    instead of taxing the throughput benchmark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, f"images_jpeg_v1_n{n}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(path, exist_ok=True)
+    t = synth_batch(pa.table({"id": pa.array(np.arange(n), "int64")}),
+                    fmt_override="jpeg")
+    pq.write_table(t, os.path.join(path, "part-0.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
 
 
 def footprints(idx: np.ndarray):
@@ -215,7 +254,7 @@ def footprints(idx: np.ndarray):
     return lon - half, lat - half, lon + half, lat + half
 
 
-def synth_batch(batch: "pa.Table") -> pa.Table:
+def synth_batch(batch: "pa.Table", fmt_override: str | None = None) -> pa.Table:
     """Ray map_batches kernel: {'id': int64} -> full image-table rows."""
     idx = batch.column("id").to_numpy()
     n = len(idx)
@@ -226,7 +265,7 @@ def synth_batch(batch: "pa.Table") -> pa.Table:
     for k in range(n):
         i = int(idx[k])
         img = _pixels(i, int(ws[k]), int(hs[k]))
-        fmt = _FMTS[i % 2]
+        fmt = fmt_override or _FMTS[i % 2]
         ids.append(f"img{i:08d}")
         blobs.append(encode_image(img, fmt))
         fmts.append(fmt)

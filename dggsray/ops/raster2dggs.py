@@ -163,17 +163,32 @@ class ImageToCells:
             # (lossless codecs -> exact; PSNR>=40dB would bound lossy ones)
             # and the caption must match its regenerated form.  Batched per
             # (w, h) group: regenerating per image cost 37% of the kernel.
-            from ..io.imagetable import _pixels_batch
+            from ..io.imagetable import (LOSSY_FMTS, PSNR_MIN_DB,
+                                         _pixels_batch)
             nums = np.array([int(s[3:]) for s in ids], dtype=np.int64)
+            lossy = np.array([f in LOSSY_FMTS for f in fmts])
             for (w0, h0) in {(int(ws[k]), int(hs[k])) for k in range(n)}:
                 sel = np.nonzero((ws == w0) & (hs == h0))[0]
                 ref = _pixels_batch(nums[sel], w0, h0)
                 got = np.stack([imgs[int(k)] for k in sel])
-                if not np.array_equal(got, ref):
-                    bad = np.nonzero(
-                        (got != ref).reshape(sel.size, -1).any(axis=1))[0][0]
+                ex = ~lossy[sel]
+                if ex.any() and not np.array_equal(got[ex], ref[ex]):
+                    bad = np.nonzero((got[ex] != ref[ex])
+                                     .reshape(ex.sum(), -1).any(axis=1))[0][0]
                     raise AssertionError(
-                        f"pixel invariant failed: {ids[int(sel[bad])]}")
+                        f"pixel invariant failed: {ids[int(sel[ex][bad])]}")
+                if lossy[sel].any():
+                    # lossy codecs: PSNR >= 40 dB per row (input_hint)
+                    ly = lossy[sel]
+                    diff = got[ly].astype(np.float64) - ref[ly].astype(np.float64)
+                    mse = (diff ** 2).reshape(ly.sum(), -1).mean(axis=1)
+                    psnr = 10 * np.log10(255.0 ** 2 / np.maximum(mse, 1e-12))
+                    if (psnr < PSNR_MIN_DB).any():
+                        bad = np.nonzero(psnr < PSNR_MIN_DB)[0][0]
+                        raise AssertionError(
+                            f"PSNR invariant failed "
+                            f"({psnr[bad]:.1f} dB < {PSNR_MIN_DB}): "
+                            f"{ids[int(sel[ly][bad])]}")
             if caps is not None:
                 lon_c = (lon_mins + lon_maxs) / 2
                 lat_c = (lat_mins + lat_maxs) / 2

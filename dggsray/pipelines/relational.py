@@ -387,6 +387,51 @@ def embed_ivf_top10(sf_dir: str, n_centroids: int = 32, nprobe: int = 8):
     return ivf_topk(ds, q, 10, C, nprobe=nprobe)
 
 
+def images_jpeg_psnr(sf_dir: str, n: int = 500):
+    """Lossy-codec per-row invariant (input_hint: "decoded-pixel allclose,
+    PSNR >= 40 dB for lossy"): the JPEG-encoded variant table decodes through
+    an actor-pool stage and every row reports its PSNR vs the regenerated
+    reference plus caption equality.  sf_dir is unused (the table is
+    engine-synthesized like the flagship input)."""
+    import ray.data as rd
+
+    from ..io.imagetable import (PSNR_MIN_DB, decode_image, ensure_jpeg_table,
+                                 psnr_db, _pixels)
+
+    path = ensure_jpeg_table(n)
+
+    class JpegVerify:
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("image_id").to_pylist()
+            blobs = b.column("bytes").to_pylist()
+            ws = b.column("w").to_numpy()
+            hs = b.column("h").to_numpy()
+            fmts = b.column("fmt").to_pylist()
+            caps = b.column("caption").to_pylist()
+            lon_c = (b.column("lon_min").to_numpy()
+                     + b.column("lon_max").to_numpy()) / 2
+            lat_c = (b.column("lat_min").to_numpy()
+                     + b.column("lat_max").to_numpy()) / 2
+            vals = np.empty(len(ids))
+            cap_ok = np.empty(len(ids), dtype=bool)
+            for k, (s, blob) in enumerate(zip(ids, blobs)):
+                i = int(s[3:])
+                img = decode_image(blob, int(ws[k]), int(hs[k]), fmts[k])
+                vals[k] = psnr_db(img, _pixels(i, int(ws[k]), int(hs[k])))
+                exp = (f"caption for img{i} at "
+                       f"({lon_c[k]:.4f},{lat_c[k]:.4f})")
+                cap_ok[k] = caps[k] == exp
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "psnr_milli_db": pa.array(
+                    np.rint(vals * 1000).astype(np.int64)),
+                "psnr_ok": pa.array(vals >= PSNR_MIN_DB),
+                "caption_ok": pa.array(cap_ok)})
+
+    return rd.read_parquet(path).map_batches(
+        JpegVerify, concurrency=(1, 4), batch_format="pyarrow")
+
+
 def auid_customer_region(sf_dir: str, res: int = 3):
     """Distinct customer cells -> optimized CUID set -> canonical AUID.
     The distributed part is the distinct; the (small) compaction + encode is

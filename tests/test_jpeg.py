@@ -78,3 +78,44 @@ class TestPNOA:
         r = read_geotiff(out)
         assert r.data.shape[0] == 3
         assert abs(r.data.mean() - g.data.mean()) < 15   # same scene content
+
+
+def test_jpeg_encoder_roundtrip_psnr():
+    """encode_jpeg/decode_jpeg roundtrip on the synthetic imagery clears the
+    PSNR >= 40 dB lossy-invariant bar at the table's quality setting."""
+    from dggsray.core.jpegio import decode_jpeg, encode_jpeg
+    from dggsray.io.imagetable import _pixels, psnr_db
+    for i, (w, h) in [(0, (64, 64)), (7, (32, 32)), (11, (128, 96))]:
+        img = _pixels(i, w, h)
+        dec = decode_jpeg(encode_jpeg(img, quality=98))
+        assert dec.shape == img.shape
+        assert psnr_db(img, dec) >= 40.0
+
+
+def test_images_jpeg_psnr_query(ray_session):
+    """The lossy-codec invariant query: every row decodes over the PSNR bar
+    with its caption intact (input_hint per-row invariant, lossy branch)."""
+    from dggsray.pipelines.relational import images_jpeg_psnr
+    out = images_jpeg_psnr("unused", n=60).to_pandas()
+    assert len(out) == 60
+    assert out.psnr_ok.all()
+    assert out.caption_ok.all()
+    assert (out.psnr_milli_db >= 40_000).all()
+
+
+def test_flagship_verify_accepts_lossy_rows(ray_session):
+    """ImageCellJoinAgg's per-row invariant takes the PSNR branch for
+    fmt='jpeg' rows and still verifies lossless rows exactly."""
+    import pyarrow as pa
+
+    from dggsray.io.imagetable import synth_batch
+    from dggsray.pipelines.flagship import ImageCellJoinAgg, vector_cells_table
+
+    ids = pa.table({"id": pa.array(np.arange(24), "int64")})
+    lossless = synth_batch(ids)
+    lossy = synth_batch(ids, fmt_override="jpeg")
+    mixed = pa.concat_tables([lossless, lossy])
+    op = ImageCellJoinAgg(poly_ref=vector_cells_table(),
+                          dst_resolution_idx=8, verify=True)
+    out = op(mixed)
+    assert out.num_rows == 48             # both halves pass their invariant
