@@ -53,3 +53,17 @@ def raster_subdatasets(path: str) -> list[str]:
         from .netcdfio import NetCDFClassic
         return [f'NETCDF:"{f}":{v}' for v in NetCDFClassic(f).subdatasets()]
     return []
+
+
+def image_with_world_file_to_geotiff(input_path: str, output_path: str,
+                                     set_nodata_to_zero: bool = False):
+    """Plain image (JPEG + .jgw/.wld world file or PAM sidecar) -> GeoTIFF
+    with the georeferencing burned in — the reference's
+    image_with_world_file_to_geotiff (rhpx/utils/rasterutils.py:34-51)."""
+    from .tiffio import write_geotiff
+
+    g = open_raster(input_path)
+    if set_nodata_to_zero:
+        g.nodata = 0
+    write_geotiff(output_path, g)
+    return g

@@ -119,3 +119,20 @@ def test_flagship_verify_accepts_lossy_rows(ray_session):
                           dst_resolution_idx=8, verify=True)
     out = op(mixed)
     assert out.num_rows == 48             # both halves pass their invariant
+
+
+def test_image_with_world_file_to_geotiff(tmp_path):
+    """The reference's jpg+world-file -> GeoTIFF composite
+    (rasterutils.py:34-51) on the minimal bitstream."""
+    from dggsray.core.raster import image_with_world_file_to_geotiff
+    from dggsray.core.tiffio import read_geotiff
+    p = str(tmp_path / "t.jpg")
+    open(p, "wb").write(_minimal_jpeg())
+    open(str(tmp_path / "t.jgw"), "w").write("2\n0\n0\n-2\n100\n50\n")
+    out = str(tmp_path / "t.tif")
+    image_with_world_file_to_geotiff(p, out, set_nodata_to_zero=True)
+    g = read_geotiff(out)
+    assert g.data.shape == (1, 8, 8)
+    assert (g.data == 128).all()
+    assert g.left == pytest.approx(99.0) and g.top == pytest.approx(51.0)
+    assert g.nodata == 0
