@@ -30,7 +30,9 @@ def parse_rdggs(s: str):
 
 
 def _load_geojson_features(path: str, property_for_class: str | None,
-                           fixed_value: int, geom_types=("Polygon", "MultiPolygon")):
+                           fixed_value: int,
+                           geom_types=("Polygon", "MultiPolygon"),
+                           layer: str | None = None):
     """Vector file -> engine feature dicts (rings in lonlat).  GeoJSON
     FeatureCollections and ESRI Shapefiles (io.shapefile, UTM .prj handled)
     are accepted; MultiPolygon parts become separate rings of one feature."""
@@ -39,7 +41,7 @@ def _load_geojson_features(path: str, property_for_class: str | None,
     if path.lower().endswith(".gpkg"):
         from .io.gpkg import read_geopackage_features
         return read_geopackage_features(
-            path, property_for_class=property_for_class,
+            path, layer=layer, property_for_class=property_for_class,
             fixed_value=fixed_value)
     if path.lower().endswith(".shp"):
         from .io.shapefile import read_shapefile
@@ -124,6 +126,8 @@ def main(argv=None):
     sp.add_argument("--property-for-class", default=None)
     sp.add_argument("--fixed-value", type=int, default=1)
     sp.add_argument("--nodata", type=float, default=0)
+    sp.add_argument("--layer", default=None,
+                    help="GeoPackage layer name (default: first feature layer)")
 
     sp = sub.add_parser("vec-ras-area-error")
     sp.add_argument("vector"), sp.add_argument("raster")
@@ -168,7 +172,8 @@ def main(argv=None):
         from .ops.vector2dggs import burn_polygons_to_cells
         from .core.tiffio import GeoTiff, write_geotiff
         feats = _load_geojson_features(args.input, args.property_for_class,
-                                       args.fixed_value)
+                                       args.fixed_value,
+                                       layer=getattr(args, "layer", None))
         res = args.dst_resolution_idx
         if res == -1:
             # reference sizes the intermediate raster from the bbox
