@@ -12,8 +12,9 @@ CRS support: geographic WGS84, the rHEALPix plane itself, and UTM zones
 core.tmerc — the reference's canonical projected-in-meters input path
 (raster_to_rhpx.py:58-77 via rasterio/PROJ) without a PROJ database.
 Resampling: nearest, bilinear, cubic (4x4 Keys kernel, a=-0.5 — GDAL/rasterio
-`Resampling.cubic` semantics).  The warp runs tiled over destination rows so
-memory stays bounded regardless of output size.
+`Resampling.cubic` semantics), lanczos (6x6 windowed sinc, a=3 — GDAL/rasterio
+`Resampling.lanczos`).  The warp runs tiled over destination rows so memory
+stays bounded regardless of output size.
 """
 from __future__ import annotations
 
@@ -78,13 +79,28 @@ def _cubic_weights(t: np.ndarray) -> np.ndarray:
     return np.where(ad < 2.0, w, 0.0)
 
 
+def _lanczos_weights(t: np.ndarray) -> np.ndarray:
+    """(n, 6) Lanczos a=3 weights (GDAL/rasterio Resampling.lanczos): tap
+    offsets -2..3 relative to floor(coord-0.5), normalized to unit sum (the
+    windowed sinc does not sum to 1 exactly, GDAL normalizes)."""
+    k = np.arange(-2.0, 4.0)
+    d = t[:, None] - k[None, :]
+    pd = np.pi * d
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.where(np.abs(d) < 1e-12, 1.0,
+                     3.0 * np.sin(pd) * np.sin(pd / 3.0) / (pd * pd))
+    w[np.abs(d) >= 3.0] = 0.0
+    return w / w.sum(axis=1, keepdims=True)
+
+
 def resample_grid(data: np.ndarray, fc: np.ndarray, fr: np.ndarray,
                   resampling: str, src_nd, dst_nd) -> np.ndarray:
     """Sample (nbands, H, W) `data` at fractional pixel coords (fc, fr) —
     fc/fr in pixel units where integer k spans pixel [k, k+1).  Out-of-bounds
     (and, for nearest, src-nodata) points get dst_nd.  Returns
     (nbands, n) in the source dtype.  nearest / bilinear / cubic (Keys 4x4,
-    a=-0.5 — rasterio Resampling.cubic)."""
+    a=-0.5 — rasterio Resampling.cubic) / lanczos (6x6 windowed sinc, a=3 —
+    rasterio Resampling.lanczos)."""
     nbands, H, W = data.shape
     n = fc.shape[0]
     out = np.full((nbands, n), dst_nd, dtype=data.dtype)
@@ -115,23 +131,26 @@ def resample_grid(data: np.ndarray, fc: np.ndarray, fr: np.ndarray,
                           + a10 * (1 - wxo) * wyo + a11 * wxo * wyo) \
                 .astype(data.dtype)
         return out
-    if resampling == "cubic":
+    if resampling in ("cubic", "lanczos"):
+        R = 2 if resampling == "cubic" else 3     # kernel radius -> 2R taps
+        wfn = _cubic_weights if resampling == "cubic" else _lanczos_weights
         x0 = np.floor(fc - 0.5).astype(np.int64)
         y0 = np.floor(fr - 0.5).astype(np.int64)
         tx = (fc - 0.5) - x0
         ty = (fr - 0.5) - y0
-        ok = (x0 - 1 >= 0) & (x0 + 2 < W) & (y0 - 1 >= 0) & (y0 + 2 < H)
+        ok = (x0 - (R - 1) >= 0) & (x0 + R < W) \
+            & (y0 - (R - 1) >= 0) & (y0 + R < H)
         xo, yo = x0[ok], y0[ok]
-        wxk = _cubic_weights(tx[ok])
-        wyk = _cubic_weights(ty[ok])
+        wxk = wfn(tx[ok])
+        wyk = wfn(ty[ok])
         for b in range(nbands):
             acc = np.zeros(xo.shape[0], dtype=np.float64)
-            for dy in range(-1, 3):
+            for dy in range(-(R - 1), R + 1):
                 rowv = np.zeros(xo.shape[0], dtype=np.float64)
-                for dx in range(-1, 3):
-                    rowv += wxk[:, dx + 1] \
+                for dx in range(-(R - 1), R + 1):
+                    rowv += wxk[:, dx + R - 1] \
                         * data[b, yo + dy, xo + dx].astype(np.float64)
-                acc += wyk[:, dy + 1] * rowv
+                acc += wyk[:, dy + R - 1] * rowv
             if np.issubdtype(data.dtype, np.integer):
                 info = np.iinfo(data.dtype)
                 acc = np.clip(np.rint(acc), info.min, info.max)
@@ -257,12 +276,12 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
         cc = (np.arange(ow) * (W / ow)).astype(np.int64)
         out = g.data[:, rr][:, :, cc]
     else:
-        # center-mapped interpolating resample (bilinear / cubic)
+        # center-mapped interpolating resample (bilinear / cubic / lanczos)
         jj, ii = np.meshgrid(np.arange(ow), np.arange(oh))
         fc = (jj.ravel() + 0.5) * (W / ow)
         fr = (ii.ravel() + 0.5) * (H / oh)
         # clamp so edge samples stay inside the interpolation support
-        pad = 1.5 if resampling == "cubic" else 0.5
+        pad = {"cubic": 1.5, "lanczos": 2.5}.get(resampling, 0.5)
         fc = np.clip(fc, pad, W - pad - 1e-9)
         fr = np.clip(fr, pad, H - pad - 1e-9)
         out = resample_grid(g.data, fc, fr, resampling, g.nodata, g.nodata

@@ -180,6 +180,66 @@ class TestCubicResampling:
         assert np.allclose(steps, 1.0, atol=1e-6)
 
 
+class TestLanczosResampling:
+    def test_integer_centers_are_exact(self):
+        """Lanczos is interpolating: at t=0 the center tap weight is 1 and all
+        others 0, so pixel-center samples return the original values."""
+        from dggsray.ops.warp import resample_grid
+        rng = np.random.default_rng(7)
+        data = rng.integers(0, 255, size=(1, 18, 18)).astype(np.float64)
+        jj, ii = np.meshgrid(np.arange(3, 15), np.arange(3, 15))
+        fc = jj.ravel() + 0.5
+        fr = ii.ravel() + 0.5
+        out = resample_grid(data, fc, fr, "lanczos", None, -1.0)
+        assert np.allclose(out[0], data[0, 3:15, 3:15].ravel())
+
+    def test_dc_preservation_and_ramp(self):
+        """Normalized weights preserve constants exactly; a linear ramp is
+        reproduced to well under half a gray level (lanczos is not order-2
+        exact like Keys cubic, but is close on smooth signals)."""
+        from dggsray.ops.warp import resample_grid
+        H = W = 24
+        const = np.full((1, H, W), 42.0)
+        ramp = (3.0 * np.arange(W)[None, :] + 7.0 * np.arange(H)[:, None]
+                )[None].astype(np.float64)
+        rng = np.random.default_rng(8)
+        fc = rng.uniform(3.0, W - 3.5, 500)
+        fr = rng.uniform(3.0, H - 3.5, 500)
+        out_c = resample_grid(const, fc, fr, "lanczos", None, np.nan)
+        assert np.allclose(out_c[0], 42.0, atol=1e-12)
+        out_r = resample_grid(ramp, fc, fr, "lanczos", None, np.nan)
+        exp = 3.0 * (fc - 0.5) + 7.0 * (fr - 0.5)
+        assert np.allclose(out_r[0], exp, atol=0.4)
+
+    def test_out_of_support_gets_nodata(self):
+        """Points whose 6x6 support leaves the grid get dst_nodata."""
+        from dggsray.ops.warp import resample_grid
+        data = np.ones((1, 10, 10))
+        out = resample_grid(data, np.array([1.0, 5.0]), np.array([1.0, 5.0]),
+                            "lanczos", None, -7.0)
+        assert out[0, 0] == -7.0 and np.isclose(out[0, 1], 1.0)
+
+    def test_scale_raster_lanczos(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        src = str(tmp_path / "s.tif")
+        ramp = (2.0 * np.arange(32)[None, :] + np.zeros((32, 1)))[None] \
+            .astype(np.float64)
+        write_geotiff(src, GeoTiff(ramp, 0.0, 32.0, 1.0, 1.0, nodata=None))
+        dst = str(tmp_path / "s2.tif")
+        scale_raster(src, dst, 2.0, resampling="lanczos")
+        g = read_geotiff(dst)
+        assert g.data.shape == (1, 64, 64)
+        # lanczos is not linear-precise: a 2x upscale of a ramp oscillates
+        # +-0.08 around the ideal half-step (windowed-sinc ringing, matches
+        # GDAL) but the mean slope is exact and pairs sum to the full step
+        mid = g.data[0, 32, 12:52]
+        steps = np.diff(mid)
+        assert np.allclose(steps, 1.0, atol=0.12)
+        assert np.isclose(steps[:38].mean(), 1.0, atol=1e-6)
+        assert np.allclose(steps[:-1:2] + steps[1::2], 2.0, atol=1e-9)
+
+
 class TestLineBurning:
     def _dense_expected(self, coords, res, grid):
         """Touched cells via dense sampling along the line (independent of the
