@@ -115,7 +115,8 @@ def main(argv=None):
                          "epsg:326NN/327NN | albers | auto (read the CRS "
                          "embedded in the file, e.g. ERDAS .img)")
     sp.add_argument("--resampling", default="nearest",
-                    choices=["nearest", "bilinear", "cubic", "lanczos"])
+                    choices=["nearest", "bilinear", "cubic", "cubic_spline",
+                             "lanczos"])
     sp.add_argument("--src-nodata", type=float, default=None)
     sp.add_argument("--dst-nodata", type=float, default=None)
 

@@ -12,9 +12,11 @@ CRS support: geographic WGS84, the rHEALPix plane itself, and UTM zones
 core.tmerc — the reference's canonical projected-in-meters input path
 (raster_to_rhpx.py:58-77 via rasterio/PROJ) without a PROJ database.
 Resampling: nearest, bilinear, cubic (4x4 Keys kernel, a=-0.5 — GDAL/rasterio
-`Resampling.cubic` semantics), lanczos (6x6 windowed sinc, a=3 — GDAL/rasterio
-`Resampling.lanczos`).  The warp runs tiled over destination rows so memory
-stays bounded regardless of output size.
+`Resampling.cubic` semantics), cubic_spline (approximating uniform B-spline),
+lanczos (6x6 windowed sinc, a=3 — GDAL/rasterio `Resampling.lanczos`);
+`scale_raster` additionally takes average / mode (area block reduce on
+downscales).  The warp runs tiled over destination rows so memory stays
+bounded regardless of output size.
 """
 from __future__ import annotations
 
@@ -79,6 +81,23 @@ def _cubic_weights(t: np.ndarray) -> np.ndarray:
     return np.where(ad < 2.0, w, 0.0)
 
 
+def _bspline_weights(t: np.ndarray) -> np.ndarray:
+    """(n, 4) uniform cubic B-spline weights (GDAL/rasterio
+    Resampling.cubic_spline): same -1..2 taps as Keys cubic but an
+    APPROXIMATING kernel — smooths instead of interpolating, constants are
+    preserved (partition of unity)."""
+    d = np.empty((t.shape[0], 4), dtype=np.float64)
+    d[:, 0] = 1.0 + t
+    d[:, 1] = t
+    d[:, 2] = 1.0 - t
+    d[:, 3] = 2.0 - t
+    ad = np.abs(d)
+    w = np.where(ad <= 1.0,
+                 2.0 / 3.0 - ad**2 + 0.5 * ad**3,
+                 (2.0 - ad) ** 3 / 6.0)
+    return np.where(ad < 2.0, w, 0.0)
+
+
 def _lanczos_weights(t: np.ndarray) -> np.ndarray:
     """(n, 6) Lanczos a=3 weights (GDAL/rasterio Resampling.lanczos): tap
     offsets -2..3 relative to floor(coord-0.5), normalized to unit sum (the
@@ -99,8 +118,9 @@ def resample_grid(data: np.ndarray, fc: np.ndarray, fr: np.ndarray,
     fc/fr in pixel units where integer k spans pixel [k, k+1).  Out-of-bounds
     (and, for nearest, src-nodata) points get dst_nd.  Returns
     (nbands, n) in the source dtype.  nearest / bilinear / cubic (Keys 4x4,
-    a=-0.5 — rasterio Resampling.cubic) / lanczos (6x6 windowed sinc, a=3 —
-    rasterio Resampling.lanczos)."""
+    a=-0.5 — rasterio Resampling.cubic) / cubic_spline (B-spline 4x4,
+    approximating) / lanczos (6x6 windowed sinc, a=3 — rasterio
+    Resampling.lanczos)."""
     nbands, H, W = data.shape
     n = fc.shape[0]
     out = np.full((nbands, n), dst_nd, dtype=data.dtype)
@@ -131,9 +151,10 @@ def resample_grid(data: np.ndarray, fc: np.ndarray, fr: np.ndarray,
                           + a10 * (1 - wxo) * wyo + a11 * wxo * wyo) \
                 .astype(data.dtype)
         return out
-    if resampling in ("cubic", "lanczos"):
-        R = 2 if resampling == "cubic" else 3     # kernel radius -> 2R taps
-        wfn = _cubic_weights if resampling == "cubic" else _lanczos_weights
+    if resampling in ("cubic", "cubic_spline", "lanczos"):
+        R = 3 if resampling == "lanczos" else 2   # kernel radius -> 2R taps
+        wfn = {"cubic": _cubic_weights, "cubic_spline": _bspline_weights,
+               "lanczos": _lanczos_weights}[resampling]
         x0 = np.floor(fc - 0.5).astype(np.int64)
         y0 = np.floor(fr - 0.5).astype(np.int64)
         tx = (fc - 0.5) - x0
@@ -275,13 +296,44 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
         rr = (np.arange(oh) * (H / oh)).astype(np.int64)
         cc = (np.arange(ow) * (W / ow)).astype(np.int64)
         out = g.data[:, rr][:, :, cc]
+    elif resampling in ("average", "mode") and oh <= H and ow <= W:
+        # area resample for downscales (GDAL Resampling.average / .mode):
+        # each dest pixel takes the mean / most-common value of the source
+        # pixels whose centers fall in its footprint
+        edges_r = np.minimum((np.arange(oh + 1) * (H / oh)).astype(np.int64), H)
+        edges_c = np.minimum((np.arange(ow + 1) * (W / ow)).astype(np.int64), W)
+        if resampling == "average":
+            # vectorized block mean via reduceat (edges strictly increase
+            # because H/oh >= 1 and W/ow >= 1)
+            s = np.add.reduceat(g.data.astype(np.float64), edges_r[:-1], axis=1)
+            s = np.add.reduceat(s, edges_c[:-1], axis=2)
+            cnt = np.diff(edges_r)[:, None] * np.diff(edges_c)[None, :]
+            acc = s / cnt
+            if np.issubdtype(g.data.dtype, np.integer):
+                acc = np.rint(acc)
+            out = acc.astype(g.data.dtype)
+        else:
+            out = np.empty((nbands, oh, ow), dtype=g.data.dtype)
+            for i in range(oh):
+                r0, r1 = edges_r[i], edges_r[i + 1]
+                for j in range(ow):
+                    blk = g.data[:, r0:r1, edges_c[j]:edges_c[j + 1]] \
+                        .reshape(nbands, -1)
+                    for b in range(nbands):
+                        vals, c = np.unique(blk[b], return_counts=True)
+                        out[b, i, j] = vals[np.argmax(c)]
     else:
-        # center-mapped interpolating resample (bilinear / cubic / lanczos)
+        # center-mapped interpolating resample (bilinear / cubic /
+        # cubic_spline / lanczos; average/mode on an UPSCALE degrade to
+        # bilinear, matching GDAL's one-source-pixel-per-dest behavior)
+        if resampling in ("average", "mode"):
+            resampling = "bilinear"
         jj, ii = np.meshgrid(np.arange(ow), np.arange(oh))
         fc = (jj.ravel() + 0.5) * (W / ow)
         fr = (ii.ravel() + 0.5) * (H / oh)
         # clamp so edge samples stay inside the interpolation support
-        pad = {"cubic": 1.5, "lanczos": 2.5}.get(resampling, 0.5)
+        pad = {"cubic": 1.5, "cubic_spline": 1.5,
+               "lanczos": 2.5}.get(resampling, 0.5)
         fc = np.clip(fc, pad, W - pad - 1e-9)
         fr = np.clip(fr, pad, H - pad - 1e-9)
         out = resample_grid(g.data, fc, fr, resampling, g.nodata, g.nodata

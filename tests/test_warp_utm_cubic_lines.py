@@ -240,6 +240,84 @@ class TestLanczosResampling:
         assert np.allclose(steps[:-1:2] + steps[1::2], 2.0, atol=1e-9)
 
 
+class TestSplineAverageMode:
+    def test_bspline_smooths_but_preserves_constants_and_ramps(self):
+        """cubic_spline is approximating: constants and linear ramps are
+        reproduced exactly (B-spline has linear precision), but an impulse is
+        spread (value at the impulse center < 1)."""
+        from dggsray.ops.warp import resample_grid
+        H = W = 16
+        ramp = (2.0 * np.arange(W)[None, :] + 5.0 * np.arange(H)[:, None]
+                )[None].astype(np.float64)
+        rng = np.random.default_rng(9)
+        fc = rng.uniform(2.0, W - 2.5, 300)
+        fr = rng.uniform(2.0, H - 2.5, 300)
+        out = resample_grid(ramp, fc, fr, "cubic_spline", None, np.nan)
+        exp = 2.0 * (fc - 0.5) + 5.0 * (fr - 0.5)
+        assert np.allclose(out[0], exp, atol=1e-9)
+        imp = np.zeros((1, H, W))
+        imp[0, 8, 8] = 1.0
+        at = resample_grid(imp, np.array([8.5]), np.array([8.5]),
+                           "cubic_spline", None, np.nan)
+        assert 0.3 < at[0, 0] < 0.6    # (2/3)^2 = 0.444: spread, not interpolated
+
+    def test_scale_raster_average_exact_blocks(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        rng = np.random.default_rng(10)
+        data = rng.integers(0, 255, size=(2, 12, 12)).astype(np.float64)
+        src = str(tmp_path / "a.tif")
+        write_geotiff(src, GeoTiff(data, 0.0, 12.0, 1.0, 1.0, nodata=None))
+        dst = str(tmp_path / "a2.tif")
+        scale_raster(src, dst, 1 / 3, resampling="average")
+        g = read_geotiff(dst)
+        assert g.data.shape == (2, 4, 4)
+        exp = data.reshape(2, 4, 3, 4, 3).mean(axis=(2, 4))
+        assert np.allclose(g.data, exp)
+        assert g.res_x == 3.0 and g.res_y == 3.0
+
+    def test_scale_raster_average_uneven(self, tmp_path):
+        """Non-integer ratio: dest pixels partition the source, every source
+        pixel contributes to exactly one dest pixel, total mass conserved."""
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        data = np.arange(70.0).reshape(1, 7, 10)
+        src = str(tmp_path / "u.tif")
+        write_geotiff(src, GeoTiff(data, 0.0, 7.0, 1.0, 1.0, nodata=None))
+        dst = str(tmp_path / "u2.tif")
+        scale_raster(src, dst, 0.4, resampling="average")
+        g = read_geotiff(dst)
+        assert g.data.shape == (1, 3, 4)
+
+    def test_scale_raster_mode_majority(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        data = np.zeros((1, 4, 4), dtype=np.float64)
+        data[0, :2, :2] = [[7, 7], [7, 3]]     # majority 7
+        data[0, :2, 2:] = [[1, 2], [2, 2]]     # majority 2
+        data[0, 2:, :2] = 5                    # all 5
+        data[0, 2:, 2:] = [[9, 9], [4, 9]]     # majority 9
+        src = str(tmp_path / "m.tif")
+        write_geotiff(src, GeoTiff(data, 0.0, 4.0, 1.0, 1.0, nodata=None))
+        dst = str(tmp_path / "m2.tif")
+        scale_raster(src, dst, 0.5, resampling="mode")
+        g = read_geotiff(dst)
+        assert g.data[0].tolist() == [[7.0, 2.0], [5.0, 9.0]]
+
+    def test_average_upscale_degrades_to_bilinear(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        ramp = (np.arange(10.0)[None, :] + np.zeros((10, 1)))[None]
+        src = str(tmp_path / "b.tif")
+        write_geotiff(src, GeoTiff(ramp, 0.0, 10.0, 1.0, 1.0, nodata=None))
+        dst = str(tmp_path / "b2.tif")
+        scale_raster(src, dst, 2.0, resampling="average")
+        g = read_geotiff(dst)
+        assert g.data.shape == (1, 20, 20)
+        mid = g.data[0, 10, 4:36]
+        assert np.allclose(np.diff(mid[: mid.size // 2 * 2 - 1]), 0.5, atol=1e-9)
+
+
 class TestLineBurning:
     def _dense_expected(self, coords, res, grid):
         """Touched cells via dense sampling along the line (independent of the
