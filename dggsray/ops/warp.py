@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import enum
 import math
+import re
 
 import numpy as np
 
@@ -342,6 +343,121 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
     write_geotiff(output_path, GeoTiff(
         out, g.left, g.top, g.res_x * (W / ow), g.res_y * (H / oh),
         nodata=g.nodata, tags=g.tags))
+
+
+def scale_raster_to_desired_res(input_path: str, output_path: str,
+                                desired_res_x: float,
+                                desired_res_y: float | None = None,
+                                resampling: str = "nearest"):
+    """Re-scale so the output has the given cell size (reference
+    rasterutils.py:54-66: scale factors = current res / desired res; our
+    res_y is stored positive so no sign flip is needed)."""
+    if desired_res_y is None:
+        desired_res_y = desired_res_x
+    g = open_raster(input_path)
+    scale_raster(input_path, output_path, g.res_x / desired_res_x,
+                 g.res_y / desired_res_y, resampling)
+
+
+def _crs_funcs(name: str, grid: GridConfig, albers_params=None):
+    """(fwd, inv) pair for a named CRS: fwd maps lonlat -> CRS xy, inv maps
+    CRS xy -> lonlat.  Geographic is the identity hub every pair routes
+    through."""
+    if name == "geographic":
+        ident = lambda a, b: (np.asarray(a, dtype=np.float64),
+                              np.asarray(b, dtype=np.float64))
+        return ident, ident
+    if name == "rhealpix":
+        return (lambda lon, lat: project_fwd(lon, lat, grid),
+                lambda x, y: project_inv(x, y, grid))
+    if _is_utm(name):
+        z = parse_utm_crs(name)
+        return (lambda lon, lat: utm_fwd(lon, lat, *z),
+                lambda x, y: utm_inv(x, y, *z))
+    if name == "albers":
+        if albers_params is None:
+            raise ValueError("albers CRS needs parameters (only available "
+                             "from a source file carrying them)")
+        from ..core.albers import albers_fwd, albers_inv
+        return (lambda lon, lat: albers_fwd(lon, lat, albers_params),
+                lambda x, y: albers_inv(x, y, albers_params))
+    raise ValueError(f"unsupported CRS {name!r}: geographic | rhealpix | "
+                     f"utm:NNh | epsg:326NN/327NN | albers")
+
+
+def reproject_raster(input_path: str, output_path: str, dst_crs: str,
+                     input_crs: str = "auto", resampling: str = "nearest",
+                     src_nodata=None, dst_nodata=None,
+                     grid: GridConfig = DEFAULT_GRID, row_chunk: int = 1024):
+    """General raster reprojection between any two supported CRSes
+    (reference rasterutils.py:122-173 via rasterio.warp.reproject +
+    calculate_default_transform).  Square destination pixels sized to
+    roughly preserve the source pixel count (GDAL SuggestedWarpOutput
+    behavior); inverse-maps each destination pixel center through the
+    lonlat hub and samples with `resample_grid`.  Not dateline-aware."""
+    g = open_raster(input_path)
+    src_albers = None
+    if input_crs == "auto":
+        proj = g.tags.get("proj")
+        if proj is not None and "Albers" in proj.get("name", ""):
+            from ..core.albers import AlbersParams
+            src_albers = AlbersParams.from_hfa(proj)
+            input_crs = "albers"
+        elif "utm" in g.tags:
+            zone, north = g.tags["utm"]
+            input_crs = f"utm:{zone}{'N' if north else 'S'}"
+        elif "n_side" in g.tags.get("GDAL_METADATA", ""):
+            input_crs = "rhealpix"
+        else:
+            m = re.search(r'<Item name="crs">([^<]+)</Item>',
+                          g.tags.get("GDAL_METADATA", ""))
+            input_crs = m.group(1) if m else "geographic"
+    _, sinv = _crs_funcs(input_crs, grid, src_albers)
+    sfwd, _ = _crs_funcs(input_crs, grid, src_albers)
+    dfwd, dinv = _crs_funcs(dst_crs, grid)
+
+    nbands, H, W = g.data.shape
+    right = g.left + W * g.res_x
+    bottom = g.top - H * g.res_y
+    n = 64
+    bx = np.concatenate([np.linspace(g.left, right, n),
+                         np.linspace(g.left, right, n),
+                         np.full(n, g.left), np.full(n, right)])
+    by = np.concatenate([np.full(n, g.top), np.full(n, bottom),
+                         np.linspace(bottom, g.top, n),
+                         np.linspace(bottom, g.top, n)])
+    lon, lat = sinv(bx, by)
+    px, py = dfwd(lon, lat)
+    bw, bh = float(px.max() - px.min()), float(py.max() - py.min())
+    res = max(bw / W, bh / H)
+    ncols = max(1, math.ceil(bw / res))
+    nrows = max(1, math.ceil(bh / res))
+    if ncols * nrows > 200_000_000:
+        raise ValueError(f"destination raster {nrows}x{ncols} too large")
+    dleft, dtop = float(px.min()), float(py.max())
+
+    set_src_nd = g.nodata if src_nodata is None else src_nodata
+    set_dst_nd = g.nodata if dst_nodata is None else dst_nodata
+    if set_dst_nd is None:
+        set_dst_nd = 0
+
+    out = np.full((nbands, nrows, ncols), set_dst_nd, dtype=g.data.dtype)
+    for r0 in range(0, nrows, row_chunk):
+        r1 = min(r0 + row_chunk, nrows)
+        jj, ii = np.meshgrid(np.arange(ncols), np.arange(r0, r1))
+        xs = dleft + (jj.ravel() + 0.5) * res
+        ys = dtop - (ii.ravel() + 0.5) * res
+        lon, lat = dinv(xs, ys)
+        sx, sy = sfwd(lon, lat)
+        fc = (sx - g.left) / g.res_x
+        fr = (g.top - sy) / g.res_y
+        vals = resample_grid(g.data, fc, fr, resampling, set_src_nd, set_dst_nd)
+        out[:, r0:r1, :] = vals.reshape(nbands, r1 - r0, ncols)
+
+    tags = {"GDAL_METADATA": f'<GDALMetadata><Item name="crs">{dst_crs}'
+                             f'</Item></GDALMetadata>'}
+    write_geotiff(output_path, GeoTiff(out, dleft, dtop, res, res,
+                                       nodata=set_dst_nd, tags=tags))
 
 
 def get_rhpx_metadata(input_path: str, n_side: int = 3) -> dict:

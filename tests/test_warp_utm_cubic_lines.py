@@ -380,3 +380,116 @@ class TestLineBurning:
             c for c, v in m.items()}
         assert cross, "lines must intersect"
         assert all(m[c] == 2 for c in cross)
+
+
+class TestScaleToDesiredRes:
+    def _mk(self, tmp_path, res=0.01):
+        from dggsray.core.tiffio import GeoTiff, write_geotiff
+        H, W = 40, 60
+        data = (np.add.outer(np.arange(H), np.arange(W)) % 200 + 1).astype(
+            np.uint8)[None]
+        src = str(tmp_path / "src.tif")
+        write_geotiff(src, GeoTiff(data, left=-4.0, top=41.0, res_x=res,
+                                   res_y=res, nodata=0))
+        return src
+
+    def test_desired_res_exact(self, tmp_path):
+        from dggsray.core.raster import open_raster
+        from dggsray.ops.warp import scale_raster_to_desired_res
+        src = self._mk(tmp_path)
+        dst = str(tmp_path / "out.tif")
+        scale_raster_to_desired_res(src, dst, 0.02)
+        g = open_raster(dst)
+        assert g.res_x == pytest.approx(0.02)
+        assert g.res_y == pytest.approx(0.02)
+        assert g.data.shape == (1, 20, 30)
+
+    def test_anisotropic(self, tmp_path):
+        from dggsray.core.raster import open_raster
+        from dggsray.ops.warp import scale_raster_to_desired_res
+        src = self._mk(tmp_path)
+        dst = str(tmp_path / "out.tif")
+        scale_raster_to_desired_res(src, dst, 0.02, 0.005)
+        g = open_raster(dst)
+        assert g.res_x == pytest.approx(0.02)
+        assert g.res_y == pytest.approx(0.005)
+        assert g.data.shape == (1, 80, 30)
+
+
+class TestReprojectRaster:
+    """General CRS<->CRS reprojection through the lonlat hub (reference
+    rasterutils.py:122-173)."""
+
+    def _mk_geo(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, write_geotiff
+        H, W = 60, 80
+        y, x = np.mgrid[0:H, 0:W]
+        data = (40 + 0.9 * x + 1.1 * y).astype(np.float32)[None]
+        src = str(tmp_path / "geo.tif")
+        write_geotiff(src, GeoTiff(data, left=-4.0, top=41.0, res_x=0.01,
+                                   res_y=0.01, nodata=-1.0))
+        return src, data
+
+    def test_geo_to_utm_pixel_size(self, tmp_path):
+        from dggsray.core.raster import open_raster
+        from dggsray.ops.warp import reproject_raster
+        src, _ = self._mk_geo(tmp_path)
+        dst = str(tmp_path / "utm.tif")
+        reproject_raster(src, dst, "utm:30N", input_crs="geographic")
+        g = open_raster(dst)
+        # 0.01 deg lat at ~40.7N is ~1.11 km; suggested square pixel close
+        assert 900 < g.res_x < 1300
+        assert g.data.shape[0] == 1
+        # northing around 4.5e6 in zone 30 north at 40.7N
+        assert 4.4e6 < g.top < 4.7e6
+
+    def test_roundtrip_values(self, tmp_path):
+        """geo -> UTM -> geo with bilinear must reproduce the linear surface
+        almost exactly (a plane is invariant under bilinear resampling)."""
+        from dggsray.core.raster import open_raster
+        from dggsray.ops.warp import reproject_raster
+        src, data = self._mk_geo(tmp_path)
+        mid = str(tmp_path / "utm.tif")
+        back = str(tmp_path / "back.tif")
+        reproject_raster(src, mid, "utm:30N", input_crs="geographic",
+                         resampling="bilinear")
+        # auto-detect must pick the utm CRS back up from the GDAL_METADATA tag
+        reproject_raster(mid, back, "geographic", resampling="bilinear")
+        g0 = open_raster(src)
+        g1 = open_raster(back)
+        # sample interior destination pixels at their lonlat and compare with
+        # the analytic plane value
+        H1, W1 = g1.data.shape[1:]
+        r0, r1 = H1 // 4, H1 - H1 // 4
+        c0, c1 = W1 // 4, W1 - W1 // 4
+        interior = g1.data[0, r0:r1, c0:c1]
+        valid = interior[interior != -1.0]
+        assert valid.size > 100
+        ii, jj = np.mgrid[r0:r1, c0:c1]
+        lon = g1.left + (jj + 0.5) * g1.res_x
+        lat = g1.top - (ii + 0.5) * g1.res_y
+        # plane in source pixel coords: v = 40 + .9*col + 1.1*row
+        col = (lon - g0.left) / g0.res_x - 0.5
+        row = (g0.top - lat) / g0.res_y - 0.5
+        exp = 40 + 0.9 * col + 1.1 * row
+        m = interior != -1.0
+        err = np.abs(interior[m] - exp[m])
+        assert np.median(err) < 0.05
+        assert np.percentile(err, 95) < 0.5
+
+    def test_geo_to_rhealpix(self, tmp_path):
+        from dggsray.core.raster import open_raster
+        from dggsray.ops.warp import reproject_raster
+        src, _ = self._mk_geo(tmp_path)
+        dst = str(tmp_path / "rhpx.tif")
+        reproject_raster(src, dst, "rhealpix", input_crs="geographic")
+        g = open_raster(dst)
+        # rhealpix planar coords are in meters, magnitude < pi*R
+        assert abs(g.left) < 2.1e7 and abs(g.top) < 2.1e7
+        assert 500 < g.res_x < 2500
+
+    def test_bad_crs_raises(self, tmp_path):
+        from dggsray.ops.warp import reproject_raster
+        src, _ = self._mk_geo(tmp_path)
+        with pytest.raises(ValueError, match="unsupported CRS"):
+            reproject_raster(src, str(tmp_path / "x.tif"), "mercator")
