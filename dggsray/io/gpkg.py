@@ -38,6 +38,127 @@ def _wkb_polygon(xs: np.ndarray, ys: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _wkb_polygon_rings(rings: list[np.ndarray]) -> bytes:
+    """Little-endian ISO WKB POLYGON from (n,2) ring arrays (auto-closed)."""
+    out = bytearray(struct.pack("<BII", 1, 3, len(rings)))
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out += struct.pack("<I", len(r))
+        out += r.astype("<f8").tobytes()
+    return bytes(out)
+
+
+def _wkb_linestring(coords: np.ndarray) -> bytes:
+    coords = np.asarray(coords, dtype=np.float64)
+    return struct.pack("<BII", 1, 2, len(coords)) + coords.astype("<f8").tobytes()
+
+
+def _wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _named_srs(crs: str, grid) -> tuple[int, list]:
+    """-> (srs_id, extra gpkg_spatial_ref_sys rows to insert) for an engine
+    CRS name.  UTM definitions carry a 'UTM_Zone_NNh' token so
+    io.shapefile.parse_prj_text round-trips them."""
+    if crs == "geographic":
+        return 4326, []
+    if crs == "rhealpix":
+        return _SRS_RHPX, []
+    if crs.lower().startswith(("utm:", "epsg:326", "epsg:327")):
+        from ..core.tmerc import parse_utm_crs
+        zone, south = parse_utm_crs(crs)
+        srs_id = (32700 if south else 32600) + zone
+        h = "S" if south else "N"
+        wkt = (f'PROJCS["WGS 84 / UTM_Zone_{zone}{h}",GEOGCS["WGS 84",'
+               f'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+               f'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+               f'PROJECTION["Transverse_Mercator"],'
+               f'PARAMETER["latitude_of_origin",0],'
+               f'PARAMETER["central_meridian",{zone * 6 - 183}],'
+               f'PARAMETER["scale_factor",0.9996],'
+               f'PARAMETER["false_easting",500000],'
+               f'PARAMETER["false_northing",{10000000 if south else 0}],'
+               f'UNIT["metre",1]]')
+        return srs_id, [(f"WGS 84 / UTM zone {zone}{h}", srs_id, "EPSG",
+                         srs_id, wkt, None)]
+    raise ValueError(f"unsupported output CRS for GeoPackage: {crs!r}")
+
+
+def write_feature_geopackage(feats: list[dict], attrs: list[dict], path: str,
+                             crs: str = "geographic",
+                             layer_name: str = "data", grid=None):
+    """Generic vector feature layer -> GeoPackage.  feats are engine dicts
+    ({rings} polygons, {coords} lines/points) with coordinates ALREADY in the
+    target crs; attrs are per-feature attribute dicts (uniform keys).  The
+    write side of the reference's geopandas to_file(driver='GPKG')
+    (vectorutils.py:42-51)."""
+    from ..core.rhpx import DEFAULT_GRID
+
+    grid = grid or DEFAULT_GRID
+    srs_id, extra_srs = _named_srs(crs, grid)
+    con = _gpkg_create(path, grid)
+    if extra_srs:
+        con.executemany("INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+                        extra_srs)
+
+    def geom_of(ft):
+        if "rings" in ft:
+            return "POLYGON", _wkb_polygon_rings(ft["rings"]), \
+                np.vstack(ft["rings"])
+        coords = np.atleast_2d(np.asarray(ft["coords"], dtype=np.float64))
+        if len(coords) == 1:
+            return "POINT", _wkb_point(coords[0, 0], coords[0, 1]), coords
+        return "LINESTRING", _wkb_linestring(coords), coords
+
+    gtypes = set()
+    rows = []
+    gmin = [np.inf, np.inf]
+    gmax = [-np.inf, -np.inf]
+    attr_cols = sorted({k for a in attrs for k in a}) if attrs else []
+    for ft, at in zip(feats, attrs if attrs else [{}] * len(feats)):
+        gt, wkb, pts = geom_of(ft)
+        gtypes.add(gt)
+        env = (float(pts[:, 0].min()), float(pts[:, 0].max()),
+               float(pts[:, 1].min()), float(pts[:, 1].max()))
+        gmin[0] = min(gmin[0], env[0]); gmax[0] = max(gmax[0], env[1])
+        gmin[1] = min(gmin[1], env[2]); gmax[1] = max(gmax[1], env[3])
+        rows.append((_gp_header(srs_id, *env) + wkb,
+                     *[at.get(c) for c in attr_cols]))
+
+    gtype = gtypes.pop() if len(gtypes) == 1 else "GEOMETRY"
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', ?, ?, 0, 0)",
+        (layer_name, gtype, srs_id))
+
+    def sql_type(c):
+        for a in attrs:
+            v = a.get(c)
+            if v is not None:
+                return {int: "INTEGER", float: "REAL", bool: "INTEGER",
+                        bytes: "BLOB"}.get(type(v), "TEXT")
+        return "TEXT"
+
+    cols_sql = "".join(f', "{c}" {sql_type(c)}' for c in attr_cols)
+    con.execute(f'CREATE TABLE "{layer_name}" (fid INTEGER PRIMARY KEY '
+                f"AUTOINCREMENT, geom BLOB{cols_sql})")
+    ph = ",".join("?" * (1 + len(attr_cols)))
+    cols = "".join(f', "{c}"' for c in attr_cols)
+    con.executemany(
+        f'INSERT INTO "{layer_name}" (geom{cols}) VALUES ({ph})', rows)
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+        "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
+        (layer_name, "features", layer_name,
+         gmin[0] if rows else None, gmin[1] if rows else None,
+         gmax[0] if rows else None, gmax[1] if rows else None, srs_id))
+    con.commit()
+    con.close()
+    return len(rows)
+
+
 def _gp_header(srs_id: int, minx, maxx, miny, maxy) -> bytes:
     """GeoPackage binary header: magic GP, version 0, flags=envelope[xy]+LE."""
     return b"GP" + bytes([0, 0b00000011]) + struct.pack(
@@ -53,21 +174,9 @@ def _cell_geom_blob(cellid: str, grid) -> tuple[bytes, tuple]:
     return _gp_header(_SRS_RHPX, *env) + _wkb_polygon(xs, ys), env
 
 
-_SQL_TYPES = {pa.int64(): "INTEGER", pa.int32(): "INTEGER",
-              pa.int16(): "INTEGER", pa.uint8(): "INTEGER",
-              pa.float64(): "REAL", pa.float32(): "REAL",
-              pa.string(): "TEXT", pa.bool_(): "INTEGER"}
-
-
-def write_geopackage(ds, path: str, meta: dict, layer_name: str = "data",
-                     geo_id_column_name: str = "cellid", grid=None):
-    """Dataset/Table of cell rows -> GeoPackage with cell-boundary POLYGON
-    geometries in the rhealpix planar CRS and the reference's metadata rows.
-    Mirrors geodataframe_to_geopackage (reference storage.py:32-69) including
-    the delete-before-write contract."""
-    from ..core.rhpx import DEFAULT_GRID
-
-    grid = grid or DEFAULT_GRID
+def _gpkg_create(path: str, grid) -> sqlite3.Connection:
+    """Fresh GPKG file with the core tables and the standard srs rows
+    (delete-before-write contract, reference storage.py:38-40)."""
     try:
         os.remove(path)
     except OSError:
@@ -100,6 +209,25 @@ def write_geopackage(ds, path: str, meta: dict, layer_name: str = "data",
         "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
         "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL, "
         "CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))")
+    return con
+
+
+_SQL_TYPES = {pa.int64(): "INTEGER", pa.int32(): "INTEGER",
+              pa.int16(): "INTEGER", pa.uint8(): "INTEGER",
+              pa.float64(): "REAL", pa.float32(): "REAL",
+              pa.string(): "TEXT", pa.bool_(): "INTEGER"}
+
+
+def write_geopackage(ds, path: str, meta: dict, layer_name: str = "data",
+                     geo_id_column_name: str = "cellid", grid=None):
+    """Dataset/Table of cell rows -> GeoPackage with cell-boundary POLYGON
+    geometries in the rhealpix planar CRS and the reference's metadata rows.
+    Mirrors geodataframe_to_geopackage (reference storage.py:32-69) including
+    the delete-before-write contract."""
+    from ..core.rhpx import DEFAULT_GRID
+
+    grid = grid or DEFAULT_GRID
+    con = _gpkg_create(path, grid)
     con.execute(
         "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', 'POLYGON', ?, 0, 0)",
         (layer_name, _SRS_RHPX))
@@ -401,16 +529,11 @@ def _wkb_rings(wkb: bytes) -> list[np.ndarray]:
     raise ValueError(f"not a polygon WKB (type {typ})")
 
 
-def read_geopackage_features(path: str, layer: str | None = None,
-                             property_for_class: str | None = None,
-                             fixed_value: int = 1):
-    """GPKG polygon layer -> engine feature dicts [{feature_id, rings, value}]
-    in lon/lat (UTM layers inverted through core.tmerc; the srs definition WKT
-    names the zone).  The vector-side twin of the shapefile loader, matching
-    the reference's read of gpkg vector layers (storage.py:86-97 via
-    geopandas.read_file)."""
-    from ..ops.vector2dggs import feature_class_values
-
+def read_gpkg_polygons(path: str, layer: str | None = None):
+    """GPKG polygon layer -> (feats, attrs, crs) like io.shapefile's reader:
+    feats = [{feature_id, rings:[(n,2) lonlat]}], attrs = per-feature dicts of
+    the layer's non-geometry columns, crs = parse_prj_text of the srs WKT.
+    UTM layer coordinates are inverted through core.tmerc."""
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     cur = con.cursor()
     if layer is None:
@@ -443,17 +566,31 @@ def read_geopackage_features(path: str, layer: str | None = None,
                 f"(geographic / UTM only): {srs_wkt[:60]}...")
         return arr
 
-    feats, classes = [], []
+    feats, attrs = [], []
     for i, r in enumerate(rows):
         if r[0] is None:
             continue
         wkb, _srs = _parse_gp_blob(r[0])
         feats.append({"feature_id": i,
                       "rings": [tr(ring) for ring in _wkb_rings(wkb)]})
-        if property_for_class is not None:
-            classes.append(r[1 + attr_cols.index(property_for_class)])
-        else:
-            classes.append(int(fixed_value))
+        attrs.append(dict(zip(attr_cols, r[1:])))
+    return feats, attrs, crs
+
+
+def read_geopackage_features(path: str, layer: str | None = None,
+                             property_for_class: str | None = None,
+                             fixed_value: int = 1):
+    """GPKG polygon layer -> engine feature dicts [{feature_id, rings, value}]
+    in lon/lat.  The vector-side twin of the shapefile loader, matching the
+    reference's read of gpkg vector layers (storage.py:86-97 via
+    geopandas.read_file)."""
+    from ..ops.vector2dggs import feature_class_values
+
+    feats, attrs, _crs = read_gpkg_polygons(path, layer)
+    if property_for_class is not None:
+        classes = [a[property_for_class] for a in attrs]
+    else:
+        classes = [int(fixed_value)] * len(feats)
     values = feature_class_values(classes)
     for ft, v in zip(feats, values):
         ft["value"] = int(v)
