@@ -260,3 +260,36 @@ def polygons_to_cells_ds(features: list[dict], res: int,
                          "value": pa.array(s % K, pa.int64())})
 
     return best.map_batches(decode, batch_format="pyarrow")
+
+
+def vector_to_optimal_cuids(source, res: int, grid: GridConfig = DEFAULT_GRID,
+                            property_for_class: str | None = None,
+                            fixed_value: int = 1, layer: str | None = None,
+                            all_touched: bool = False,
+                            with_auid: bool = False):
+    """Vector area -> area-equivalent MINIMAL CUID set (variable-resolution
+    cover): burn at the deepest resolution, then collapse complete sibling
+    groups bottom-up.  The reference keeps a slow direct recursion for this
+    (_vector_to_optimal_set_of_cuids, vector_to_rhpx.py:263-385) but itself
+    notes rasterize-then-optimize is faster — that is exactly this composite.
+    `source` is a vector file path (GeoJSON/SHP/GPKG) or a pre-loaded feature
+    list.  Returns sorted optimal CUIDs, or (cuids, compressed_auid_b64,
+    hash_b64) with with_auid=True (generate_bp_auid_from_cuids,
+    auids/common.py:180-213)."""
+    from ..core.auid import optimize_cuids
+
+    if isinstance(source, str):
+        from ..cli import _load_geojson_features
+        feats = _load_geojson_features(source, property_for_class,
+                                       fixed_value, layer=layer)
+    else:
+        feats = source
+    t = burn_polygons_to_cells(feats, res, grid, all_touched=all_touched)
+    cuids = sorted(set(t.column("cellid").to_pylist()))
+    optimal = optimize_cuids(cuids, grid.n_side)
+    if not with_auid:
+        return optimal
+    from ..core.auid import generate_bp_auid_from_cuids
+    _auid, _hash, hash_b64, _comp, comp_b64, _trie = \
+        generate_bp_auid_from_cuids(optimal)
+    return optimal, comp_b64, hash_b64

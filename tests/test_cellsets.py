@@ -82,3 +82,88 @@ class TestAreaSetOps:
         with pytest.raises(Exception):
             area_setop(_ds(["N111"]), _ds(["N1"]), "union", 1,
                        GridConfig(2, 1, 0)).to_pandas()
+
+
+class TestVectorToOptimalCuids:
+    """vector -> minimal CUID cover (reference _vector_to_optimal_set_of_cuids
+    semantics via rasterize-then-optimize, vector_to_rhpx.py:263-385)."""
+
+    def _feats(self):
+        # a polygon exactly covering face N's 9 res-1 cells collapses to ["N"]
+        import numpy as np
+        from dggsray.core.rhpx import DEFAULT_GRID, cell_vertices, project_inv
+        (left, top), _, (right, bottom), _ = cell_vertices("N", DEFAULT_GRID)
+        # build ring in lonlat from planar corners slightly inset
+        eps = (right - left) * 1e-6
+        xs = np.array([left + eps, right - eps, right - eps, left + eps])
+        ys = np.array([bottom + eps, bottom + eps, top - eps, top - eps])
+        lon, lat = project_inv(xs, ys, DEFAULT_GRID)
+        ring = np.column_stack([lon, lat])
+        return [{"feature_id": 0, "value": 1, "rings": [ring]}]
+
+    def test_full_face_collapses(self):
+        from dggsray.core.auid import is_optimal_cuids
+        from dggsray.core.rhpx import DEFAULT_GRID
+        from dggsray.ops.vector2dggs import vector_to_optimal_cuids
+        cuids = vector_to_optimal_cuids(self._feats(), 2)
+        assert cuids == ["N"]
+        assert is_optimal_cuids(cuids, DEFAULT_GRID.n_side)
+
+    def test_partial_area_optimal_and_equivalent(self):
+        """A half-face polygon: optimized set must be optimal and expand back
+        to exactly the burned res-2 cells."""
+        import numpy as np
+        from dggsray.core.auid import is_optimal_cuids
+        from dggsray.core.cells import get_descendant_cellids_at_resolution_idx
+        from dggsray.core.rhpx import DEFAULT_GRID, cell_vertices, project_inv
+        from dggsray.ops.vector2dggs import burn_polygons_to_cells, \
+            vector_to_optimal_cuids
+        (left, top), _, (right, bottom), _ = cell_vertices("N", DEFAULT_GRID)
+        eps = (right - left) * 1e-6
+        mid = (top + bottom) / 2
+        xs = np.array([left + eps, right - eps, right - eps, left + eps])
+        ys = np.array([bottom + eps, bottom + eps, mid - eps, mid - eps])
+        lon, lat = project_inv(xs, ys, DEFAULT_GRID)
+        feats = [{"feature_id": 0, "value": 1,
+                  "rings": [np.column_stack([lon, lat])]}]
+        res = 3
+        cuids = vector_to_optimal_cuids(feats, res)
+        assert is_optimal_cuids(cuids, DEFAULT_GRID.n_side)
+        burned = set(burn_polygons_to_cells(feats, res)
+                     .column("cellid").to_pylist())
+        expanded = set()
+        for c in cuids:
+            # descendants-at returns [] for cells already at res
+            expanded.update(
+                get_descendant_cellids_at_resolution_idx(c, DEFAULT_GRID, res)
+                or [c])
+        assert expanded == burned
+        assert len(cuids) < len(burned)          # it actually compacted
+
+    def test_with_auid_matches_direct_generation(self):
+        from dggsray.core.auid import generate_bp_auid_from_cuids
+        from dggsray.ops.vector2dggs import vector_to_optimal_cuids
+        cuids, comp_b64, hash_b64 = vector_to_optimal_cuids(
+            self._feats(), 2, with_auid=True)
+        _a, _h, exp_hash, _c, exp_comp, _t = \
+            generate_bp_auid_from_cuids(cuids)
+        assert (comp_b64, hash_b64) == (exp_comp, exp_hash)
+
+    def test_from_geojson_file(self, tmp_path):
+        import json
+        import numpy as np
+        from dggsray.core.rhpx import DEFAULT_GRID, cell_vertices, project_inv
+        from dggsray.ops.vector2dggs import vector_to_optimal_cuids
+        (left, top), _, (right, bottom), _ = cell_vertices("N", DEFAULT_GRID)
+        eps = (right - left) * 1e-6
+        xs = np.array([left + eps, right - eps, right - eps, left + eps])
+        ys = np.array([bottom + eps, bottom + eps, top - eps, top - eps])
+        lon, lat = project_inv(xs, ys, DEFAULT_GRID)
+        ring = np.column_stack([lon, lat]).tolist() + \
+            [np.column_stack([lon, lat])[0].tolist()]
+        p = str(tmp_path / "face.geojson")
+        json.dump({"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates": [ring]}}]},
+            open(p, "w"))
+        assert vector_to_optimal_cuids(p, 2) == ["N"]
