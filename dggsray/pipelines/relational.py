@@ -428,8 +428,11 @@ def images_jpeg_psnr(sf_dir: str, n: int = 500):
                 "psnr_ok": pa.array(vals >= PSNR_MIN_DB),
                 "caption_ok": pa.array(cap_ok)})
 
+    # max_restarts=0: the serialized closure class is a constructor arg in the
+    # object store; restarts with such args can abort the raylet (ray#53727)
     return rd.read_parquet(path).map_batches(
-        JpegVerify, concurrency=(1, 4), batch_format="pyarrow")
+        JpegVerify, concurrency=(1, 4), batch_format="pyarrow",
+        max_restarts=0)
 
 
 def auid_customer_region(sf_dir: str, res: int = 3):
