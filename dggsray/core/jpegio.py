@@ -9,6 +9,7 @@ decode, and dequantization + IDCT + color conversion run vectorized over all
 blocks at once."""
 from __future__ import annotations
 
+import functools
 import re
 import struct
 
@@ -27,8 +28,10 @@ _A = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
 
 
 def _build_lut(bits, vals):
-    """(65536,) int32 LUT: high 8 bits symbol, low 8 bits code length."""
-    lut = np.zeros(65536, dtype=np.int32)
+    """65536-entry LUT: high 8 bits symbol, low 8 bits code length.  A plain
+    Python list — the entropy decode indexes it per symbol in a CPython loop,
+    where list access beats numpy scalar indexing ~10x."""
+    lut = [0] * 65536
     code = 0
     k = 0
     for ln in range(1, 17):
@@ -37,10 +40,17 @@ def _build_lut(bits, vals):
             k += 1
             lo = code << (16 - ln)
             hi = lo + (1 << (16 - ln))
-            lut[lo:hi] = (int(sym) << 8) | ln
+            lut[lo:hi] = [(int(sym) << 8) | ln] * (hi - lo)
             code += 1
         code <<= 1
     return lut
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_lut(bits: bytes, vals: bytes):
+    """Per-process LUT cache: a corpus encoded with one table set (e.g. the
+    Annex-K defaults) pays the 65536-entry expansion once, not per image."""
+    return _build_lut(list(bits), list(vals))
 
 
 class _BitReader:
@@ -130,7 +140,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1:p + 17])
                 nsym = sum(bits)
                 vals = list(seg[p + 17:p + 17 + nsym])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_lut(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _cached_lut(bytes(bits), bytes(seg[p + 17:p + 17 + nsym]))
                 p += 17 + nsym
         elif m == 0xDD:                   # DRI
             restart = struct.unpack(">H", seg[:2])[0]
@@ -150,26 +161,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _decode_scan(data, start, w, h, comps, scan_sel, qt, huff_dc, huff_ac,
                  restart):
     # un-stuff: 0xFF00 -> 0xFF; stop before any other marker (incl. RSTn,
-    # which we strip — component DC predictors reset there)
-    raw = bytearray()
-    rst_positions = []
-    p = start
-    while p < len(data):
-        b = data[p]
-        if b == 0xFF:
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                raw.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:       # restart marker
-                rst_positions.append(len(raw))
-                p += 2
-                continue
-            break
-        raw.append(b)
-        p += 1
-    br = _BitReader(bytes(raw))
+    # which we strip — component DC predictors reset there).  Vectorized:
+    # in an entropy stream every data 0xFF is followed by a stuffed 0x00, so
+    # any 0xFF followed by anything else is a marker — the scan ends at the
+    # first one that is not RSTn, RST markers are byte-substring-removable
+    # (no false positives), and stuffed zeros collapse with bytes.replace.
+    arr = np.frombuffer(data, np.uint8, len(data) - start, start)
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    nxt = arr[ff + 1]
+    stop = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))]
+    end = int(stop[0]) if stop.size else len(arr)
+    seg = data[start:start + end]
+    for r in range(8):                     # strip restart markers first
+        seg = seg.replace(bytes([0xFF, 0xD0 + r]), b"")
+    raw_b = seg.replace(b"\xff\x00", b"\xff")
+    L = len(raw_b)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -183,35 +189,77 @@ def _decode_scan(data, start, w, h, comps, scan_sel, qt, huff_dc, huff_ac,
         c["dc_tab"], c["ac_tab"] = scan_sel[c["id"]]
         c["pred"] = 0
 
-    zz = _ZIGZAG
+    # The entropy decode is the one inherently serial part of the codec, so
+    # it runs as a tight CPython loop: bit-reader state in local ints (no
+    # method calls) and Huffman LUTs as Python lists (numpy scalar indexing
+    # costs ~10x a list index here).
+    dc_list = huff_dc
+    ac_list = huff_ac
+    zz = _ZIGZAG.tolist()
+    MASK56 = (1 << 56) - 1
+    buf = 0
+    nbits = 0
+    pos = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and (my * mcux + mx) % restart == 0 \
                     and (my or mx):
                 # predictors reset at restart intervals; bits re-align at the
                 # stripped marker boundary
-                br.nbits -= br.nbits % 8
+                nbits -= nbits % 8
                 for c in comps:
                     c["pred"] = 0
             for c in comps:
-                dct = huff_dc[c["dc_tab"]]
-                act = huff_ac[c["ac_tab"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk_row = my * c["v"] + by
-                        blk_col = mx * c["h"] + bx
-                        coef = c["coef"][blk_row * c["bw"] + blk_col]
-                        e = dct[br.peek16()]
+                dct = dc_list[c["dc_tab"]]
+                act = ac_list[c["ac_tab"]]
+                cv = c["v"]
+                ch = c["h"]
+                cbw = c["bw"]
+                pred = c["pred"]
+                coefs = c["coef"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = coefs[(my * cv + by) * cbw + mx * ch + bx]
+                        if nbits < 16:
+                            while nbits <= 48:
+                                if pos >= L:
+                                    buf = (buf << 8) & MASK56
+                                else:
+                                    buf = ((buf << 8) | raw_b[pos]) & MASK56
+                                    pos += 1
+                                nbits += 8
+                        e = dct[(buf >> (nbits - 16)) & 0xFFFF]
                         s = e >> 8
-                        br.skip(e & 0xFF)
+                        nbits -= e & 0xFF
                         if s:
-                            c["pred"] += _extend(br.get(s), s)
-                        coef[0] = c["pred"]
+                            if nbits < s:
+                                while nbits <= 48:
+                                    if pos >= L:
+                                        buf = (buf << 8) & MASK56
+                                    else:
+                                        buf = ((buf << 8) | raw_b[pos]) \
+                                            & MASK56
+                                        pos += 1
+                                    nbits += 8
+                            nbits -= s
+                            v = (buf >> nbits) & ((1 << s) - 1)
+                            pred += v - (1 << s) + 1 \
+                                if v < (1 << (s - 1)) else v
+                        coef[0] = pred
                         k = 1
                         while k < 64:
-                            e = act[br.peek16()]
+                            if nbits < 16:
+                                while nbits <= 48:
+                                    if pos >= L:
+                                        buf = (buf << 8) & MASK56
+                                    else:
+                                        buf = ((buf << 8) | raw_b[pos]) \
+                                            & MASK56
+                                        pos += 1
+                                    nbits += 8
+                            e = act[(buf >> (nbits - 16)) & 0xFFFF]
                             rs = e >> 8
-                            br.skip(e & 0xFF)
+                            nbits -= e & 0xFF
                             r, s = rs >> 4, rs & 15
                             if s == 0:
                                 if r == 15:
@@ -221,15 +269,28 @@ def _decode_scan(data, start, w, h, comps, scan_sel, qt, huff_dc, huff_ac,
                             k += r
                             if k > 63:
                                 break
-                            coef[zz[k]] = _extend(br.get(s), s)
+                            if nbits < s:
+                                while nbits <= 48:
+                                    if pos >= L:
+                                        buf = (buf << 8) & MASK56
+                                    else:
+                                        buf = ((buf << 8) | raw_b[pos]) \
+                                            & MASK56
+                                        pos += 1
+                                    nbits += 8
+                            nbits -= s
+                            v = (buf >> nbits) & ((1 << s) - 1)
+                            coef[zz[k]] = v - (1 << s) + 1 \
+                                if v < (1 << (s - 1)) else v
                             k += 1
+                c["pred"] = pred
 
     planes = []
     for c in comps:
         q = qt[c["tq"]][np.argsort(zz)]    # natural-order quant table
         blocks = (c["coef"] * q[None, :]).reshape(-1, 8, 8).astype(np.float64)
         # IDCT over every block at once: X = A.T @ C @ A
-        pix = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A) + 128.0
+        pix = _A.T @ blocks @ _A + 128.0
         pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
         plane = pix.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3) \
             .reshape(c["bh"] * 8, c["bw"] * 8)
@@ -442,7 +503,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
             .reshape(-1, 8, 8) - 128.0
         # _A is orthonormal, so the forward transform of the decoder's
         # X = A^T C A inverse is exactly C = A X A^T
-        coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+        coef = _A @ blocks @ _A.T
         q = qtabs[0 if ci == 0 else 1].reshape(8, 8)      # natural order
         comp_q.append(np.rint(coef / q).astype(np.int64).reshape(-1, 64))
 

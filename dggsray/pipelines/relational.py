@@ -429,9 +429,11 @@ def images_jpeg_psnr(sf_dir: str, n: int = 500):
                 "caption_ok": pa.array(cap_ok)})
 
     # max_restarts=0: the serialized closure class is a constructor arg in the
-    # object store; restarts with such args can abort the raylet (ray#53727)
+    # object store; restarts with such args can abort the raylet (ray#53727).
+    # batch_size=32: the table arrives as ONE parquet block; small batches are
+    # what actually spread the per-image python decode across the pool.
     return rd.read_parquet(path).map_batches(
-        JpegVerify, concurrency=(1, 4), batch_format="pyarrow",
+        JpegVerify, concurrency=(2, 8), batch_size=32, batch_format="pyarrow",
         max_restarts=0)
 
 
