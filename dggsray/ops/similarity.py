@@ -51,12 +51,23 @@ def brute_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
     partial = ds.map_batches(kernel, batch_format="pyarrow")
 
     def final(g: pa.Table) -> pa.Table:
+        # one batch holds ALL partials (<= k rows per (query, input block)) —
+        # a coalesce, not a shuffle; per-query top-k via one global sort +
+        # vectorized rank-within-query (a groupby here costs a full
+        # sort-shuffle round for a k*blocks-row table)
         import pyarrow.compute as pc
-        idx = pc.sort_indices(g, sort_keys=[("cos_micro", "descending"),
+        idx = pc.sort_indices(g, sort_keys=[("query", "ascending"),
+                                            ("cos_micro", "descending"),
                                             (id_col, "ascending")])
-        return g.take(idx[:k])
+        g = g.take(idx)
+        qcol = g.column("query").to_numpy()
+        starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+        rank = np.arange(len(qcol)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(qcol)]))
+        return g.filter(pa.array(rank < k))
 
-    return partial.groupby("query").map_groups(final, batch_format="pyarrow")
+    return partial.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
 
 
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 23):
@@ -107,11 +118,11 @@ def kmeans_centroids(X: np.ndarray, n_centroids: int, iters: int = 10,
     X = np.asarray(X, dtype=np.float64)
     C = X[rng.choice(X.shape[0], size=min(n_centroids, X.shape[0]),
                      replace=False)].copy()
+    x2 = (X ** 2).sum(1)[:, None]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
-            if X.shape[0] * C.shape[0] * X.shape[1] < 5e7 else None
-        if d2 is None:      # blocked distance for big samples
-            d2 = (X ** 2).sum(1)[:, None] - 2 * X @ C.T + (C ** 2).sum(1)[None, :]
+        # GEMM distance form: no (n, k, dim) broadcast temp — the big temp
+        # costs ~2 s of first-touch page warmup alone at 2000x64x64
+        d2 = x2 - 2 * X @ C.T + (C ** 2).sum(1)[None, :]
         assign = d2.argmin(axis=1)
         for c in range(C.shape[0]):
             m = assign == c
