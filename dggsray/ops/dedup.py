@@ -202,11 +202,29 @@ def lsh_candidate_pairs(bucket_ds, id_col: str = "doc_id",
                          "id_b": pa.array(ids[ib], pa.int64()),
                          "truncated": pa.array(trunc)})
 
+    # measured-size choice (the bucket table is bands x n_docs rows of three
+    # fixed-width columns, already the shuffle payload either way): under the
+    # single-task bound, ONE coalesced pairs_vec call + in-task dedup replaces
+    # two full shuffle rounds (groupby-expand + groupby-dedup) whose fixed
+    # per-operator cost dominates below ~10M rows; above it, the distributed
+    # path with whole-bucket partitioning takes over untouched.
+    buckets = bucket_ds.materialize()
+    if buckets.count() <= 8_000_000:
+        def pairs_dedup(g: pa.Table) -> pa.Table:
+            t = pairs_vec(g)
+            if t.num_rows == 0:
+                return t
+            return t.group_by(["id_a", "id_b"]).aggregate(
+                [("truncated", "max")]) \
+                .rename_columns(["id_a", "id_b", "truncated"])
+        return buckets.repartition(1).map_batches(
+            pairs_dedup, batch_format="pyarrow", batch_size=None)
+
     from ray.data.aggregate import Max
 
     from .joins import sized_groupby
 
-    cand = bucket_ds.map_batches(part_key, batch_format="pyarrow") \
+    cand = buckets.map_batches(part_key, batch_format="pyarrow") \
         .groupby("_part").map_groups(pairs_vec, batch_format="pyarrow")
     # distinct pairs via a vectorized grouped aggregate (a per-group map_groups
     # here would cost one Python call per pair)
@@ -291,6 +309,34 @@ def ngram_jaccard(a: bytes, b: bytes, k: int = 3, unit: str = "word") -> float:
     return inter / union if union else 1.0
 
 
+def _text_pool() -> int:
+    """Actor-pool ceiling for CPU-heavy text kernels: ~5/8 of cluster CPUs."""
+    import ray
+    return max(2, (int(ray.cluster_resources().get("CPU", 8)) * 5) // 8)
+
+
+class _MinhashPayload:
+    """(doc_id, text, sig) rows; signatures ride as fixed-width binary
+    (num_perm*8 bytes) — Acero hash joins reject list<> payload columns but
+    pass binary through."""
+
+    def __init__(self, text_col, id_col, num_perm, shingle_k, unit):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.unit = unit
+
+    def __call__(self, bt: pa.Table) -> pa.Table:
+        texts = [t.encode("utf-8", "ignore")
+                 for t in bt.column(self.text_col).to_pylist()]
+        sig = minhash_batch(texts, self.num_perm, self.shingle_k, self.unit)
+        return pa.table({self.id_col: bt.column(self.id_col),
+                         "text": bt.column(self.text_col),
+                         "sig": pa.array([s.tobytes() for s in sig],
+                                         pa.binary())})
+
+
 def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 128, bands: int = 32,
                   shingle_k: int = 3, unit: str = "word",
@@ -307,18 +353,12 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
     the threshold, falls back to two hash joins (on id_a, then id_b) so the
     verify stage streams (pair, text_a, text_b) batches — driver memory stays
     bounded by `max_broadcast_docs` payloads either way."""
-    def payload(bt: pa.Table) -> pa.Table:
-        texts = [t.encode("utf-8", "ignore")
-                 for t in bt.column(text_col).to_pylist()]
-        sig = minhash_batch(texts, num_perm, shingle_k, unit)
-        # signatures ride as fixed-width binary (num_perm*8 bytes): Acero hash
-        # joins reject list<> payload columns but pass binary through
-        return pa.table({id_col: bt.column(id_col),
-                         "text": bt.column(text_col),
-                         "sig": pa.array([s.tobytes() for s in sig],
-                                         pa.binary())})
-
-    pay = ds.map_batches(payload, batch_format="pyarrow")
+    # task-pool stage (NOT an actor pool: the vectorized kernel is ~0.1 ms/doc,
+    # so warm-worker task dispatch beats paying actor spinup in each of the two
+    # plan branches that consume `pay`)
+    pay = ds.map_batches(
+        _MinhashPayload(text_col, id_col, num_perm, shingle_k, unit),
+        batch_format="pyarrow")
     sigs = pay.map_batches(
         lambda b: pa.table({id_col: b.column(id_col),
                             "sig": pa.array(
