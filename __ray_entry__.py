@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_setops_customer_orders": lambda d: R.cell_setops_customer_orders(d, _RES_JOIN),
         "cell_topk_densest": R.cell_topk_densest,
         "events_hourly": R.events_hourly,
+        "events_sessions": R.events_sessions,
+        "events_asof_click_error": R.events_asof_click_error,
         "orders_lineitem_revenue": R.orders_lineitem_revenue,
         "flagship_cell_join": _flagship,
     }
@@ -221,6 +223,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
             "AS value_cents, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2",
+        "events_sessions":
+            "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev FROM events) "
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "CAST(SUM(CASE WHEN prev IS NULL OR "
+            "epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_sessions FROM o GROUP BY 1",
+        "events_asof_click_error":
+            "WITH r AS (SELECT * FROM events WHERE event_type = 'error'), "
+            "l AS (SELECT * FROM events WHERE event_type = 'click') "
+            "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+            "COALESCE(rr.event_id, -1) AS match_event_id, "
+            "COALESCE(rr.mts, -1) AS match_ts_us "
+            "FROM l LEFT JOIN LATERAL ("
+            "SELECT r.event_id, epoch_us(r.ts) AS mts FROM r "
+            "WHERE r.user_id = l.user_id AND r.ts <= l.ts "
+            "ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) rr ON true",
         "orders_lineitem_revenue":
             "WITH rev AS (SELECT l_orderkey, "
             "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "

@@ -588,6 +588,23 @@ def cell_topk_densest(sf_dir: str, res: int = 4, k: int = 20):
     return partial_topk(agg, ["n_points", "cellid"], [True, False], k)
 
 
+def events_sessions(sf_dir: str, gap_s: float = 1800.0):
+    """Gap-based sessionization per user (windowed aggregate — an operator Ray
+    Data lacks natively; `ops/window.sessionize`): one key-hash shuffle, then
+    vectorized per-partition run-length kernels."""
+    from ..ops.window import sessionize
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, gap_s=gap_s)
+
+
+def events_asof_click_error(sf_dir: str):
+    """As-of self join: every click event matched to the user's most recent
+    error event at or before it (`ops/window.asof_join_self`)."""
+    from ..ops.window import asof_join_self
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return asof_join_self(ds, "click", "error")
+
+
 def events_hourly(sf_dir: str):
     """Events per (type, hour-of-day): temporal bucketing + grouped aggregate."""
     from ray.data.aggregate import Sum

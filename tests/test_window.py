@@ -1,0 +1,99 @@
+"""Windowed operators: sessionize (gap windows) and as-of self join
+(`dggsray/ops/window.py`)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events(rows):
+    """rows: (event_id, user_id, ts_us, event_type)"""
+    import ray.data as rd
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string())})
+    return rd.from_arrow(t)
+
+
+class TestSessionize:
+    def test_gap_boundaries(self, ray_session):
+        from dggsray.ops.window import sessionize
+        S = 1_000_000  # 1 s in us
+        rows = [
+            # user 1: gaps exactly at, under and over 10 s (gap_s=10)
+            (0, 1, 0 * S, "view"),
+            (1, 1, 10 * S, "view"),     # ==gap -> same session
+            (2, 1, 21 * S, "view"),     # 11 s  -> new session
+            (3, 1, 21 * S, "view"),     # duplicate ts -> same session
+            # user 2: single event
+            (4, 2, 5 * S, "view"),
+        ]
+        df = sessionize(_events(rows), gap_s=10.0).to_pandas() \
+            .set_index("user_id").sort_index()
+        assert df.loc[1, "n_events"] == 4
+        assert df.loc[1, "n_sessions"] == 2
+        assert df.loc[2, "n_events"] == 1
+        assert df.loc[2, "n_sessions"] == 1
+
+    def test_matches_duckdb_window_sql(self, ray_session, tmp_path):
+        import duckdb
+        import ray.data as rd
+        rng = np.random.default_rng(7)
+        n = 2000
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "ts": pa.array(np.sort(rng.integers(0, 3_600_000_000, n)),
+                           pa.timestamp("us")),
+            "event_type": pa.array(["view"] * n, pa.string())})
+        from dggsray.ops.window import sessionize
+        got = sessionize(rd.from_arrow(t), gap_s=60.0).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        p = str(tmp_path / "ev.parquet")
+        import pyarrow.parquet as pq
+        pq.write_table(t, p)
+        exp = duckdb.sql(
+            f"WITH o AS (SELECT user_id, ts, lag(ts) OVER "
+            f"(PARTITION BY user_id ORDER BY ts) AS prev "
+            f"FROM '{p}') "
+            f"SELECT user_id, COUNT(*) AS n_events, "
+            f"CAST(SUM(CASE WHEN prev IS NULL OR "
+            f"epoch_us(ts) - epoch_us(prev) > 60000000 THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_sessions FROM o GROUP BY 1 ORDER BY 1").df()
+        assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+        assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+        assert (got["n_sessions"].to_numpy()
+                == exp["n_sessions"].to_numpy()).all()
+
+
+class TestAsofJoinSelf:
+    def test_semantics(self, ray_session):
+        from dggsray.ops.window import asof_join_self
+        S = 1_000_000
+        rows = [
+            (0, 1, 0 * S, "error"),
+            (1, 1, 3 * S, "click"),    # matches error 0 (only one <= 3)
+            (2, 1, 5 * S, "error"),    # exactly at click 3's ts
+            (3, 1, 5 * S, "click"),    # tie: error at same ts matches (<=)
+            (4, 1, 9 * S, "click"),    # matches error 2 (latest <= 9)
+            (5, 2, 1 * S, "click"),    # user 2 has no error -> -1
+        ]
+        df = asof_join_self(_events(rows), "click", "error") \
+            .to_pandas().set_index("event_id").sort_index()
+        assert df.loc[1, "match_event_id"] == 0
+        assert df.loc[3, "match_event_id"] == 2     # ts tie matches
+        assert df.loc[4, "match_event_id"] == 2
+        assert df.loc[5, "match_event_id"] == -1
+        assert df.loc[5, "match_ts_us"] == -1
+        assert len(df) == 4                          # only click rows emitted
+
+    def test_tie_among_right_rows_takes_largest_id(self, ray_session):
+        from dggsray.ops.window import asof_join_self
+        rows = [
+            (10, 3, 100, "error"),
+            (11, 3, 100, "error"),     # same ts: largest event_id wins
+            (12, 3, 200, "click"),
+        ]
+        df = asof_join_self(_events(rows), "click", "error").to_pandas()
+        assert df.loc[0, "match_event_id"] == 11
