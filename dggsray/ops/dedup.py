@@ -284,20 +284,38 @@ def charset_jaccard_pairs(ds, threshold: float, text_col: str = "text",
         texts = bt.column(text_col).to_pylist()
         ids = bt.column(id_col).to_numpy()
         bm = charset_bitmaps(texts)
+        # pairwise popcounts as ONE bit-matrix GEMM per row-chunk: unpack the
+        # 256-bit charsets to 0/1 float32 rows (any consistent bit permutation
+        # preserves intersection counts), inter = B_chunk @ B_all^T, union from
+        # per-doc popcounts — no Python-per-row loop
+        bits_all = np.unpackbits(bm_all.view(np.uint8), axis=1) \
+            .astype(np.float32)
+        pop_all = bits_all.sum(axis=1)
+        bits = np.unpackbits(bm.view(np.uint8), axis=1).astype(np.float32)
+        pop = bits.sum(axis=1)
         out_a, out_b, out_j = [], [], []
-        for i in range(bm.shape[0]):
-            inter = _popcount64(bm[i][None, :] & bm_all).sum(axis=1)
-            union = _popcount64(bm[i][None, :] | bm_all).sum(axis=1)
-            j = inter / np.maximum(union, 1)
-            hit = (j >= threshold) & (ids_all > ids[i])
-            out_a.append(np.full(hit.sum(), ids[i], dtype=np.int64))
-            out_b.append(ids_all[hit].astype(np.int64))
-            out_j.append(j[hit])
+        chunk = 2048                      # bounds the (chunk, n_all) temp
+        for s in range(0, bits.shape[0], chunk):
+            e = min(s + chunk, bits.shape[0])
+            inter = (bits[s:e] @ bits_all.T).astype(np.float64)
+            union = (pop[s:e, None] + pop_all[None, :]).astype(np.float64) \
+                - inter
+            # counts are float-exact integers (< 2^24); divide in float64 so
+            # jac_micro rounds identically to the oracle's double division
+            j = inter / np.maximum(union, 1.0)
+            hit = (j >= threshold) & (ids_all[None, :] > ids[s:e, None])
+            ri, ci = np.nonzero(hit)
+            out_a.append(ids[s:e][ri].astype(np.int64))
+            out_b.append(ids_all[ci].astype(np.int64))
+            out_j.append(j[ri, ci].astype(np.float64))
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        jj = np.concatenate(out_j) if out_j else np.zeros(0)
         return pa.table({
-            "id_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
-            "id_b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
-            "jac_micro": pa.array(np.rint(np.concatenate(out_j) * 1e6).astype(np.int64)
-                                  if out_j else [], pa.int64())})
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "jac_micro": pa.array(np.rint(jj * 1e6).astype(np.int64),
+                                  pa.int64())})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
 
