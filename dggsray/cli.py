@@ -112,8 +112,9 @@ def main(argv=None):
                     choices=["higher", "lower", "closest"])
     sp.add_argument("--input-crs", default="geographic",
                     help="geographic | rhealpix | utm:NNh (e.g. utm:30N) | "
-                         "epsg:326NN/327NN | albers | auto (read the CRS "
-                         "embedded in the file, e.g. ERDAS .img)")
+                         "epsg:326NN/327NN | albers | webmerc/epsg:3857 | "
+                         "lcc:lat1,lat2,lat0,lon0[,fe,fn] | auto (read the "
+                         "CRS embedded in the file, e.g. ERDAS .img)")
     sp.add_argument("--resampling", default="nearest",
                     choices=["nearest", "bilinear", "cubic", "cubic_spline",
                              "lanczos"])

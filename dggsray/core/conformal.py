@@ -1,0 +1,134 @@
+"""Conformal projected input CRSes, pure numpy: Web Mercator and Lambert
+Conformal Conic (2SP).
+
+Fills more of the reference's "any projected input CRS" warp surface
+(/root/reference/dggstools/rhpx/raster_to_rhpx.py:58-77, which delegates to
+rasterio/PROJ) in an environment with no PROJ database:
+
+- Web Mercator / EPSG:3857 ("Popular Visualisation Pseudo-Mercator") — the
+  de-facto CRS of every web tile pyramid.  Spherical Mercator evaluated on
+  the WGS84 semi-major axis with geodetic latitude taken unmodified (the
+  EPSG:3857 definition, method code 1024).
+- Lambert Conformal Conic, 2 standard parallels (EPSG method 9802, Snyder
+  1987 eqs 15-1..15-11 ellipsoidal) — the backbone of national grids and
+  NAD83 state-plane zones.  Parameters come in through the CRS string
+  (`lcc:lat1,lat2,lat0,lon0[,fe,fn]`, angles in degrees, offsets in meters,
+  WGS84 ellipsoid) since there is no PROJ database to look them up.
+
+Formulas and constants are from the public literature (Snyder, "Map
+Projections — A Working Manual", USGS PP 1395; EPSG Guidance Note 7-2).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_R = 6378137.0      # WGS84 semi-major axis == EPSG:3857 sphere radius
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+
+# EPSG:3857 official extent: |lat| <= atan(sinh(pi)) ~ 85.05112878 deg
+WEBMERC_MAX_LAT = float(np.degrees(np.arctan(np.sinh(np.pi))))
+
+
+def webmerc_fwd(lon_deg, lat_deg):
+    """Geodetic degrees -> Web Mercator (x, y) meters."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.clip(np.asarray(lat_deg, dtype=np.float64),
+                             -WEBMERC_MAX_LAT, WEBMERC_MAX_LAT))
+    return _R * lam, _R * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+
+
+def webmerc_inv(x, y):
+    """Web Mercator (x, y) meters -> geodetic degrees."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lat = np.pi / 2.0 - 2.0 * np.arctan(np.exp(-y / _R))
+    return np.degrees(x / _R), np.degrees(lat)
+
+
+class LCCParams:
+    """Lambert Conformal Conic 2SP constants (Snyder 15-1..15-11 / EPSG
+    9802).  Angles in radians; a/e2 default to WGS84 but stay
+    parameterizable so published worked examples on other ellipsoids can be
+    checked directly."""
+
+    def __init__(self, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0,
+                 a=_A, e2=_E2):
+        if np.isclose(lat1 + lat2, 0.0):
+            raise ValueError("LCC standard parallels must not be "
+                             "symmetric about the equator")
+        self.lon0, self.fe, self.fn = lon0, fe, fn
+        self.a, self.e2 = a, e2
+        self.e = e = np.sqrt(e2)
+        m1, m2 = _m(lat1, e2), _m(lat2, e2)
+        t0, t1, t2 = _t(lat0, e), _t(lat1, e), _t(lat2, e)
+        if np.isclose(lat1, lat2):
+            self.n = float(np.sin(lat1))       # 1SP degenerate limit
+        else:
+            self.n = float((np.log(m1) - np.log(m2))
+                           / (np.log(t1) - np.log(t2)))
+        self.F = float(m1 / (self.n * t1 ** self.n))
+        self.rho0 = float(a * self.F * t0 ** self.n)
+
+
+def _m(lat, e2):
+    s = np.sin(lat)
+    return np.cos(lat) / np.sqrt(1.0 - e2 * s * s)
+
+
+def _t(lat, e):
+    s = np.sin(lat)
+    return (np.tan(np.pi / 4.0 - lat / 2.0)
+            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+
+def lcc_fwd(lon_deg, lat_deg, P: LCCParams):
+    """Geodetic degrees -> LCC (x, y) meters (Snyder 15-1/15-2)."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    rho = P.a * P.F * _t(phi, P.e) ** P.n
+    theta = P.n * (lam - P.lon0)
+    return (P.fe + rho * np.sin(theta),
+            P.fn + P.rho0 - rho * np.cos(theta))
+
+
+def lcc_inv(x, y, P: LCCParams):
+    """LCC (x, y) meters -> geodetic degrees (Snyder 15-9..15-11; fixed-point
+    latitude iteration, converges linearly in e^2 — 8 rounds is double
+    precision for any geodetic ellipsoid)."""
+    x = np.asarray(x, dtype=np.float64) - P.fe
+    ry = P.rho0 - (np.asarray(y, dtype=np.float64) - P.fn)
+    sgn = 1.0 if P.n >= 0 else -1.0
+    rho = sgn * np.hypot(x, ry)
+    theta = np.arctan2(sgn * x, sgn * ry)
+    tp = (rho / (P.a * P.F)) ** (1.0 / P.n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    e = P.e
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            tp * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return np.degrees(P.lon0 + theta / P.n), np.degrees(phi)
+
+
+def parse_lcc_crs(crs: str) -> LCCParams:
+    """`lcc:lat1,lat2,lat0,lon0[,fe,fn]` (degrees / meters, WGS84) ->
+    LCCParams.  Raises ValueError on anything else."""
+    if not crs.lower().startswith("lcc:"):
+        raise ValueError(f"not an LCC CRS: {crs!r}")
+    parts = crs[4:].split(",")
+    if len(parts) not in (4, 6):
+        raise ValueError(f"LCC CRS needs 4 or 6 numbers "
+                         f"(lat1,lat2,lat0,lon0[,fe,fn]): {crs!r}")
+    try:
+        v = [float(p) for p in parts]
+    except ValueError:
+        raise ValueError(f"bad LCC parameter in {crs!r}")
+    fe, fn = (v[4], v[5]) if len(v) == 6 else (0.0, 0.0)
+    return LCCParams(np.radians(v[0]), np.radians(v[1]),
+                     np.radians(v[2]), np.radians(v[3]), fe, fn)
+
+
+def is_webmerc(crs: str) -> bool:
+    return crs.lower() in ("webmerc", "epsg:3857", "web_mercator")

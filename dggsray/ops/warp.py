@@ -30,6 +30,7 @@ from ..core.geodesy import get_geodesic_size
 from ..core.rhpx import DEFAULT_GRID, GridConfig, align_point, project_fwd, project_inv
 from ..core.raster import open_raster
 from ..core.tiffio import GeoTiff, read_geotiff, write_geotiff
+from ..core.conformal import is_webmerc, parse_lcc_crs
 from ..core.tmerc import parse_utm_crs, utm_fwd, utm_inv
 
 
@@ -47,12 +48,22 @@ def _is_utm(crs: str) -> bool:
         return False
 
 
+def _is_lcc(crs: str) -> bool:
+    try:
+        parse_lcc_crs(crs)
+        return True
+    except ValueError:
+        return False
+
+
 def infer_resolution_idx(g: GeoTiff, crs: str, grid: GridConfig,
                          strategy: RescalingStrategy) -> int:
     """Reference raster_to_rhpx.py:156-190 semantics (projected-in-meters
     inputs use their native pixel size; geographic uses the geodesic
     estimate)."""
-    if crs in ("rhealpix", "albers") or _is_utm(crs):
+    if crs != "geographic":
+        # any projected-in-meters CRS uses its native pixel size (reference
+        # raster_to_rhpx.py:156-163: `if not crs.is_geographic`)
         best = min(abs(g.res_x), abs(g.res_y))
     else:
         right = g.left + g.data.shape[2] * g.res_x
@@ -191,10 +202,12 @@ def raster_to_rhealpix(input_path: str, output_path: str,
                        row_chunk: int = 1024) -> int:
     """Returns the destination resolution index (reference contract)."""
     if input_crs not in ("geographic", "rhealpix", "auto", "albers") \
-            and not _is_utm(input_crs):
+            and not _is_utm(input_crs) and not is_webmerc(input_crs) \
+            and not _is_lcc(input_crs):
         raise ValueError(
             f"unsupported input CRS {input_crs!r}: geographic | rhealpix | "
-            f"utm:NNh | epsg:326NN/327NN | albers | auto")
+            f"utm:NNh | epsg:326NN/327NN | albers | webmerc/epsg:3857 | "
+            f"lcc:lat1,lat2,lat0,lon0[,fe,fn] | auto")
     g = open_raster(input_path)
     albers = None
     if input_crs in ("auto", "albers"):
@@ -229,10 +242,13 @@ def raster_to_rhealpix(input_path: str, output_path: str,
     if set_dst_nd is None:
         set_dst_nd = 0
 
-    utm = parse_utm_crs(input_crs) if _is_utm(input_crs) else None
+    # (fwd, inv) through the lonlat hub for any projected-in-meters input
+    pfwd = pinv = None
+    if input_crs not in ("geographic", "rhealpix"):
+        pfwd, pinv = _crs_funcs(input_crs, grid, albers)
 
     # destination bbox: project a boundary sample of the source extent
-    if input_crs == "geographic" or utm is not None or albers is not None:
+    if input_crs != "rhealpix":
         n = 64
         bx = np.concatenate([np.linspace(g.left, right, n),
                              np.linspace(g.left, right, n),
@@ -240,11 +256,8 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         by = np.concatenate([np.full(n, g.top), np.full(n, bottom),
                              np.linspace(bottom, g.top, n),
                              np.linspace(bottom, g.top, n)])
-        if utm is not None:
-            bx, by = utm_inv(bx, by, *utm)
-        elif albers is not None:
-            from ..core.albers import albers_inv
-            bx, by = albers_inv(bx, by, albers)
+        if pinv is not None:
+            bx, by = pinv(bx, by)
         px, py = project_fwd(bx, by, grid)
     else:
         px = np.array([g.left, right, g.left, right])
@@ -263,13 +276,9 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         ys = dtop - (ii.ravel() + 0.5) * cw
         if input_crs == "geographic":
             lon, lat = project_inv(xs, ys, grid)
-        elif utm is not None:
+        elif pfwd is not None:
             lon, lat = project_inv(xs, ys, grid)
-            lon, lat = utm_fwd(lon, lat, *utm)
-        elif albers is not None:
-            from ..core.albers import albers_fwd
-            lon, lat = project_inv(xs, ys, grid)
-            lon, lat = albers_fwd(lon, lat, albers)
+            lon, lat = pfwd(lon, lat)
         else:
             lon, lat = xs, ys
         fc = (lon - g.left) / g.res_x
@@ -381,8 +390,17 @@ def _crs_funcs(name: str, grid: GridConfig, albers_params=None):
         from ..core.albers import albers_fwd, albers_inv
         return (lambda lon, lat: albers_fwd(lon, lat, albers_params),
                 lambda x, y: albers_inv(x, y, albers_params))
+    if is_webmerc(name):
+        from ..core.conformal import webmerc_fwd, webmerc_inv
+        return webmerc_fwd, webmerc_inv
+    if _is_lcc(name):
+        from ..core.conformal import lcc_fwd, lcc_inv
+        P = parse_lcc_crs(name)
+        return (lambda lon, lat: lcc_fwd(lon, lat, P),
+                lambda x, y: lcc_inv(x, y, P))
     raise ValueError(f"unsupported CRS {name!r}: geographic | rhealpix | "
-                     f"utm:NNh | epsg:326NN/327NN | albers")
+                     f"utm:NNh | epsg:326NN/327NN | albers | "
+                     f"webmerc/epsg:3857 | lcc:lat1,lat2,lat0,lon0[,fe,fn]")
 
 
 def reproject_raster(input_path: str, output_path: str, dst_crs: str,
