@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_topk_densest": R.cell_topk_densest,
         "events_hourly": R.events_hourly,
         "events_sessions": R.events_sessions,
+        "events_moving_window": R.events_moving_window,
         "events_asof_click_error": R.events_asof_click_error,
         "orders_lineitem_revenue": R.orders_lineitem_revenue,
         "flagship_cell_join": _flagship,
@@ -230,6 +231,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN prev IS NULL OR "
             "epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_sessions FROM o GROUP BY 1",
+        "events_moving_window":
+            "WITH hourly AS (SELECT event_type, "
+            "date_trunc('hour', ts) AS hour_ts, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS cents, COUNT(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hour_ts, "
+            "CAST(SUM(cents) OVER w AS BIGINT) AS win_cents, "
+            "CAST(SUM(n) OVER w AS BIGINT) AS win_events FROM hourly "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
         "events_asof_click_error":
             "WITH r AS (SELECT * FROM events WHERE event_type = 'error'), "
             "l AS (SELECT * FROM events WHERE event_type = 'click') "

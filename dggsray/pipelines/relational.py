@@ -627,6 +627,67 @@ def events_hourly(sf_dir: str):
                            Sum("_n", alias_name="n_events"))
 
 
+def events_moving_window(sf_dir: str, window: int = 3):
+    """Trailing moving window over per-type hourly aggregates: window sum of
+    value-cents and event count over the current + (window-1) preceding
+    hourly rows of each event type (SQL `ROWS BETWEEN n PRECEDING AND
+    CURRENT ROW` semantics — rows, not time-range, so hour gaps do not pad).
+
+    Scale shape: the wide input reduces DISTRIBUTEDLY to (type, hour)
+    hourly partials first — cardinality bounded by #types x #hours (time
+    span, not data volume) — then ONE vectorized sliding pass runs over that
+    small sorted table.  At 100 TB the hourly table for 5 types x a decade
+    is ~440k rows: single-task territory by construction.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour_ts = pc.floor_temporal(b.column("ts"), unit="hour")
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "hour_ts": hour_ts,
+                      "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "hour_ts"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "hour_ts", "_s", "_n"])
+
+    hourly = lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["event_type", "hour_ts"],
+                             Sum("_s", alias_name="cents"),
+                             Sum("_n", alias_name="n"))
+
+    def sliding(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("event_type", "ascending"),
+                                            ("hour_ts", "ascending")])
+        b = b.take(idx)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        cents = b.column("cents").to_numpy()
+        n = b.column("n").to_numpy()
+        # per-type trailing sums via cumsum minus the cumsum `window` rows
+        # back, reset at type boundaries (first row of each type restarts)
+        start = np.zeros(len(et), dtype=np.int64)   # first row index of type
+        if len(et):
+            new = np.empty(len(et), dtype=bool)
+            new[0] = True
+            new[1:] = et[1:] != et[:-1]
+            start = np.maximum.accumulate(np.where(new, np.arange(len(et)), 0))
+        lo = np.maximum(np.arange(len(et)) - (window - 1), start)
+        cs_c = np.concatenate([[0], np.cumsum(cents)])
+        cs_n = np.concatenate([[0], np.cumsum(n)])
+        hi = np.arange(len(et)) + 1
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour_ts": b.column("hour_ts"),
+            "win_cents": pa.array(cs_c[hi] - cs_c[lo], pa.int64()),
+            "win_events": pa.array(cs_n[hi] - cs_n[lo], pa.int64())})
+
+    # one block by construction (hourly table is tiny post-aggregation)
+    return hourly.repartition(1).map_batches(sliding, batch_format="pyarrow",
+                                             batch_size=None)
+
+
 def orders_lineitem_revenue(sf_dir: str, k: int = 50):
     """TPC-H Q3-flavoured: join orders x lineitem, revenue per order in exact
     cents, top-k (hash join + grouped aggregate + sort/limit)."""

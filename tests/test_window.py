@@ -97,3 +97,40 @@ class TestAsofJoinSelf:
         ]
         df = asof_join_self(_events(rows), "click", "error").to_pandas()
         assert df.loc[0, "match_event_id"] == 11
+
+
+class TestMovingWindow:
+    def test_rows_window_resets_per_type(self, ray_session, tmp_path):
+        """Trailing ROWS window restarts at each type; hour gaps do NOT pad
+        (rows semantics, matching the SQL oracle)."""
+        import duckdb
+        import pyarrow.parquet as pq
+        from dggsray.pipelines.relational import events_moving_window
+        H = 3_600_000_000
+        rows = []
+        eid = 0
+        # type a: hours 0,1,2,5 (gap between 2 and 5); type b: single hour
+        for h, v in [(0, 1.0), (1, 2.0), (2, 4.0), (5, 8.0)]:
+            rows.append((eid, 1, h * H, "a", v)); eid += 1
+        rows.append((eid, 1, 0, "b", 16.0)); eid += 1
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64())})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        out = events_moving_window(str(d)).take_all()
+        got = {(r["event_type"], r["hour_ts"].hour if hasattr(r["hour_ts"], "hour")
+                else r["hour_ts"]): (r["win_cents"], r["win_events"])
+               for r in out}
+        by = {(et, hts.hour): v for (et, hts), v in got.items()} \
+            if not isinstance(next(iter(got))[1], int) else got
+        # rows window: h5 of type a sums h1,h2,h5 (NOT h3,h4 padding)
+        assert by[("a", 0)] == (100, 1)
+        assert by[("a", 1)] == (300, 2)
+        assert by[("a", 2)] == (700, 3)
+        assert by[("a", 5)] == (1400, 3)
+        assert by[("b", 0)] == (1600, 1)
