@@ -103,7 +103,9 @@ def regrid_majority(ds, value_col: str, res: int | None = None,
                            [cell_col, value_col],
                            Sum("_pcnt", alias_name="_cnt"))
 
-    if pa.types.is_integer(ds.schema().field(value_col).type):
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)   # ray Schema wraps the pa.Schema
+    if pa.types.is_integer(sch.field(value_col).type):
         return _argmax_by_score(counts, cell_col, value_col, out_col)
 
     def pick(b: pa.Table) -> pa.Table:
