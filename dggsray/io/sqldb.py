@@ -90,8 +90,11 @@ def dataset_to_sqldb(ds, db_path: str, table: str, if_exists: str = "fail",
             cols = ", ".join(f'"{f.name}" {_sql_type(f.type)}'
                              for f in schema)
             cur.execute(f'CREATE TABLE "{table}" ({cols})')
+        # name the columns so appends into a pre-existing table with a
+        # different column ORDER bind by name, not position
         ph = ", ".join("?" * len(schema.names))
-        ins = f'INSERT INTO "{table}" VALUES ({ph})'
+        collist = ", ".join(f'"{c}"' for c in schema.names)
+        ins = f'INSERT INTO "{table}" ({collist}) VALUES ({ph})'
         n = 0
         for bt in batches:
             if isinstance(bt, pa.RecordBatch):
@@ -112,14 +115,25 @@ def dataset_to_sqldb(ds, db_path: str, table: str, if_exists: str = "fail",
         con.close()
 
 
+_ARROW_OF_AFFINITY = {"INTEGER": pa.int64(), "REAL": pa.float64(),
+                      "TEXT": pa.string(), "BLOB": pa.binary()}
+
+
 def sqldb_to_dataset(db_path: str, table: str, block_rows: int = 65536):
     """Read a sqlite table back as a Ray Dataset (one Arrow table per
-    `block_rows` page, so downstream stages parallelize)."""
+    `block_rows` page, so downstream stages parallelize).  Column types come
+    from the DECLARED sqlite affinities — not per-page value inference, which
+    would give divergent block schemas when a page is all-NULL."""
     import ray.data as rd
 
     con = sqlite3.connect(db_path)
     try:
         cur = con.cursor()
+        decl = {name: (typ or "").upper() for _, name, typ, *_ in
+                cur.execute(f'PRAGMA table_info("{table}")')}
+        schema = pa.schema([
+            (n, _ARROW_OF_AFFINITY.get(t, pa.string()))
+            for n, t in decl.items()])
         cur.execute(f'SELECT * FROM "{table}"')
         names = [d[0] for d in cur.description]
         blocks = []
@@ -127,11 +141,12 @@ def sqldb_to_dataset(db_path: str, table: str, block_rows: int = 65536):
             rows = cur.fetchmany(block_rows)
             if not rows:
                 break
-            cols = list(zip(*rows)) if rows else [[] for _ in names]
+            cols = list(zip(*rows))
             blocks.append(pa.table(
-                {n: pa.array(list(c)) for n, c in zip(names, cols)}))
+                {n: pa.array(list(c), type=schema.field(n).type)
+                 for n, c in zip(names, cols)}))
         if not blocks:
-            blocks = [pa.table({n: pa.array([], pa.null()) for n in names})]
+            blocks = [schema.empty_table()]
         return rd.from_arrow(blocks)
     finally:
         con.close()

@@ -109,8 +109,13 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
 def lsh_band_buckets(sig_ds, id_col: str = "doc_id", bands: int = 32,
                      num_perm: int = 128):
     """Signatures -> (band, band_hash, doc_id) rows; docs sharing a bucket are
-    near-dup candidates.  rows_per_band = num_perm // bands."""
+    near-dup candidates.  rows_per_band = num_perm // bands; bands must
+    divide num_perm exactly (a remainder would silently drop permutations,
+    and rows=0 would hash every doc into one bucket)."""
     rows = num_perm // bands
+    if rows == 0 or num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm "
+                         f"({num_perm}) with rows_per_band >= 1")
 
     def kernel(bt: pa.Table) -> pa.Table:
         sigs = np.stack(bt.column("sig").to_numpy(zero_copy_only=False))
@@ -522,22 +527,25 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         hs = g.column("simhash").to_numpy()
         new = np.ones(ids.size, dtype=bool)
         new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-        ia, ib, _ = _run_pairs(new, max_bucket=100_000)
+        ia, ib, trunc = _run_pairs(new, max_bucket=100_000)
         ham = _popcount64(hs[ia] ^ hs[ib]).astype(np.int64)
         keep = ham <= max_hamming
         return pa.table({"id_a": pa.array(ids[ia[keep]], pa.int64()),
                          "id_b": pa.array(ids[ib[keep]], pa.int64()),
-                         "hamming": pa.array(ham[keep])})
+                         "hamming": pa.array(ham[keep]),
+                         "truncated": pa.array(trunc[keep])})
 
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Max, Min
 
     from .joins import sized_groupby
 
     cand = sigs.map_batches(bandify, batch_format="pyarrow") \
         .map_batches(part_key, batch_format="pyarrow") \
         .groupby("_part").map_groups(pairs_vec, batch_format="pyarrow")
+    # no silent caps: 'truncated' marks pairs from any over-cap band bucket
     return sized_groupby(cand, ["id_a", "id_b"],
-                         Min("hamming", alias_name="hamming"))
+                         Min("hamming", alias_name="hamming"),
+                         Max("truncated", alias_name="truncated"))
 
 
 def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",

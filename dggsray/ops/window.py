@@ -20,6 +20,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+    """Timestamp column -> int64 MICROSECONDS regardless of the stored unit
+    (parquet writers commonly emit ns; a bare int64 cast would return raw
+    ticks in whatever the native unit is)."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy()
+
+
 def _with_part(ds, key_col: str, n_parts: int):
     def part(b: pa.Table) -> pa.Table:
         u = b.column(key_col).to_numpy()
@@ -45,7 +54,7 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                                               (ts_col, "ascending")])
         g = g.take(order)
         u = g.column(user_col).to_numpy()
-        ts = g.column(ts_col).cast(pa.int64()).to_numpy()   # microseconds
+        ts = _ts_us(g.column(ts_col))
         if u.size == 0:
             return pa.table({user_col: pa.array([], pa.int64()),
                              "n_events": pa.array([], pa.int64()),
@@ -76,52 +85,63 @@ def asof_join_self(ds, left_type: str, right_type: str,
     (right event exactly at the left ts) match, like SQL's >=; among equal
     right timestamps the one with the largest (ts, event_id) sort position
     wins, matching DuckDB's last-peer semantics with a deterministic
-    event_id tiebreak.  Left events with no prior right event emit null
-    match columns (LEFT join)."""
+    event_id tiebreak.  Left events with no prior right event emit the -1
+    SENTINEL in match_event_id / match_ts_us (matching the SQL oracle's
+    COALESCE(..., -1)) — a sentinel, not NULL, unambiguous because event
+    ids are non-negative in the events-table contract.
+
+    The kernel is fully vectorized across ALL users of a partition, with no
+    per-user Python loop: after the global (user, ts, id) sort, every left
+    row's match is "the last right row at a global position <= the end of
+    the left row's (user, ts) tie group" — one searchsorted of those target
+    positions against the right rows' positions, then a per-user-offset
+    check rejects matches that fell into an earlier user's run."""
     def kernel(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(g, sort_keys=[(user_col, "ascending"),
                                               (ts_col, "ascending"),
                                               (id_col, "ascending")])
         g = g.take(order)
         u = g.column(user_col).to_numpy()
-        ts = g.column(ts_col).cast(pa.int64()).to_numpy()
+        ts = _ts_us(g.column(ts_col))
         et = g.column(type_col).to_numpy(zero_copy_only=False)
         ev = g.column(id_col).to_numpy()
         is_l = et == left_type
         is_r = et == right_type
-        out_l, out_r_id, out_r_ts = [], [], []
-        # per-user runs (users are few per partition; the inner work is
-        # vectorized searchsorted over that user's rows)
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        ends = np.append(starts[1:], u.size)
-        for s, e in zip(starts, ends):
-            li = np.flatnonzero(is_l[s:e]) + s
-            if li.size == 0:
-                continue
-            ri = np.flatnonzero(is_r[s:e]) + s
-            if ri.size == 0:
-                out_l.append(li)
-                out_r_id.append(np.full(li.size, -1, np.int64))
-                out_r_ts.append(np.full(li.size, -1, np.int64))
-                continue
-            # rightmost right-event with ts <= left ts
-            pos = np.searchsorted(ts[ri], ts[li], side="right") - 1
-            ok = pos >= 0
-            rid = np.where(ok, ev[ri[np.maximum(pos, 0)]], -1)
-            rts = np.where(ok, ts[ri[np.maximum(pos, 0)]], -1)
-            out_l.append(li)
-            out_r_id.append(rid.astype(np.int64))
-            out_r_ts.append(rts.astype(np.int64))
-        if not out_l:
+        li = np.flatnonzero(is_l)
+        if li.size == 0 or u.size == 0:
             return pa.table({
                 "event_id": pa.array([], pa.int64()),
                 user_col: pa.array([], pa.int64()),
                 "ts_us": pa.array([], pa.int64()),
                 "match_event_id": pa.array([], pa.int64()),
                 "match_ts_us": pa.array([], pa.int64())})
-        li = np.concatenate(out_l)
-        rid = np.concatenate(out_r_id)
-        rts = np.concatenate(out_r_ts)
+        run_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        ri = np.flatnonzero(is_r)
+        if ri.size == 0:
+            neg = np.full(li.size, -1, np.int64)
+            return pa.table({
+                "event_id": pa.array(ev[li].astype(np.int64)),
+                user_col: pa.array(u[li].astype(np.int64)),
+                "ts_us": pa.array(ts[li]),
+                "match_event_id": pa.array(neg),
+                "match_ts_us": pa.array(neg)})
+        # per-run offset of the first right row (for same-user validation)
+        n_runs = int(run_id[-1]) + 1
+        r_counts = np.bincount(run_id[ri], minlength=n_runs)
+        r_off = np.concatenate([[0], np.cumsum(r_counts)])
+        # (user, ts) tie groups: a left row may match right rows anywhere in
+        # its own tie group (equal ts counts regardless of id interleave —
+        # the SQL >= contract), so its target is the group's LAST position
+        new_grp = np.r_[True, (u[1:] != u[:-1]) | (ts[1:] != ts[:-1])]
+        grp = np.cumsum(new_grp) - 1
+        grp_last = np.flatnonzero(np.r_[new_grp[1:], True])
+        target = grp_last[grp[li]]
+        # rightmost right event at global position <= target
+        pos = np.searchsorted(ri, target, side="right") - 1
+        ok = pos >= r_off[run_id[li]]     # match lies in the SAME user run
+        safe = np.maximum(pos, 0)
+        rid = np.where(ok, ev[ri[safe]], -1).astype(np.int64)
+        rts = np.where(ok, ts[ri[safe]], -1).astype(np.int64)
         return pa.table({
             "event_id": pa.array(ev[li].astype(np.int64)),
             user_col: pa.array(u[li].astype(np.int64)),

@@ -78,3 +78,30 @@ class TestSqlDb:
         vals = t.column("value").to_numpy()
         assert n == int((vals >= 50).sum()) and s == int(vals[vals >= 50].sum())
         con.close()
+
+    def test_append_binds_by_name_not_position(self, tmp_path):
+        import sqlite3
+        from dggsray.io.sqldb import dataset_to_sqldb
+        db = str(tmp_path / "t.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE x (b INTEGER, a INTEGER)")  # reversed order
+        con.commit(); con.close()
+        t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                      "b": pa.array([10, 20], pa.int64())})
+        dataset_to_sqldb(t, db, "x", if_exists="append")
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT a, b FROM x ORDER BY a").fetchall() \
+            == [(1, 10), (2, 20)]
+        con.close()
+
+    def test_all_null_page_keeps_declared_type(self, ray_session, tmp_path):
+        from dggsray.io.sqldb import dataset_to_sqldb, sqldb_to_dataset
+        db = str(tmp_path / "t.db")
+        t = pa.table({"k": pa.array(range(300), pa.int64()),
+                      "v": pa.array([None] * 300, pa.float64())})
+        dataset_to_sqldb(t, db, "x")
+        ds = sqldb_to_dataset(db, "x", block_rows=100)
+        sch = ds.schema()
+        sch = getattr(sch, "base_schema", sch)
+        assert sch.field("v").type == pa.float64()
+        assert ds.count() == 300

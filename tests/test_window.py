@@ -134,3 +134,22 @@ class TestMovingWindow:
         assert by[("a", 2)] == (700, 3)
         assert by[("a", 5)] == (1400, 3)
         assert by[("b", 0)] == (1600, 1)
+
+
+class TestTimestampUnits:
+    def test_ns_timestamps_measure_real_time(self, ray_session):
+        """ts stored as timestamp[ns] must sessionize identically to the same
+        instants stored as us (regression: raw-tick cast)."""
+        import ray.data as rd
+        from dggsray.ops.window import sessionize
+        H = 3_600_000_000  # us
+        rows = [(1, 0), (1, 100_000_000), (1, 2 * H)]   # gap splits at 2h
+        for unit, mult in (("us", 1), ("ns", 1000)):
+            t = pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * mult for r in rows],
+                               pa.timestamp(unit))})
+            out = sessionize(rd.from_arrow(t), gap_s=1800.0).take_all()
+            assert len(out) == 1
+            assert out[0]["n_sessions"] == 2, unit
+            assert out[0]["n_events"] == 3
