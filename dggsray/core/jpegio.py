@@ -53,46 +53,6 @@ def _cached_lut(bits: bytes, vals: bytes):
     return _build_lut(list(bits), list(vals))
 
 
-class _BitReader:
-    __slots__ = ("data", "pos", "buf", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.buf = 0
-        self.nbits = 0
-
-    def _fill(self):
-        while self.nbits <= 48:
-            if self.pos >= len(self.data):
-                self.buf = (self.buf << 8) & ((1 << 56) - 1)
-                self.nbits += 8          # zero-pad past the end
-                continue
-            self.buf = ((self.buf << 8) | self.data[self.pos]) & ((1 << 56) - 1)
-            self.pos += 1
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        if self.nbits < 16:
-            self._fill()
-        return (self.buf >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int):
-        self.nbits -= n
-
-    def get(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        return (self.buf >> self.nbits) & ((1 << n) - 1)
-
-
-def _extend(v: int, s: int) -> int:
-    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
-
-
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> (h, w, 3) RGB uint8 (or (h, w) for grayscale)."""
     assert data[:2] == b"\xff\xd8", "not a JPEG"

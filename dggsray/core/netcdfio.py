@@ -158,8 +158,11 @@ class NetCDFClassic:
             per_rec = v.shape[1:] if len(v.shape) > 1 else ()
             n_per = int(np.prod(per_rec, dtype=np.int64)) if per_rec else 1
             recs = []
-            # single record var: records are contiguous (spec special case)
-            stride = v.vsize if self._recsize == v.vsize else self._recsize
+            # spec special case: with exactly ONE record variable its records
+            # pack contiguously at the UNPADDED size (no 4-byte round-up),
+            # otherwise records interleave at the file's full recsize
+            n_recvars = sum(1 for vv in self.variables.values() if vv.record)
+            stride = n_per * size if n_recvars == 1 else self._recsize
             for r in range(self.numrecs):
                 recs.append(np.frombuffer(
                     self._buf, dtype=dt, count=n_per,

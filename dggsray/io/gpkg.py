@@ -316,15 +316,27 @@ def _parse_gp_blob(blob: bytes):
     return blob[8 + env_len:], srs_id
 
 
+def _wkb_type(typ: int):
+    """(base_type, coord_dim, srid_bytes) for a WKB type word: ISO offsets
+    (1000 Z / 2000 M / 3000 ZM) and EWKB flag bits (0x80000000 Z,
+    0x40000000 M, 0x20000000 embedded SRID -> 4 extra header bytes) — the
+    flags must be masked BEFORE the % 1000, or a flagged type word computes
+    a nonsense base."""
+    t = typ & 0x0FFFFFFF
+    base = t % 1000
+    iso = t // 1000
+    has_z = iso in (1, 3) or bool(typ & 0x80000000)
+    has_m = iso in (2, 3) or bool(typ & 0x40000000)
+    return base, 2 + int(has_z) + int(has_m), 4 if typ & 0x20000000 else 0
+
+
 def _wkb_envelope(wkb: bytes):
     """min/max x/y of any 2D/Z WKB geometry (vertices scanned)."""
     le = wkb[0] == 1
     order = "<" if le else ">"
     typ = struct.unpack_from(order + "I", wkb, 1)[0]
-    base = typ % 1000
-    has_z = (typ // 1000) in (1, 3) or bool(typ & 0x80000000)
-    dim = 3 if has_z else 2
-    pos = 5
+    base, dim, skip = _wkb_type(typ)
+    pos = 5 + skip
 
     def rings(pos, nrings):
         pts = []
@@ -369,10 +381,8 @@ def _wkb_envelope(wkb: bytes):
 def _wkb_length(wkb: bytes) -> int:
     order = "<" if wkb[0] == 1 else ">"
     typ = struct.unpack_from(order + "I", wkb, 1)[0]
-    base = typ % 1000
-    has_z = (typ // 1000) in (1, 3) or bool(typ & 0x80000000)
-    dim = 3 if has_z else 2
-    pos = 5
+    base, dim, skip = _wkb_type(typ)
+    pos = 5 + skip
     if base == 1:
         return pos + dim * 8
     if base == 2:
@@ -502,12 +512,10 @@ def _wkb_rings(wkb: bytes) -> list[np.ndarray]:
     """POLYGON/MULTIPOLYGON WKB -> list of (n, 2) XY ring arrays (Z dropped)."""
     order = "<" if wkb[0] == 1 else ">"
     typ = struct.unpack_from(order + "I", wkb, 1)[0]
-    base = typ % 1000
-    has_z = (typ // 1000) in (1, 3) or bool(typ & 0x80000000)
-    dim = 3 if has_z else 2
+    base, dim, skip = _wkb_type(typ)
     if base == 3:
-        nrings = struct.unpack_from(order + "I", wkb, 5)[0]
-        pos = 9
+        nrings = struct.unpack_from(order + "I", wkb, 5 + skip)[0]
+        pos = 9 + skip
         rings = []
         for _ in range(nrings):
             n = struct.unpack_from(order + "I", wkb, pos)[0]
@@ -518,8 +526,8 @@ def _wkb_rings(wkb: bytes) -> list[np.ndarray]:
             pos += n * dim * 8
         return rings
     if base == 6:        # multipolygon: concatenate member rings
-        n = struct.unpack_from(order + "I", wkb, 5)[0]
-        pos = 9
+        n = struct.unpack_from(order + "I", wkb, 5 + skip)[0]
+        pos = 9 + skip
         rings = []
         for _ in range(n):
             sub = wkb[pos:]

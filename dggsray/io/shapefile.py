@@ -60,8 +60,11 @@ def read_dbf(path: str) -> list[dict]:
                 rec[name] = txt.upper() in ("T", "Y")
             else:
                 rec[name] = txt
-        if not deleted:
-            out.append(rec)
+        # keep a placeholder for soft-deleted rows: .shp has no deletion
+        # flag, so geometries and attributes pair strictly by position —
+        # dropping the row here would shift every later feature's attributes
+        # (read_shapefile omits the whole feature, GDAL semantics)
+        out.append(None if deleted else rec)
     return out
 
 
@@ -141,6 +144,12 @@ def read_shapefile(path: str, to_lonlat: bool = True):
     shapes = read_shp(base + ".shp")
     attrs = read_dbf(base + ".dbf") if os.path.exists(base + ".dbf") else \
         [{} for _ in shapes]
+    # drop soft-deleted rows as whole features (geometry AND attributes),
+    # preserving positional pairing for everything that remains
+    if any(a is None for a in attrs):
+        kept = [(s, a) for s, a in zip(shapes, attrs) if a is not None]
+        shapes = [s for s, _ in kept]
+        attrs = [a for _, a in kept]
     crs = parse_prj(base + ".prj")
 
     def tr(arr: np.ndarray) -> np.ndarray:

@@ -146,3 +146,32 @@ def test_read_geopackage_features_and_burn(ray_session, tmp_path):
     assert len(feats) == 1 and feats[0]["value"] == 1
     cells = burn_polygons_to_cells(feats, 4)
     assert cells.num_rows > 10            # the square covers many res-4 cells
+
+
+class TestEwkbFlags:
+    """EWKB type words carry dimension flags in the high bits (spatialite /
+    ogr2ogr output); the flags must be masked before the base-type math."""
+
+    def _ewkb_z_polygon(self, with_srid=False):
+        import struct
+        typ = 0x80000003 | (0x20000000 if with_srid else 0)
+        b = b"\x01" + struct.pack("<I", typ)
+        if with_srid:
+            b += struct.pack("<I", 4326)
+        b += struct.pack("<I", 1)                       # 1 ring
+        pts = [(0.0, 0.0, 5.0), (4.0, 0.0, 5.0), (4.0, 3.0, 5.0),
+               (0.0, 0.0, 5.0)]
+        b += struct.pack("<I", len(pts))
+        for x, y, z in pts:
+            b += struct.pack("<3d", x, y, z)
+        return b
+
+    def test_envelope_rings_length(self):
+        from dggsray.io.gpkg import _wkb_envelope, _wkb_length, _wkb_rings
+        for srid in (False, True):
+            wkb = self._ewkb_z_polygon(with_srid=srid)
+            assert _wkb_envelope(wkb) == (0.0, 4.0, 0.0, 3.0)
+            assert _wkb_length(wkb) == len(wkb)
+            rings = _wkb_rings(wkb)
+            assert len(rings) == 1 and rings[0].shape == (4, 2)
+            assert rings[0][1].tolist() == [4.0, 0.0]

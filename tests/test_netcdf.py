@@ -134,3 +134,43 @@ def test_synthetic_roundtrip_cdf1_cdf2(tmp_path):
         tv = nc.read("tv")
         assert tv.shape == (2, 2)
         assert tv.tolist() == [[1.5, 2.5], [3.5, 4.5]]
+
+
+def _write_single_short_recvar(path):
+    """Spec special case: ONE record variable of NC_SHORT (t, y=3) — records
+    pack contiguously at the UNPADDED 6 bytes, though vsize rounds to 8."""
+    import struct
+
+    def pad(b):
+        return b + b"\x00" * (-len(b) % 4)
+
+    def name(s):
+        return struct.pack(">I", len(s)) + pad(s.encode())
+
+    hdr = b"CDF\x01"
+    hdr += struct.pack(">I", 3)                      # numrecs = 3
+    hdr += struct.pack(">II", 0x0A, 2)               # dim list
+    hdr += name("t") + struct.pack(">I", 0)          # unlimited
+    hdr += name("y") + struct.pack(">I", 3)
+    hdr += struct.pack(">II", 0, 0)                  # no global attrs
+    hdr += struct.pack(">II", 0x0B, 1)               # var list, 1 var
+    sv = name("sv") + struct.pack(">I", 2) + struct.pack(">II", 0, 1)
+    sv += struct.pack(">II", 0, 0)                   # no attrs
+    sv += struct.pack(">II", 3, 8)                   # NC_SHORT, vsize 8 (padded)
+    begin = len(hdr) + len(sv) + 4
+    body = hdr + sv + struct.pack(">I", begin)
+    data = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], ">i2")
+    body += data.tobytes()                           # 3 recs x 6 bytes, NO pad
+    with open(path, "wb") as f:
+        f.write(body)
+    return data.astype(np.int16)
+
+
+class TestSingleRecordVarPacking:
+    def test_unpadded_contiguous_records(self, tmp_path):
+        p = str(tmp_path / "one_recvar.nc")
+        want = _write_single_short_recvar(p)
+        nc = NetCDFClassic(p)
+        got = nc.read("sv")
+        assert got.shape == (3, 3)
+        assert (got == want).all()

@@ -81,3 +81,41 @@ def test_aragon_auid_roundtrip(ray_session, tmp_path):
     back = gen.cuids_from_auid_b64(auid_b64)
     assert sorted(back) == back            # reference's own assertion
     assert back == cuids
+
+
+class TestDeletedDbfRows:
+    def test_deleted_row_drops_whole_feature(self, tmp_path):
+        """A soft-deleted .dbf row (0x2A flag) must remove geometry AND
+        attributes together — not shift every later feature's attributes."""
+        import struct
+        import numpy as np
+        base = str(tmp_path / "del")
+        # .shp: 3 point records
+        pts = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]
+        rec = b""
+        for i, (x, y) in enumerate(pts):
+            content = struct.pack("<i2d", 1, x, y)
+            rec += struct.pack(">ii", i + 1, len(content) // 2) + content
+        filelen = (100 + len(rec)) // 2
+        hdr = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, filelen)
+        hdr += struct.pack("<ii", 1000, 1)
+        hdr += struct.pack("<8d", 0, 0, 2, 2, 0, 0, 0, 0)
+        open(base + ".shp", "wb").write(hdr + rec)
+        # .dbf: 3 rows, middle one deleted
+        nfields = 1
+        hdrlen = 32 + nfields * 32 + 1
+        reclen = 1 + 8
+        d = struct.pack("<B3BIHH20x", 3, 24, 1, 1, 3, hdrlen, reclen)
+        d += b"CLS".ljust(11, b"\x00") + b"N" + b"\x00" * 4 + bytes([8, 0]) \
+            + b"\x00" * 14
+        d += b"\x0d"
+        for i, flag in [(7, 0x20), (8, 0x2A), (9, 0x20)]:
+            d += bytes([flag]) + str(i).rjust(8).encode()
+        open(base + ".dbf", "wb").write(d)
+        from dggsray.io.shapefile import read_dbf, read_shapefile
+        attrs_raw = read_dbf(base + ".dbf")
+        assert attrs_raw[1] is None and len(attrs_raw) == 3
+        feats, attrs, _crs = read_shapefile(base + ".shp", to_lonlat=False)
+        assert len(feats) == 2 and len(attrs) == 2
+        assert [a["CLS"] for a in attrs] == [7, 9]
+        assert feats[1]["coords"][0].tolist() == [2.0, 2.0]
