@@ -128,22 +128,24 @@ def regrid_majority(ds, value_col: str, res: int | None = None,
 
 
 _MAJ_K = 1 << 21     # value universe for the packed argmax score
+_MAJ_BIAS = 1 << 20  # shift so signed sentinels (e.g. -1 nodata) qualify
 
 
 def _argmax_by_score(counts, cell_col: str, value_col: str, out_col: str):
     """Per-cell argmax(cnt desc, value asc) as ONE native vectorized Max:
-    score = cnt * K + (K-1-value) packs the comparison into a single int64, so
-    the final reduction is Ray's built-in Max — no per-group Python call even
-    with millions of distinct cells.  Requires 0 <= value < K=2^21 (class ids /
-    nation keys / burn values all qualify) and per-(cell,value) counts < 2^42."""
+    score = cnt * K + (K-1-(value+BIAS)) packs the comparison into a single
+    int64, so the final reduction is Ray's built-in Max — no per-group Python
+    call even with millions of distinct cells.  Requires -2^20 <= value <
+    2^20 (class ids / nation keys / burn values / nodata sentinels all
+    qualify) and per-(cell,value) counts < 2^42."""
     from ray.data.aggregate import Max
 
     def encode(b: pa.Table) -> pa.Table:
-        v = b.column(value_col).to_numpy().astype(np.int64)
+        v = b.column(value_col).to_numpy().astype(np.int64) + _MAJ_BIAS
         if v.size and (v.min() < 0 or v.max() >= _MAJ_K):
             raise ValueError(
-                f"majority value out of [0, {_MAJ_K}): packed-score argmax "
-                f"needs bounded non-negative integer values")
+                f"majority value out of [-{_MAJ_BIAS}, {_MAJ_BIAS}): "
+                f"packed-score argmax needs bounded integer values")
         cnt = b.column("_cnt").to_numpy().astype(np.int64)
         score = cnt * _MAJ_K + (_MAJ_K - 1 - v)
         return pa.table({cell_col: b.column(cell_col),
@@ -155,7 +157,8 @@ def _argmax_by_score(counts, cell_col: str, value_col: str, out_col: str):
     def decode(b: pa.Table) -> pa.Table:
         s = b.column("_score").to_numpy()
         return pa.table({cell_col: b.column(cell_col),
-                         out_col: pa.array(_MAJ_K - 1 - (s % _MAJ_K)),
+                         out_col: pa.array(_MAJ_K - 1 - (s % _MAJ_K)
+                                           - _MAJ_BIAS),
                          "n": pa.array(s // _MAJ_K)})
 
     return best.map_batches(decode, batch_format="pyarrow")

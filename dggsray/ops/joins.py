@@ -65,7 +65,7 @@ def broadcast_lookup_join(ds, lookup: pa.Table, key_col: str = "cellid",
                 b.column(key_col).to_numpy(zero_copy_only=False), res)
             b = b.append_column("_jk", pa.array(vals, pa.string()))
             join_key = "_jk"
-        out = b.join(lk, keys=join_key, right_keys=lookup.column_names[0],
+        out = b.join(lk, keys=join_key, right_keys=key_col,
                      join_type="inner" if how == "inner" else "left outer")
         if join_key == "_jk":
             out = out.drop_columns(["_jk"])
@@ -81,22 +81,13 @@ def hash_join(left, right, on: str = "cellid", join_type: str = "inner",
                      num_partitions=num_partitions)
 
 
-def lowcard_groupby(ds, key, *aggs, parts: int | None = None):
-    """groupby for LOW-cardinality keys fed by per-batch partial aggregates.
-
-    Ray's sort-shuffle makes one output partition per input block, so partials
-    arriving in B blocks cost B map tasks x B slices — ~7 s of fixed overhead
-    for a few thousand rows when the read stage split into 64+ blocks (measured
-    at sf0.1: every small groupby paid it).  Coalescing the (tiny, <= #keys
-    rows per block) partials into `parts` blocks first makes the shuffle
-    parts x parts.  Only for keys whose cardinality is far below the row count
-    (cells at coarse res, lang, type, hour...) — high-cardinality groupbys keep
-    block-proportional partitioning."""
-    if parts is None:
-        import ray
-        parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
-    # low-cardinality partials always fit one block -> sized_groupby's
-    # measured-size fast path finishes with a single Arrow pass
+def lowcard_groupby(ds, key, *aggs):
+    """groupby for LOW-cardinality keys fed by per-batch partial aggregates
+    (cells at coarse res, lang, type, hour...).  Low-cardinality partials
+    always fit one block, so sized_groupby's measured-size fast path
+    finishes with a single Arrow pass — avoiding Ray's sort-shuffle, whose
+    one-output-partition-per-input-block layout cost ~7 s of fixed overhead
+    per small groupby at sf0.1."""
     return sized_groupby(ds, key, *aggs,
                          rows_per_part=1_000_000)
 
@@ -247,8 +238,8 @@ def knn_cells(ds, query_cellid: str, k: int, key_col: str = "cellid",
     hist = lowcard_groupby(ds.map_batches(lcp_hist, batch_format="pyarrow"),
                            "lcp", Sum("_c", alias_name="n")).to_pandas()
     counts = dict(zip(hist["lcp"], hist["n"]))
-    plen = 1
-    cum = 0
+    plen = 0          # fall through to the whole dataset (prefix "") when
+    cum = 0           # even the 1-char face prefix holds fewer than k rows
     for p in range(qlen, 0, -1):
         cum += int(counts.get(p, 0))
         if cum >= k:
@@ -257,8 +248,9 @@ def knn_cells(ds, query_cellid: str, k: int, key_col: str = "cellid",
     prefix = query_cellid[:plen]
 
     def dist(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.starts_with(batch.column(key_col),
-                                            pattern=prefix))
+        if prefix:
+            batch = batch.filter(pc.starts_with(batch.column(key_col),
+                                                pattern=prefix))
         cells = batch.column(key_col).to_numpy(zero_copy_only=False)
         cx, cy = cell_centroid(cells, grid)
         d = np.sqrt((cx - qx) ** 2 + (cy - qy) ** 2)

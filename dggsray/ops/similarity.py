@@ -31,6 +31,10 @@ def brute_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
 
     def kernel(b: pa.Table) -> pa.Table:
         Qm = ray.get(qref)
+        if b.num_rows == 0:      # LSH/IVF filters upstream can empty a block
+            return pa.table({"query": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos_micro": pa.array([], pa.int64())})
         emb = np.stack(b.column(emb_col).to_numpy(zero_copy_only=False)) \
             .astype(np.float64)
         ids = b.column(id_col).to_numpy()
@@ -98,6 +102,8 @@ def lsh_topk(ds, query: np.ndarray, k: int, id_col: str = "vec_id",
     ref = ray.put((planes, qkeys, q))
 
     def filter_candidates(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
         pl, qk, _ = ray.get(ref)
         emb = np.stack(b.column(emb_col).to_numpy(zero_copy_only=False)) \
             .astype(np.float64)
@@ -170,6 +176,8 @@ def ivf_topk(ds, query: np.ndarray, k: int, centroids: np.ndarray,
     cref = ray.put((C, probe))
 
     def filter_lists(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
         Cm, pr = ray.get(cref)
         if "list_id" in b.column_names:
             lid = b.column("list_id").to_numpy()

@@ -92,3 +92,48 @@ class TestSkewedGroupby:
             if c != "N0":
                 assert v == int(c[1:]) % 5
         assert len(got) == 1000
+
+
+class TestMajorityNegativeValues:
+    def test_nodata_sentinel_minus_one(self, ray_session):
+        """-1 nodata sentinels must take the vectorized packed-argmax path
+        (regression: it rejected any negative value)."""
+        import ray.data as rd
+        from dggsray.ops.cellify import regrid_majority
+        t = pa.table({
+            "cellid": pa.array(["N0"] * 5 + ["N1"] * 4),
+            "v": pa.array([-1, -1, -1, 2, 2, 3, 3, 3, -1], pa.int64())})
+        out = regrid_majority(rd.from_arrow(t), "v").take_all()
+        got = {r["cellid"]: r["majority_value"] for r in out}
+        assert got == {"N0": -1, "N1": 3}
+
+
+class TestKnnPrefixFallback:
+    def test_fewer_rows_under_face_than_k(self, ray_session):
+        """k=5 with only 2 cells sharing the query's face: the scan must fall
+        back to the whole dataset, not return 2 rows."""
+        import ray.data as rd
+        from dggsray.ops.joins import knn_cells
+        t = pa.table({"cellid": pa.array(
+            ["R00", "R01", "N00", "N11", "N22", "O33", "P44"])})
+        out = knn_cells(rd.from_arrow(t), "R00", k=5).take_all()
+        assert len(out) == 5
+        cells = [r["cellid"] for r in out]
+        assert "R00" in cells and "R01" in cells
+
+
+class TestBroadcastLookupJoin:
+    def test_joins_on_key_col_not_first_column(self, ray_session):
+        """Lookup table with the key NOT in first position (regression:
+        joined against column 0 regardless of key_col)."""
+        import ray.data as rd
+        from dggsray.ops.joins import broadcast_lookup_join
+        ds = rd.from_arrow(pa.table({
+            "cellid": pa.array(["A", "B", "C"]),
+            "x": pa.array([1, 2, 3], pa.int64())}))
+        lookup = pa.table({
+            "population": pa.array([10, 20], pa.int64()),
+            "cellid": pa.array(["B", "C"])})
+        out = broadcast_lookup_join(ds, lookup, key_col="cellid").take_all()
+        by = {r["cellid"]: r["population"] for r in out}
+        assert by == {"B": 10, "C": 20}
