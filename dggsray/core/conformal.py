@@ -32,11 +32,19 @@ WEBMERC_MAX_LAT = float(np.degrees(np.arctan(np.sinh(np.pi))))
 
 
 def webmerc_fwd(lon_deg, lat_deg):
-    """Geodetic degrees -> Web Mercator (x, y) meters."""
+    """Geodetic degrees -> Web Mercator (x, y) meters.  Latitudes beyond the
+    projection's ±85.051° extent map FAR outside any raster (±1e18) rather
+    than clipping onto the edge — during an inverse warp a clipped edge
+    value would sample the source's border row across the whole polar cap
+    instead of falling out of bounds to nodata."""
+    lat = np.asarray(lat_deg, dtype=np.float64)
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    phi = np.radians(np.clip(np.asarray(lat_deg, dtype=np.float64),
-                             -WEBMERC_MAX_LAT, WEBMERC_MAX_LAT))
-    return _R * lam, _R * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+    phi = np.radians(np.clip(lat, -WEBMERC_MAX_LAT, WEBMERC_MAX_LAT))
+    y = _R * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+    oob = np.abs(lat) > WEBMERC_MAX_LAT
+    if np.any(oob):
+        y = np.where(oob, np.sign(lat) * 1e18, y)
+    return _R * lam, y
 
 
 def webmerc_inv(x, y):

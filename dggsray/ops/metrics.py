@@ -121,6 +121,14 @@ def cell_table_rmse(cells_a, cells_b, value_col: str = "band1",
     return math.sqrt(parts["_ssq"].sum() / n), parts["_sb"].sum() / n
 
 
+def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    """Even-odd test of one point against a (possibly unclosed) ring."""
+    from .vector2dggs import _points_in_ring
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+        ring = np.vstack([ring, ring[:1]])
+    return bool(_points_in_ring(np.array([px]), np.array([py]), ring)[0])
+
+
 def vector_raster_area_error(features: list[dict], cells_ds, res_idx: int,
                              grid: GridConfig = DEFAULT_GRID,
                              value_col: str = "value"):
@@ -135,11 +143,18 @@ def vector_raster_area_error(features: list[dict], cells_ds, res_idx: int,
     vector_area: dict[int, float] = {}
     for f in features:
         fc = int(f["value"])
+        rings = [np.asarray(r, dtype=np.float64) for r in f["rings"]]
+        # the loaders flatten MultiPolygon parts into one rings list, so
+        # "every ring after the first is a hole" is wrong — classify by
+        # containment instead: a ring nested inside an ODD number of other
+        # rings is a hole (winding-order-independent)
         area = 0.0
-        for i, ring in enumerate(f["rings"]):
-            r = np.asarray(ring, dtype=np.float64)
+        for i, r in enumerate(rings):
+            px, py = float(r[0, 0]), float(r[0, 1])
+            depth = sum(_point_in_ring(px, py, o)
+                        for j, o in enumerate(rings) if j != i)
             a = polygon_area_m2(r[:, 0], r[:, 1])
-            area += a if i == 0 else -a      # holes subtract
+            area += -a if depth % 2 == 1 else a
         vector_area[fc] = vector_area.get(fc, 0.0) + area
 
     cell_area = grid.cell_width(res_idx) ** 2 / RHEALPIX_MEAN_AREAL_DISTORTION
@@ -162,7 +177,7 @@ def vector_raster_area_error(features: list[dict], cells_ds, res_idx: int,
 
 
 def vector_raster_line_error(line_features: list[dict], raster: np.ndarray,
-                             meta: dict, res_idx: int,
+                             meta: dict,
                              grid: GridConfig = DEFAULT_GRID,
                              every_feature: int = 1, band: int = 1):
     """Mean node -> cell-center geodesic distance (penalty = cell width when the

@@ -44,10 +44,12 @@ def feature_class_values(classes, fixed_value: int | None = None) -> np.ndarray:
             out[i] = int(v)
         else:
             try:
-                out[i] = int(v)
+                out[i] = int(v)       # TypeError: None / unsupported objects
                 continue
-            except ValueError:
+            except (ValueError, TypeError):
                 pass
+            if v is None:
+                raise ValueError("null class property is not supported")
             try:
                 float(v)
             except ValueError:

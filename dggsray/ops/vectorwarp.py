@@ -32,8 +32,11 @@ def _load_features(input_path: str, layer: str | None):
     if low.endswith(".shp"):
         from ..io.shapefile import read_shapefile
         feats, attrs, _crs = read_shapefile(input_path)
-        feats = [f for f in feats if "rings" in f or "coords" in f]
-        return feats, attrs[:len(feats)]
+        # drop geometry-less (null-shape) features WITH their attrs — a
+        # truncation here would shift every later feature's attributes
+        kept = [(f, a) for f, a in zip(feats, attrs)
+                if "rings" in f or "coords" in f]
+        return [f for f, _ in kept], [a for _, a in kept]
     with open(input_path) as f:
         gj = json.load(f)
     feats, attrs = [], []

@@ -225,8 +225,14 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         elif "utm" in g.tags:             # JPEG+PAM / world-file UTM rasters
             zone, north = g.tags["utm"]
             input_crs = f"utm:{zone}{'N' if north else 'S'}"
+        elif "n_side" in g.tags.get("GDAL_METADATA", ""):
+            input_crs = "rhealpix"        # the engine's own warp outputs
         else:
-            input_crs = "geographic"
+            # the engine's own reproject_raster outputs carry a crs item —
+            # keep this detection in sync with reproject_raster's auto branch
+            m = re.search(r'<Item name="crs">([^<]+)</Item>',
+                          g.tags.get("GDAL_METADATA", ""))
+            input_crs = m.group(1) if m else "geographic"
     if dst_resolution_idx == -1:
         dst_resolution_idx = infer_resolution_idx(g, input_crs, grid,
                                                   rescaling_strategy)
@@ -314,13 +320,25 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
         edges_c = np.minimum((np.arange(ow + 1) * (W / ow)).astype(np.int64), W)
         if resampling == "average":
             # vectorized block mean via reduceat (edges strictly increase
-            # because H/oh >= 1 and W/ow >= 1)
-            s = np.add.reduceat(g.data.astype(np.float64), edges_r[:-1], axis=1)
+            # because H/oh >= 1 and W/ow >= 1); nodata pixels are EXCLUDED
+            # from the mean (GDAL Resampling.average), all-nodata blocks
+            # stay nodata
+            data = g.data.astype(np.float64)
+            if g.nodata is not None:
+                valid = g.data != g.nodata
+                data = np.where(valid, data, 0.0)
+            else:
+                valid = np.ones(g.data.shape, dtype=bool)
+            s = np.add.reduceat(data, edges_r[:-1], axis=1)
             s = np.add.reduceat(s, edges_c[:-1], axis=2)
-            cnt = np.diff(edges_r)[:, None] * np.diff(edges_c)[None, :]
-            acc = s / cnt
+            nv = np.add.reduceat(valid.astype(np.int64), edges_r[:-1], axis=1)
+            nv = np.add.reduceat(nv, edges_c[:-1], axis=2)
+            with np.errstate(invalid="ignore"):
+                acc = s / np.maximum(nv, 1)
             if np.issubdtype(g.data.dtype, np.integer):
                 acc = np.rint(acc)
+            if g.nodata is not None:
+                acc = np.where(nv == 0, g.nodata, acc)
             out = acc.astype(g.data.dtype)
         else:
             out = np.empty((nbands, oh, ow), dtype=g.data.dtype)
@@ -430,8 +448,7 @@ def reproject_raster(input_path: str, output_path: str, dst_crs: str,
             m = re.search(r'<Item name="crs">([^<]+)</Item>',
                           g.tags.get("GDAL_METADATA", ""))
             input_crs = m.group(1) if m else "geographic"
-    _, sinv = _crs_funcs(input_crs, grid, src_albers)
-    sfwd, _ = _crs_funcs(input_crs, grid, src_albers)
+    sfwd, sinv = _crs_funcs(input_crs, grid, src_albers)
     dfwd, dinv = _crs_funcs(dst_crs, grid)
 
     nbands, H, W = g.data.shape

@@ -122,13 +122,13 @@ class TestLineError:
         line = [{"feature_id": 0, "value": 3,
                  "coords": np.column_stack([np.linspace(19.8, 20.2, 7),
                                             np.full(7, 10.0)])}]
-        per_node, per_feat = vector_raster_line_error(line, arr, meta, res, G3)
+        per_node, per_feat = vector_raster_line_error(line, arr, meta, G3)
         cw = G3.cell_width(res)
         assert 0 < per_node < cw  # within a cell width (nodes inside cells)
         assert per_feat == pytest.approx(per_node * 7)
         # mismatched class -> penalty = cell width per node
         line_bad = [{"feature_id": 0, "value": 9, "coords": line[0]["coords"]}]
-        pn_bad, _ = vector_raster_line_error(line_bad, arr, meta, res, G3)
+        pn_bad, _ = vector_raster_line_error(line_bad, arr, meta, G3)
         assert pn_bad == pytest.approx(cw)
 
     def test_every_feature_sampling(self, ray_session):
@@ -141,7 +141,30 @@ class TestLineError:
         arr, _ = cells_to_raster_array(rd.from_arrow(cells), meta=meta)
         lines = [{"feature_id": i, "value": 3,
                   "coords": np.array([[20.0 + 0.01 * i, 10.0]])} for i in range(6)]
-        _, per_feat = vector_raster_line_error(lines, arr, meta, 6, G3,
+        _, per_feat = vector_raster_line_error(lines, arr, meta, G3,
                                                every_feature=3)
         # only 2 of 6 features sampled
         assert per_feat > 0
+
+
+class TestMultiPolygonArea:
+    def test_disjoint_parts_add_holes_subtract(self, ray_session):
+        """Flattened MultiPolygon rings classify by containment: disjoint
+        outer rings ADD; a nested ring subtracts as a hole (regression:
+        every ring after the first was subtracted)."""
+        import ray.data as rd
+        import pyarrow as pa
+        from dggsray.core.geodesy import polygon_area_m2
+        from dggsray.ops.metrics import vector_raster_area_error
+        sq1 = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+        sq2 = sq1 + np.array([3.0, 0.0])          # disjoint same-size square
+        hole = np.array([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75],
+                         [0.25, 0.75], [0.25, 0.25]])
+        feats = [{"value": 1, "rings": [sq1, sq2, hole]}]
+        cells = rd.from_arrow(pa.table({"value": pa.array([1], pa.int64()),
+                                        "cellid": pa.array(["N0"])}))
+        _, _, tot_v, _ = vector_raster_area_error(feats, cells, 4)
+        a1 = polygon_area_m2(sq1[:, 0], sq1[:, 1])
+        a2 = polygon_area_m2(sq2[:, 0], sq2[:, 1])
+        ah = polygon_area_m2(hole[:, 0], hole[:, 1])
+        assert tot_v == pytest.approx(a1 + a2 - ah, rel=1e-12)

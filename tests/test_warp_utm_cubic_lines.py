@@ -493,3 +493,54 @@ class TestReprojectRaster:
         src, _ = self._mk_geo(tmp_path)
         with pytest.raises(ValueError, match="unsupported CRS"):
             reproject_raster(src, str(tmp_path / "x.tif"), "mercator")
+
+
+class TestAverageNodata:
+    def test_nodata_excluded_from_block_mean(self, tmp_path):
+        """GDAL Resampling.average semantics: nodata pixels don't blend into
+        the mean; all-nodata blocks stay nodata."""
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        src = str(tmp_path / "s.tif")
+        dst = str(tmp_path / "d.tif")
+        d = np.full((1, 4, 4), 255, dtype=np.uint8)   # nodata everywhere...
+        d[0, :2, :2] = [[10, 20], [30, 40]]           # ...but one block
+        write_geotiff(src, GeoTiff(d, 0.0, 4.0, 1.0, 1.0, nodata=255))
+        scale_raster(src, dst, 0.5, resampling="average")
+        out = read_geotiff(dst).data[0]
+        assert out.shape == (2, 2)
+        assert out[0, 0] == 25                        # mean of the 4 valid
+        assert out[0, 1] == 255 and out[1, 0] == 255 and out[1, 1] == 255
+
+    def test_mixed_block_averages_valid_only(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import scale_raster
+        src = str(tmp_path / "s.tif")
+        dst = str(tmp_path / "d.tif")
+        d = np.array([[[100, 255], [50, 255]]], dtype=np.uint8)
+        write_geotiff(src, GeoTiff(d, 0.0, 2.0, 1.0, 1.0, nodata=255))
+        scale_raster(src, dst, 0.5, resampling="average")
+        out = read_geotiff(dst).data[0]
+        assert out[0, 0] == 75                        # (100+50)/2, not /4
+
+
+class TestAutoCrsTagRoundtrip:
+    def test_reprojected_output_feeds_auto_warp(self, tmp_path):
+        """reproject_raster tags its output CRS; raster_to_rhealpix auto must
+        honor it (regression: misread as geographic)."""
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import raster_to_rhealpix, reproject_raster
+        src = str(tmp_path / "geo.tif")
+        mid = str(tmp_path / "wm.tif")
+        out_a = str(tmp_path / "a.tif")
+        out_b = str(tmp_path / "b.tif")
+        data = (np.arange(24 * 36, dtype=np.int32).reshape(1, 24, 36)
+                % 97) + 1
+        write_geotiff(src, GeoTiff(data, -4.0, 2.0, 0.02, 0.02, nodata=0))
+        reproject_raster(src, mid, dst_crs="webmerc", input_crs="geographic")
+        res_a = raster_to_rhealpix(mid, out_a, input_crs="auto")
+        res_b = raster_to_rhealpix(mid, out_b, input_crs="webmerc")
+        assert res_a == res_b
+        a, b = read_geotiff(out_a), read_geotiff(out_b)
+        assert a.left == b.left and a.top == b.top
+        assert (a.data == b.data).all()
