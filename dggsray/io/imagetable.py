@@ -216,6 +216,30 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     return float(10 * np.log10(255.0 ** 2 / mse)) if mse > 0 else 99.0
 
 
+def iter_verify_rows(b):
+    """Decode an image-table batch's columns ONCE and yield per row
+    (k, img_index, decoded_img, w, h, caption_ok) — the shared front half of
+    every per-row invariant check (the back halves differ: exact pixels +
+    phash for lossless formats, PSNR for lossy).  Keeps the caption format
+    and id parsing in ONE place, next to the writer that produces them."""
+    ids = b.column("image_id").to_pylist()
+    blobs = b.column("bytes").to_pylist()
+    ws = b.column("w").to_numpy()
+    hs = b.column("h").to_numpy()
+    fmts = b.column("fmt").to_pylist()
+    caps = b.column("caption").to_pylist()
+    lon_c = (b.column("lon_min").to_numpy()
+             + b.column("lon_max").to_numpy()) / 2
+    lat_c = (b.column("lat_min").to_numpy()
+             + b.column("lat_max").to_numpy()) / 2
+    for k in range(b.num_rows):
+        i = int(ids[k][3:])
+        img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+        cap_ok = caps[k] == (f"caption for img{i} at "
+                             f"({lon_c[k]:.4f},{lat_c[k]:.4f})")
+        yield k, i, img, int(ws[k]), int(hs[k]), cap_ok
+
+
 def ensure_jpeg_table(n: int = 500, root: str = "/tmp/dggsray_cache") -> str:
     """A small JPEG-encoded variant of the image table (same deterministic
     pixels/captions/footprints, fmt='jpeg') for the lossy-codec invariant

@@ -90,12 +90,19 @@ class LineageLog:
         with open(p) as f:
             return json.load(f)
 
-    def verify(self, part: int) -> bool:
-        """A partition is done iff its record exists and the written parquet
-        still holds the recorded row count."""
+    def verify(self, part: int, inputs: list[str] | None = None,
+               n_parts: int | None = None) -> bool:
+        """A partition is done iff its record exists, it was computed over
+        the SAME input slice (a changed n_parts or file list re-buckets
+        inputs — the old output would duplicate/omit files), and the written
+        parquet still holds the recorded row count."""
         rec = self.load(part)
         if rec is None:
             return False
+        if inputs is not None and rec.get("inputs") != list(inputs):
+            return False
+        if n_parts is not None and rec.get("n_parts") != n_parts:
+            return False      # row-bucket mode shards by (part, n_parts)
         pdir = self.part_dir(part)
         if not os.path.isdir(pdir):
             return False
@@ -109,9 +116,9 @@ class LineageLog:
         return n == rec["rows"]
 
     def commit(self, part: int, inputs: list[str], rows: int, digest: str,
-               wall_s: float):
-        rec = {"part": part, "inputs": inputs, "rows": rows,
-               "digest": digest, "wall_s": round(wall_s, 3),
+               wall_s: float, n_parts: int | None = None):
+        rec = {"part": part, "inputs": inputs, "n_parts": n_parts,
+               "rows": rows, "digest": digest, "wall_s": round(wall_s, 3),
                "ts": time.time()}
         tmp = self.record_path(part) + ".tmp"
         with open(tmp, "w") as f:
@@ -153,6 +160,16 @@ def run_resumable(input_files: list[str], out_dir: str, make_pipeline,
     if n_parts is None:
         n_parts = len(files)
     log = LineageLog(out_dir)
+    # prune partitions beyond the CURRENT sharding (a previous run with more
+    # parts leaves part dirs that read_resumable would read as duplicates)
+    part = n_parts
+    while os.path.isdir(log.part_dir(part)) \
+            or os.path.exists(log.record_path(part)):
+        if os.path.isdir(log.part_dir(part)):
+            shutil.rmtree(log.part_dir(part))
+        if os.path.exists(log.record_path(part)):
+            os.remove(log.record_path(part))
+        part += 1
     computed = skipped = 0
     for part in range(n_parts):
         # file-level sharding when the input has enough files (the common case —
@@ -162,7 +179,7 @@ def run_resumable(input_files: list[str], out_dir: str, make_pipeline,
         part_files = files[part::n_parts] if len(files) >= n_parts else files
         if not part_files:
             continue
-        if log.verify(part):
+        if log.verify(part, inputs=part_files, n_parts=n_parts):
             skipped += 1
             continue
         t0 = time.time()
@@ -188,7 +205,8 @@ def run_resumable(input_files: list[str], out_dir: str, make_pipeline,
         acc = 0
         for r in stats:
             acc ^= int(r["_dig"], 16)
-        log.commit(part, part_files, rows, f"{acc:016x}", time.time() - t0)
+        log.commit(part, part_files, rows, f"{acc:016x}", time.time() - t0,
+                   n_parts=n_parts)
         computed += 1
         if fail_after is not None and computed >= fail_after:
             raise RuntimeError(f"injected failure after {computed} partitions")

@@ -126,7 +126,9 @@ class AudioFeatures:
             if pcm.size:
                 rms[k] = float(np.sqrt((pcm ** 2).mean()))
                 peak[k] = float(np.abs(pcm).max())
-                zcr[k] = float((np.diff(np.signbit(pcm)) != 0).mean())
+                # 1-sample clips have no transitions (empty diff -> NaN mean)
+                zcr[k] = float((np.diff(np.signbit(pcm)) != 0).mean()) \
+                    if pcm.size > 1 else 0.0
                 spec = np.abs(np.fft.rfft(pcm[: 1 << 16]))
                 freqs = np.fft.rfftfreq(min(pcm.size, 1 << 16), d=1.0 / rate)
                 tot = spec.sum()

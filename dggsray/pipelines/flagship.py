@@ -138,15 +138,19 @@ class ImageCellJoinAgg(ImageToCells):
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, (img_idx, cells, vals) = self._batch_cells(batch)
         nimg = len(ids)
-        if cells.size == 0:
+        if cells.size == 0 or self.poly_cells.size == 0:
+            # nothing to join (no image cells, or an empty polygon index —
+            # indexing an empty index would raise); n_cells still counts
             return pa.table({"image_id": pa.array(ids, pa.string()),
-                             "n_cells": pa.array(np.zeros(nimg, np.int64)),
+                             "n_cells": pa.array(
+                                 np.bincount(img_idx, minlength=nimg)
+                                 .astype(np.int64)),
                              "n_matched": pa.array(np.zeros(nimg, np.int64)),
                              "majority_value": pa.array(np.full(nimg, -1, np.int64))})
         # broadcast join: sorted lookup of each cell in the polygon cell index
         pos = np.searchsorted(self.poly_cells, cells)
-        pos_c = np.clip(pos, 0, max(self.poly_cells.size - 1, 0))
-        matched = (self.poly_cells.size > 0) & (self.poly_cells[pos_c] == cells)
+        pos_c = np.clip(pos, 0, self.poly_cells.size - 1)
+        matched = self.poly_cells[pos_c] == cells
         value = np.where(matched, self.poly_vals[pos_c], -1)
         # per-image aggregates (vectorized; rows of an image are contiguous)
         n_cells = np.bincount(img_idx, minlength=nimg).astype(np.int64)
@@ -175,7 +179,7 @@ class ImageCellJoinAgg(ImageToCells):
 
 def flagship_resumable(sf: float, out_dir: str, res: int = FLAGSHIP_RES,
                        grid: GridConfig = DEFAULT_GRID, n_parts: int | None = None,
-                       fail_after: int | None = None, concurrency=(1, 4)):
+                       fail_after: int | None = None):
     """Checkpointed flagship run: the image table's parquet files are split into
     partitions; each writes its own output + lineage record and is skipped on
     resume (io.lineage).  Returns (n_computed, n_skipped)."""
@@ -200,8 +204,8 @@ def flagship_resumable(sf: float, out_dir: str, res: int = FLAGSHIP_RES,
             def keep(b: pa.Table) -> pa.Table:
                 ids = b.column("image_id").to_pylist()
                 mask = np.array([zlib.crc32(i.encode()) % nparts == part
-                                 for i in ids])
-                return b.filter(pa.array(mask))
+                                 for i in ids], dtype=bool)   # bool even when
+                return b.filter(pa.array(mask))               # the batch is empty
             ds = ds.map_batches(keep, batch_format="pyarrow")
         # task pool with one shared operator instance (serialized once into the
         # object store): avoids paying actor-pool startup per partition on the

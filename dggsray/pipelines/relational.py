@@ -287,6 +287,9 @@ def ann_cosine_top10(sf_dir: str, k: int = 10):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def scores(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:      # np.stack raises on an empty block
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_micro": pa.array([], pa.int64())})
         ids = b.column("vec_id").to_numpy()
         emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False))
         dim = emb.shape[1]
@@ -395,34 +398,20 @@ def images_jpeg_psnr(sf_dir: str, n: int = 500):
     engine-synthesized like the flagship input)."""
     import ray.data as rd
 
-    from ..io.imagetable import (PSNR_MIN_DB, decode_image, ensure_jpeg_table,
-                                 psnr_db, _pixels)
+    from ..io.imagetable import (PSNR_MIN_DB, ensure_jpeg_table,
+                                 iter_verify_rows, psnr_db, _pixels)
 
     path = ensure_jpeg_table(n)
 
     class JpegVerify:
         def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("image_id").to_pylist()
-            blobs = b.column("bytes").to_pylist()
-            ws = b.column("w").to_numpy()
-            hs = b.column("h").to_numpy()
-            fmts = b.column("fmt").to_pylist()
-            caps = b.column("caption").to_pylist()
-            lon_c = (b.column("lon_min").to_numpy()
-                     + b.column("lon_max").to_numpy()) / 2
-            lat_c = (b.column("lat_min").to_numpy()
-                     + b.column("lat_max").to_numpy()) / 2
-            vals = np.empty(len(ids))
-            cap_ok = np.empty(len(ids), dtype=bool)
-            for k, (s, blob) in enumerate(zip(ids, blobs)):
-                i = int(s[3:])
-                img = decode_image(blob, int(ws[k]), int(hs[k]), fmts[k])
-                vals[k] = psnr_db(img, _pixels(i, int(ws[k]), int(hs[k])))
-                exp = (f"caption for img{i} at "
-                       f"({lon_c[k]:.4f},{lat_c[k]:.4f})")
-                cap_ok[k] = caps[k] == exp
+            vals = np.empty(b.num_rows)
+            cap_ok = np.empty(b.num_rows, dtype=bool)
+            for k, i, img, w, h, cok in iter_verify_rows(b):
+                vals[k] = psnr_db(img, _pixels(i, w, h))
+                cap_ok[k] = cok
             return pa.table({
-                "image_id": pa.array(ids, pa.string()),
+                "image_id": b.column("image_id"),
                 "psnr_milli_db": pa.array(
                     np.rint(vals * 1000).astype(np.int64)),
                 "psnr_ok": pa.array(vals >= PSNR_MIN_DB),
@@ -499,37 +488,22 @@ def images_verify_invariant(sf_dir: str):
     the deterministically regenerated reference image (exact for lossless fmts,
     PSNR>=40dB would apply to lossy ones) and the caption must match its
     regenerated form.  Returns one row per image with check flags."""
-    from ..io.imagetable import (_pixels, decode_image, ensure_image_table,
-                                 average_phash)
+    from ..io.imagetable import (_pixels, ensure_image_table, average_phash,
+                                 iter_verify_rows)
     import ray.data as rd
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     path = ensure_image_table(sf)
 
     def kernel(b: pa.Table) -> pa.Table:
-        # columns decoded ONCE per batch (decode_image itself is inherently
-        # per-image); no Arrow scalar .as_py() access inside the loop
         n = b.num_rows
-        ids = b.column("image_id").to_pylist()
-        blobs = b.column("bytes").to_pylist()
-        ws = b.column("w").to_numpy()
-        hs = b.column("h").to_numpy()
-        fmts = b.column("fmt").to_pylist()
-        caps = b.column("caption").to_pylist()
         phs = b.column("phash").to_numpy()
-        lon_c = (b.column("lon_min").to_numpy()
-                 + b.column("lon_max").to_numpy()) / 2
-        lat_c = (b.column("lat_min").to_numpy()
-                 + b.column("lat_max").to_numpy()) / 2
         pix_ok = np.zeros(n, dtype=bool)
         cap_ok = np.zeros(n, dtype=bool)
         phash_ok = np.zeros(n, dtype=bool)
-        for k in range(n):
-            i = int(ids[k][3:])
-            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
-            pix_ok[k] = np.array_equal(img, _pixels(i, int(ws[k]), int(hs[k])))
-            cap_ok[k] = (caps[k] == f"caption for img{i} at "
-                                    f"({lon_c[k]:.4f},{lat_c[k]:.4f})")
+        for k, i, img, w, h, cok in iter_verify_rows(b):
+            pix_ok[k] = np.array_equal(img, _pixels(i, w, h))
+            cap_ok[k] = cok
             phash_ok[k] = average_phash(img) == phs[k]
         return pa.table({"image_id": b.column("image_id"),
                          "pixels_ok": pa.array(pix_ok),
@@ -708,7 +682,6 @@ def orders_lineitem_revenue(sf_dir: str, k: int = 50):
     from ..ops.joins import sized_groupby
     rev = sized_groupby(li.map_batches(partial, batch_format="pyarrow"),
                         "l_orderkey", Sum("_r", alias_name="revenue_e4"))
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     from ..ops.topk import partial_topk
     # top-k the (l_orderkey, revenue) aggregate BEFORE touching orders: the k
     # winners (tiny) become a broadcast is_in filter over the orders scan, so

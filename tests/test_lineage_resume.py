@@ -65,3 +65,22 @@ class TestResume:
         flagship_resumable(0.001, out, n_parts=2)
         s = LineageLog(out).summary()
         assert s["parts"] == 2 and s["rows"] == 500 and s["wall_s"] > 0
+
+
+class TestShardingChangeInvalidates:
+    def test_resume_with_different_n_parts_recomputes(self, ray_session,
+                                                      tmp_path):
+        """Changing n_parts re-buckets inputs; stale partition records must
+        NOT be skipped (they'd duplicate/omit input rows)."""
+        from dggsray.io.lineage import read_resumable
+        from dggsray.pipelines.flagship import flagship_resumable
+
+        out = str(tmp_path / "run")
+        flagship_resumable(0.001, out, n_parts=5)
+        n_ref = read_resumable(out).count()
+        # same output dir, FEWER parts: nothing may be skipped, and the
+        # out-of-range part dirs of the old sharding must be pruned or the
+        # output would hold duplicate rows
+        computed, skipped = flagship_resumable(0.001, out, n_parts=3)
+        assert skipped == 0 and computed == 3
+        assert read_resumable(out).count() == n_ref
