@@ -46,9 +46,13 @@ def _load_geojson_features(path: str, property_for_class: str | None,
     if path.lower().endswith(".shp"):
         from .io.shapefile import read_shapefile
         feats, attrs, _crs = read_shapefile(path)
-        feats = [f for f in feats if "rings" in f or "coords" in f]
+        # filter geometry-less features WITH their attrs (pairing is by
+        # position; slicing attrs would shift every later class value)
+        kept = [(f, a) for f, a in zip(feats, attrs)
+                if "rings" in f or "coords" in f]
+        feats = [f for f, _ in kept]
         if property_for_class is not None:
-            classes = [a[property_for_class] for a in attrs[:len(feats)]]
+            classes = [a[property_for_class] for _, a in kept]
         else:
             classes = [int(fixed_value)] * len(feats)
         values = feature_class_values(classes)

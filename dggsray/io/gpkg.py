@@ -462,12 +462,13 @@ def rhealpix_to_geopackage(input_tif: str, output_gpkg: str, n_side: int = 3,
                            geo_id_column_name: str = "cellid",
                            layer_name: str = "data", add_uid: bool = False,
                            values_in_json: bool = False,
-                           store_nodata: bool = False):
-    """Composite: rHPX raster -> GPKG cell layer (reference storage.py:71-83)."""
+                           store_nodata: bool = False, grid=None):
+    """Composite: rHPX raster -> GPKG cell layer (reference storage.py:71-83).
+    `grid` carries the FULL GridConfig (cap squares included)."""
     from ..core.rhpx import GridConfig
     from ..ops.raster2dggs import geotiff_to_tiles, tiles_to_cells
 
-    grid = GridConfig(n_side, 1, 0)
+    grid = grid or GridConfig(n_side, 1, 0)
     tiles, meta = geotiff_to_tiles(input_tif, grid)
     cells = tiles_to_cells(tiles, meta, grid, store_nodata=store_nodata,
                            values_in_json=values_in_json, add_uid=add_uid)
@@ -480,8 +481,9 @@ def rhealpix_to_geopackage(input_tif: str, output_gpkg: str, n_side: int = 3,
 
 def geopackage_to_rhealpix(input_gpkg: str, output_tif: str, nodata=0,
                            n_side: int = 3,
-                           geo_id_column_name: str = "cellid"):
-    """Composite inverse (reference storage.py:86-97)."""
+                           geo_id_column_name: str | None = None, grid=None):
+    """Composite inverse (reference storage.py:86-97).  The cell column name
+    defaults to the one recorded in the GPKG metadata at write time."""
     import json as _json
 
     from ..core.rhpx import GridConfig
@@ -492,8 +494,12 @@ def geopackage_to_rhealpix(input_gpkg: str, output_tif: str, nodata=0,
     drop = [c for c in ds.schema().names if c.startswith("geom_")]
     if drop:
         ds = ds.drop_columns(drop)
-    grid = GridConfig.from_meta(meta["rhealpixdggs"]) \
-        if meta.get("rhealpixdggs") else GridConfig(n_side, 1, 0)
+    if meta.get("rhealpixdggs"):
+        grid = GridConfig.from_meta(meta["rhealpixdggs"])
+    elif grid is None:
+        grid = GridConfig(n_side, 1, 0)
+    if geo_id_column_name is None:
+        geo_id_column_name = meta.get("geo_id_column_name", "cellid")
     if meta.get("nodata") is None:
         meta = dict(meta, nodata=nodata, nodatavals=[nodata] * meta["nbands"])
     arr, _ = cells_to_raster_array(ds, meta=meta, grid=grid,

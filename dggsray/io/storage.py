@@ -103,24 +103,28 @@ def get_parquet_rhpx_metadata(path: str) -> dict:
 
 def rhealpix_to_parquet(input_tif: str, output_path: str, n_side: int = 3,
                         geo_id_column_name: str = "cellid", add_uid: bool = False,
-                        values_in_json: bool = False, store_nodata: bool = False):
+                        values_in_json: bool = False, store_nodata: bool = False,
+                        grid=None):
     """Composite: rHPX raster file -> cell table parquet (+ metadata), the
-    reference's rhealpix_to_geopackage (storage.py:71-83) on our formats."""
+    reference's rhealpix_to_geopackage (storage.py:71-83) on our formats.
+    `grid` carries the FULL GridConfig (north/south cap squares included);
+    the bare n_side remains for callers on the default (n, 1, 0) grid."""
     from ..core.rhpx import GridConfig
     from ..ops.raster2dggs import geotiff_to_tiles, tiles_to_cells
 
-    grid = GridConfig(n_side, 1, 0)
+    grid = grid or GridConfig(n_side, 1, 0)
     tiles, meta = geotiff_to_tiles(input_tif, grid)
     cells = tiles_to_cells(tiles, meta, grid, store_nodata=store_nodata,
                            values_in_json=values_in_json, add_uid=add_uid)
     if geo_id_column_name != "cellid":
         cells = cells.rename_columns({"cellid": geo_id_column_name})
+        meta = dict(meta, geo_id_column_name=geo_id_column_name)
     write_cell_table(cells, output_path, meta)
     return meta
 
 
 def parquet_to_rhealpix(input_path: str, output_tif: str, nodata=0,
-                        n_side: int = 3):
+                        n_side: int = 3, grid=None):
     """Composite inverse: cell-table parquet -> rHPX raster file
     (reference geopackage_to_rhealpix, storage.py:86-97)."""
     import json as _json
@@ -130,8 +134,13 @@ def parquet_to_rhealpix(input_path: str, output_tif: str, nodata=0,
     from ..ops.cells2raster import cells_to_raster_array
 
     ds, meta = read_cell_table(input_path)
-    grid = GridConfig.from_meta(meta["rhealpixdggs"]) \
-        if meta.get("rhealpixdggs") else GridConfig(n_side, 1, 0)
+    if meta.get("rhealpixdggs"):
+        grid = GridConfig.from_meta(meta["rhealpixdggs"])
+    elif grid is None:
+        grid = GridConfig(n_side, 1, 0)
+    gid = meta.get("geo_id_column_name", "cellid")
+    if gid != "cellid":       # renamed on write; the raster path needs cellid
+        ds = ds.rename_columns({gid: "cellid"})
     if meta.get("nodata") is None:
         meta = dict(meta, nodata=nodata, nodatavals=[nodata] * meta["nbands"])
     arr, _ = cells_to_raster_array(ds, meta=meta, grid=grid)

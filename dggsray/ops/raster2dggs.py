@@ -350,9 +350,16 @@ def tiles_to_cells(tiles_ds, meta: dict, grid: GridConfig = DEFAULT_GRID,
             for i in range(nbands):
                 outs[f"band{i+1}"].append(arr[i][rr[ok], cc[ok]])
         if not outs["cellid"]:
+            # the empty block must carry the SAME schema as populated ones
+            # (incl. the optional all_bands/uuid columns) or downstream
+            # schema unification breaks
             schema = {"cellid": pa.array([], pa.string())}
             for i in range(nbands):
                 schema[f"band{i+1}"] = pa.array([], pa.from_numpy_dtype(dtype))
+            if values_in_json:
+                schema["all_bands"] = pa.array([], pa.string())
+            if add_uid:
+                schema["uuid"] = pa.array([], pa.string())
             return pa.table(schema)
         cols = {"cellid": pa.array(np.concatenate(outs["cellid"]), pa.string())}
         band_arrs = [np.concatenate(outs[f"band{i+1}"]) for i in range(nbands)]
