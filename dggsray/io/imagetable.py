@@ -66,23 +66,25 @@ def _gradient_base(w: int, h: int):
 def _idx_mix(n: int):
     """Cached per-position term of the noise hash (one multiply per size)."""
     with np.errstate(over="ignore"):
-        return np.arange(n, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        return np.arange(n, dtype=np.uint32) * np.uint32(0x9E3779B1)
 
 
 def _pixels(i: int, w: int, h: int) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 image: gradients + seeded noise.
 
-    Noise is a splitmix64-style counter hash (pure vectorized uint64 ops) —
-    the per-row verify invariant regenerates every reference image, and a
-    Generator-based draw made that regeneration 40% of the whole flagship
-    kernel (profiled)."""
+    Noise is a uint32 counter hash (Weyl position term, one xorshift to break
+    linearity, one multiply, top-5-bits) — the per-row verify invariant
+    regenerates every reference image inside the flagship hot loop, and this
+    regeneration is memory-bandwidth-bound: v2's splitmix64 streamed ~80 B of
+    uint64 temps per output byte; the uint32 form streams ~24 B (measured
+    ~2.5x faster end to end, which is also why the multi-worker scaling
+    envelope cares — see BENCH/BASELINE.md)."""
     n = h * w * 3
     with np.errstate(over="ignore"):
-        z = np.uint64((SEED + i) * 0x9E3779B97F4A7C15 % (1 << 64)) + _idx_mix(n)
-        z ^= z >> np.uint64(31)
-        z *= np.uint64(0x94D049BB133111EB)
-        z ^= z >> np.uint64(29)
-    noise = (z & np.uint64(31)).astype(np.uint8).reshape(h, w, 3)
+        z = np.uint32((SEED + i) * 0x85EBCA6B % (1 << 32)) + _idx_mix(n)
+        z ^= z >> np.uint32(16)
+        z *= np.uint32(0x7FEB352D)
+    noise = (z >> np.uint32(27)).astype(np.uint8).reshape(h, w, 3)   # 0..31
     out = _gradient_base(w, h) + noise  # uint8 wraparound, deterministic
     out[..., 2] += np.uint8(i % 64)
     return out
@@ -90,27 +92,28 @@ def _pixels(i: int, w: int, h: int) -> np.ndarray:
 
 def _pixels_batch(idx: np.ndarray, w: int, h: int) -> np.ndarray:
     """(n, h, w, 3) reference images for n image indices, vectorized in
-    CACHE-SIZED chunks: one whole-batch broadcast kept every uint64 temp in
-    DRAM (5x slower than the per-image loop, measured); a handful of images
-    per inner call keeps temps in L2 while amortizing the Python dispatch
-    that made the per-image loop 37% of the fused flagship kernel."""
+    CACHE-SIZED chunks: one whole-batch broadcast kept every temp in DRAM
+    (5x slower than the per-image loop, measured); a handful of images per
+    inner call keeps temps in L2 while amortizing the Python dispatch that
+    made the per-image loop 37% of the fused flagship kernel."""
     n = h * w * 3
     idx = np.asarray(idx, dtype=np.uint64)
     m = idx.size
     out = np.empty((m, h, w, 3), dtype=np.uint8)
     grad = _gradient_base(w, h)
     mix = _idx_mix(n)
-    rows = max(1, (1 << 18) // max(n, 1))       # ~2 MB of uint64 temps
+    rows = max(1, (1 << 19) // max(n, 1))       # ~2 MB of uint32 temps
     with np.errstate(over="ignore"):
-        seeds = (np.uint64(SEED) + idx) * np.uint64(0x9E3779B97F4A7C15)
+        seeds = ((np.uint64(SEED) + idx) * np.uint64(0x85EBCA6B)) \
+            .astype(np.uint32)
         badd = (idx % np.uint64(64)).astype(np.uint8)
         for s in range(0, m, rows):
             e = min(s + rows, m)
             z = seeds[s:e, None] + mix[None, :]
-            z ^= z >> np.uint64(31)
-            z *= np.uint64(0x94D049BB133111EB)
-            z ^= z >> np.uint64(29)
-            noise = (z & np.uint64(31)).astype(np.uint8).reshape(-1, h, w, 3)
+            z ^= z >> np.uint32(16)
+            z *= np.uint32(0x7FEB352D)
+            noise = (z >> np.uint32(27)).astype(np.uint8) \
+                .reshape(-1, h, w, 3)
             chunk = grad[None, ...] + noise
             chunk[..., 2] += badd[s:e, None, None]
             out[s:e] = chunk
@@ -141,7 +144,7 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def decode_png(data: bytes, out: np.ndarray | None = None) -> np.ndarray:
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
     pos = 8
     w = h = None
@@ -162,20 +165,30 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * 3 + 1
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     filters = arr[:, 0]
-    out = arr[:, 1:].reshape(h, w, 3).copy()
-    # we only emit filter 0; handle 1 (Sub) and 2 (Up) defensively
-    for r in range(h):
-        f = filters[r]
-        if f == 0:
-            continue
-        if f == 1:
-            row = out[r].reshape(-1)
-            for c in range(3, row.size):
-                row[c] = (int(row[c]) + int(row[c - 3])) & 0xFF
-        elif f == 2 and r > 0:
-            out[r] = (out[r].astype(np.int16) + out[r - 1]).astype(np.uint8)
-        else:
-            raise NotImplementedError(f"PNG filter {f} not supported")
+    if out is None:
+        # ascontiguousarray is the ONE (writable) copy; a plain reshape of the
+        # non-contiguous slice copies too but inherits the read-only flag
+        out = np.ascontiguousarray(arr[:, 1:]).reshape(h, w, 3)
+    else:
+        # caller-provided destination (a slice of a batch pixel buffer): the
+        # single unfiltering copy writes straight into it — no extra pass
+        assert out.shape == (h, w, 3)
+        np.copyto(out.reshape(h, w * 3), arr[:, 1:])
+    if filters.any():
+        # we only emit filter 0; handle 1 (Sub) and 2 (Up) defensively —
+        # the all-zero common case never enters this per-row loop
+        for r in range(h):
+            f = filters[r]
+            if f == 0:
+                continue
+            if f == 1:
+                row = out[r].reshape(-1)
+                for c in range(3, row.size):
+                    row[c] = (int(row[c]) + int(row[c - 3])) & 0xFF
+            elif f == 2 and r > 0:
+                out[r] = (out[r].astype(np.int16) + out[r - 1]).astype(np.uint8)
+            else:
+                raise NotImplementedError(f"PNG filter {f} not supported")
     return out
 
 
@@ -192,19 +205,51 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt}")
 
 
-def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+def decode_image(data, w: int, h: int, fmt: str,
+                 out: np.ndarray | None = None) -> np.ndarray:
+    """data: bytes or any buffer (zero-copy memoryview slices of an Arrow
+    binary column work).  out: optional (h, w, 3) uint8 destination — decoding
+    into a shared batch buffer saves a concatenation pass in the hot path."""
     if fmt == "raw":
-        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        flat = np.frombuffer(data, dtype=np.uint8)
+        if out is None:
+            return flat.reshape(h, w, 3)
+        np.copyto(out.reshape(-1), flat)
+        return out
     if fmt == "png":
-        img = decode_png(data)
+        img = decode_png(data, out=out)
         assert img.shape == (h, w, 3)
         return img
     if fmt == "jpeg":
         from ..core.jpegio import decode_jpeg
-        img = decode_jpeg(data)
+        img = decode_jpeg(bytes(data))
         assert img.shape == (h, w, 3)
+        if out is not None:
+            np.copyto(out, img)
+            return out
         return img
     raise ValueError(f"unknown fmt {fmt}")
+
+
+def binary_column_views(col) -> list:
+    """Zero-copy memoryview slices of a (Large)Binary column's value buffer —
+    replaces to_pylist() in the flagship hot path, where materializing ~8 MB
+    of PyBytes per 625-image batch was pure extra memory traffic."""
+    views = []
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for ch in chunks:
+        if ch.null_count:            # nulls: fall back to the copying path
+            views.extend(ch.to_pylist())
+            continue
+        bufs = ch.buffers()
+        odt = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt,
+                             count=len(ch) + 1, offset=ch.offset * odt().nbytes)
+        # cast to unsigned bytes: pa.Buffer exposes format 'b', whose
+        # per-element comparisons against bytes literals are signed (wrong)
+        data = memoryview(bufs[2]).cast("B")
+        views.extend(data[offs[i]:offs[i + 1]] for i in range(len(ch)))
+    return views
 
 
 LOSSY_FMTS = {"jpeg"}
@@ -249,7 +294,7 @@ def ensure_jpeg_table(n: int = 500, root: str = "/tmp/dggsray_cache") -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(root, f"images_jpeg_v1_n{n}")
+    path = os.path.join(root, f"images_jpeg_v2_n{n}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     os.makedirs(path, exist_ok=True)
@@ -313,9 +358,9 @@ def synth_batch(batch: "pa.Table", fmt_override: str | None = None) -> pa.Table:
 
 
 def image_table_path(sf: float, root: str = "/tmp/dggsray_cache") -> str:
-    # v2: noise generator changed (splitmix counter hash) — new cache key so a
+    # v3: noise generator changed (uint32 counter hash) — new cache key so a
     # stale cached table can never fail the pixel invariant
-    return os.path.join(root, f"images_v2_sf{sf}")
+    return os.path.join(root, f"images_v3_sf{sf}")
 
 
 def ensure_image_table(sf: float, root: str = "/tmp/dggsray_cache",

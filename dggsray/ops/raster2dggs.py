@@ -143,7 +143,8 @@ class ImageToCells:
         ONCE per batch over one big array instead of once per image — per-image
         Python/numpy call overhead dominates otherwise (~60-cell lattices)."""
         ids = batch.column("image_id").to_pylist()
-        blobs = batch.column("bytes").to_pylist()
+        from ..io.imagetable import binary_column_views
+        blobs = binary_column_views(batch.column("bytes"))   # zero-copy views
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
         fmts = batch.column("fmt").to_pylist()
@@ -155,40 +156,45 @@ class ImageToCells:
 
         caps = batch.column("caption").to_pylist() if self.verify and \
             "caption" in batch.column_names else None
-        imgs = [decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+        # decode every image straight into ONE batch pixel buffer: the fused
+        # join gathers from it by flat index, so no per-image arrays are ever
+        # concatenated (the concat was a full extra write+read pass of all
+        # pixel data — this kernel is memory-bandwidth-bound at high worker
+        # counts, see BENCH/BASELINE.md)
+        pix_off = np.zeros(n + 1, np.int64)
+        np.cumsum(ws.astype(np.int64) * hs, out=pix_off[1:])
+        pixbuf = np.empty((int(pix_off[-1]), 3), np.uint8)
+        imgs = [decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k],
+                             out=pixbuf[pix_off[k]:pix_off[k + 1]]
+                             .reshape(int(hs[k]), int(ws[k]), 3))
                 for k in range(n)]
         if self.verify:
             # per-row invariant (BASELINE.json input_hint): decoded pixels
             # must equal the deterministically regenerated reference image
-            # (lossless codecs -> exact; PSNR>=40dB would bound lossy ones)
-            # and the caption must match its regenerated form.  Batched per
-            # (w, h) group: regenerating per image cost 37% of the kernel.
+            # (lossless codecs -> exact; PSNR>=40dB bounds lossy ones)
+            # and the caption must match its regenerated form.  Regeneration
+            # is batched per (w, h) group (per-image regen cost 37% of the
+            # kernel); the compare is per image AGAINST the regen rows — a
+            # np.stack of the decoded group would be another full copy.
             from ..io.imagetable import (LOSSY_FMTS, PSNR_MIN_DB,
-                                         _pixels_batch)
+                                         _pixels_batch, psnr_db)
             nums = np.array([int(s[3:]) for s in ids], dtype=np.int64)
             lossy = np.array([f in LOSSY_FMTS for f in fmts])
             for (w0, h0) in {(int(ws[k]), int(hs[k])) for k in range(n)}:
                 sel = np.nonzero((ws == w0) & (hs == h0))[0]
                 ref = _pixels_batch(nums[sel], w0, h0)
-                got = np.stack([imgs[int(k)] for k in sel])
-                ex = ~lossy[sel]
-                if ex.any() and not np.array_equal(got[ex], ref[ex]):
-                    bad = np.nonzero((got[ex] != ref[ex])
-                                     .reshape(ex.sum(), -1).any(axis=1))[0][0]
-                    raise AssertionError(
-                        f"pixel invariant failed: {ids[int(sel[ex][bad])]}")
-                if lossy[sel].any():
-                    # lossy codecs: PSNR >= 40 dB per row (input_hint)
-                    ly = lossy[sel]
-                    diff = got[ly].astype(np.float64) - ref[ly].astype(np.float64)
-                    mse = (diff ** 2).reshape(ly.sum(), -1).mean(axis=1)
-                    psnr = 10 * np.log10(255.0 ** 2 / np.maximum(mse, 1e-12))
-                    if (psnr < PSNR_MIN_DB).any():
-                        bad = np.nonzero(psnr < PSNR_MIN_DB)[0][0]
-                        raise AssertionError(
-                            f"PSNR invariant failed "
-                            f"({psnr[bad]:.1f} dB < {PSNR_MIN_DB}): "
-                            f"{ids[int(sel[ly][bad])]}")
+                for j, k in enumerate(sel):
+                    if not lossy[k]:
+                        if not np.array_equal(imgs[int(k)], ref[j]):
+                            raise AssertionError(
+                                f"pixel invariant failed: {ids[int(k)]}")
+                    else:
+                        # lossy codecs: PSNR >= 40 dB per row (input_hint)
+                        p = psnr_db(imgs[int(k)], ref[j])
+                        if p < PSNR_MIN_DB:
+                            raise AssertionError(
+                                f"PSNR invariant failed "
+                                f"({p:.1f} dB < {PSNR_MIN_DB}): {ids[int(k)]}")
             if caps is not None:
                 lon_c = (lon_mins + lon_maxs) / 2
                 lat_c = (lat_mins + lat_maxs) / 2
@@ -257,13 +263,10 @@ class ImageToCells:
                 slot[inside]
             cells, ok = self._cells_of(xs, ys)
             sc, sr, slot, cells = sc[ok], sr[ok], slot[ok], cells[ok]
-            # global gather: concatenated pixel store + per-image offsets
-            pix = np.concatenate([imgs[int(k)].reshape(-1, 3) for k in fidx]) \
-                if fidx.size else np.zeros((0, 3), np.uint8)
-            pix_off = np.concatenate([[0], np.cumsum(
-                [int(ws[int(k)]) * int(hs[int(k)]) for k in fidx])])
-            flat = pix_off[slot] + sr * ws[fidx][slot] + sc
-            vals = pix[flat]
+            # global gather straight from the shared decode buffer
+            g = fidx[slot]
+            flat = pix_off[g] + sr * ws[g] + sc
+            vals = pixbuf[flat]
             # order rows by image slot so each image's rows are contiguous
             order = np.argsort(slot, kind="stable")
             out_idx.append(fidx[slot[order]])

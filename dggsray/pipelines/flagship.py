@@ -177,6 +177,55 @@ class ImageCellJoinAgg(ImageToCells):
         })
 
 
+class TimedImageCellJoinAgg(ImageCellJoinAgg):
+    """ImageCellJoinAgg that appends one '(start, end, rows)' line per call to
+    $GRAFT_CALLLOG/<pid>.log — used by bench --scaling to compute SUSTAINED
+    steady-state throughput (the middle of the run, pool fully active).  The
+    wall-clock window of a short single-box run is ramp(pool spawn + imports)
+    + steady + tail; on a long-running cluster job ramp and tail amortize to
+    zero, so the sustained rate is the honest N-vs-4N quantity."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        import os
+        d = os.environ.get("GRAFT_CALLLOG", "/tmp/dggsray_calllog")
+        os.makedirs(d, exist_ok=True)
+        self._logf = open(f"{d}/{os.getpid()}.log", "a", buffering=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+        t0 = time.time()
+        out = super().__call__(batch)
+        self._logf.write(f"{t0:.4f} {time.time():.4f} {batch.num_rows}\n")
+        return out
+
+
+def sustained_throughput(log_dir: str, lo_q: float = 0.1,
+                         hi_q: float = 0.9) -> float | None:
+    """Rows/sec over the inner-quantile window of logged call times: rows of
+    calls fully inside [q10 of starts, q90 of ends] divided by that span."""
+    import glob
+
+    ev = []
+    for f in glob.glob(f"{log_dir}/*.log"):
+        for line in open(f):
+            p = line.split()
+            ev.append((float(p[0]), float(p[1]), int(p[2])))
+    if len(ev) < 10:
+        return None
+    starts = np.array([e[0] for e in ev])
+    ends = np.array([e[1] for e in ev])
+    rows = np.array([e[2] for e in ev])
+    t_lo = np.quantile(starts, lo_q)
+    t_hi = np.quantile(ends, hi_q)
+    if t_hi <= t_lo:
+        return None
+    inside = (starts >= t_lo) & (ends <= t_hi)
+    if not inside.any():
+        return None
+    return float(rows[inside].sum() / (t_hi - t_lo))
+
+
 def flagship_resumable(sf: float, out_dir: str, res: int = FLAGSHIP_RES,
                        grid: GridConfig = DEFAULT_GRID, n_parts: int | None = None,
                        fail_after: int | None = None):
@@ -315,8 +364,11 @@ def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
         for _ in range(epochs - 1):
             ds = ds.union(rd.read_parquet(path, override_num_blocks=blocks))
     poly_idx = [ray.put(vector_cells_sorted(res, grid))]
+    import os
+    cls = TimedImageCellJoinAgg if os.environ.get("GRAFT_CALLLOG") \
+        else ImageCellJoinAgg
     return ds.map_batches(
-        ImageCellJoinAgg,
+        cls,
         fn_constructor_kwargs={"poly_ref": poly_idx, "dst_resolution_idx": res,
                                "grid": grid, "verify": verify},
         batch_format="pyarrow", batch_size=FLAGSHIP_BATCH,
