@@ -122,9 +122,23 @@ def regrid_majority(ds, value_col: str, res: int | None = None,
                          out_col: out.column(value_col),
                          "n": out.column("_cnt")})
 
-    # non-integer values: per-cell-group argmax (one Python call per cell —
-    # acceptable only off the hot path; integer values take the native route)
-    return counts.groupby(cell_col).map_groups(pick, batch_format="pyarrow")
+    # Non-integer values: same vectorized sort+boundary kernel, but applied per
+    # coarse hash partition (one Python call per partition, not per cell).  The
+    # groupby(_part) shuffle co-locates every row of a cell, and `pick` already
+    # handles many cells per table.
+    def add_part(b: pa.Table) -> pa.Table:
+        # crc32 is deterministic across worker processes (hash() is not under
+        # PYTHONHASHSEED randomization, and a split cell would emit twice).
+        from zlib import crc32
+        cells = b.column(cell_col).to_numpy(zero_copy_only=False)
+        h = np.fromiter((crc32(c.encode()) for c in cells), dtype=np.int64,
+                        count=len(cells))
+        return b.append_column("_part", pa.array(h % 256))
+
+    return (counts.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda t: pick(t.drop_columns(["_part"])),
+                        batch_format="pyarrow"))
 
 
 _MAJ_K = 1 << 21     # value universe for the packed argmax score

@@ -38,14 +38,48 @@ def detect_language(text: str) -> tuple[str, float]:
 
 
 def with_language(ds, text_col: str = "text"):
+    """Vectorized detect_language over a batch: one Arrow lowercase+split, then
+    per-language `is_in` membership over the flattened token array with
+    segment-sums via reduceat — no per-row Python.  Semantics identical to
+    detect_language (whitespace split, hit-rate argmax, first-language ties,
+    'und' at score 0)."""
+    langs = list(_STOPWORDS)
+    value_sets = [pa.array(sorted(_STOPWORDS[l])) for l in langs]
+
     def kernel(b: pa.Table) -> pa.Table:
-        langs, confs = [], []
-        for t in b.column(text_col).to_pylist():
-            l, c = detect_language(t)
-            langs.append(l)
-            confs.append(c)
-        return b.append_column("detected_lang", pa.array(langs, pa.string())) \
-                .append_column("lang_confidence", pa.array(confs, pa.float64()))
+        toks = pc.split_pattern_regex(pc.utf8_lower(b.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy()
+        off = off - off[0]          # sliced ListArrays carry a base offset
+        starts, ends = off[:-1], off[1:]
+        nz = ends > starts
+
+        def segsum(vals: np.ndarray) -> np.ndarray:
+            out = np.zeros(len(starts), dtype=np.int64)
+            if nz.any():
+                out[nz] = np.add.reduceat(vals, starts[nz])
+            return out
+
+        # token count per doc, excluding the "" artifacts of regex split
+        # (python's .split() drops empties; split_pattern_regex keeps them)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+                     .astype(np.int64)
+        n_tok = segsum(nonempty).astype(np.float64)
+        scores = np.zeros((len(langs), len(starts)), dtype=np.float64)
+        for i, vs in enumerate(value_sets):
+            hit = pc.is_in(flat, value_set=vs) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+            scores[i] = np.divide(segsum(hit), n_tok,
+                                  out=np.zeros_like(n_tok), where=n_tok > 0)
+        best_i = scores.argmax(axis=0)       # first max wins = dict-order ties
+        best = scores[best_i, np.arange(len(starts))]
+        und = best <= 0.0
+        lang_arr = np.array(langs, dtype=object)[best_i]
+        lang_arr[und] = "und"
+        return b.append_column("detected_lang", pa.array(lang_arr, pa.string())) \
+                .append_column("lang_confidence",
+                               pa.array(np.where(und, 0.0, best), pa.float64()))
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
