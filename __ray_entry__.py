@@ -121,6 +121,39 @@ def _knn_sql(k: int = 15, res: int = 6) -> str:
         f"FROM cand ORDER BY dist, cellid, c_custkey LIMIT {k}")
 
 
+def _lang_id_sql() -> str:
+    """Mirror of relational.docs_lang_id: stopword hit-rate argmax with dict-order
+    tie-break, 'und' at zero hits, integer-exact conf = hits*1e6 // n_tokens.
+    Generated from the same _STOPWORDS table the engine uses, so the two can
+    never drift."""
+    from dggsray.ops.text import _STOPWORDS
+
+    langs = list(_STOPWORDS)            # dict order = engine tie-break order
+    hits_cols = []
+    for lang in langs:
+        lit = "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+        hits_cols.append(
+            f"len(list_filter(tk, t -> list_contains({lit}, t))) AS h_{lang}")
+    h = [f"h_{lang}" for lang in langs]
+    best = f"greatest({', '.join(h)})"
+    # first language whose hits >= all later ones is the argmax (dict order ties)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{h[i]} >= {hj}" for hj in h[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_lang = (f"CASE WHEN {best} = 0 THEN 'und' "
+                 + " ".join(cases) + f" ELSE '{langs[-1]}' END")
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> '') AS tk FROM documents), "
+        f"sc AS (SELECT doc_id, len(tk) AS n, {', '.join(hits_cols)} FROM toks) "
+        f"SELECT doc_id, {case_lang} AS detected_lang, "
+        f"CAST(CASE WHEN {best} = 0 THEN 0 ELSE "
+        f"({best} * 1000000) // greatest(n, 1) END AS BIGINT) AS conf_micro "
+        "FROM sc")
+
+
 def oracle_sql() -> dict[str, str]:
     lon_c, lat_c = lonlat_sql("c_custkey")
     lon_o, lat_o = lonlat_sql("o_orderkey")
@@ -181,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
         "knn_cells_customer": _knn_sql(),
+        "docs_lang_id": _lang_id_sql(),
         "docs_charset_jaccard":
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(round(jaccard(a.text, b.text) * 1000000) AS BIGINT) AS "
@@ -261,6 +295,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey "
             "ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 50",
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
-        # docs_minhash_dedup, docs_simhash_clusters, docs_lang_id, embed_lsh_top20,
+        # docs_minhash_dedup, docs_simhash_clusters, embed_lsh_top20,
         # auid_customer_region, images_features, flagship_cell_join
     }

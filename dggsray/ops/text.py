@@ -65,21 +65,26 @@ def with_language(ds, text_col: str = "text"):
         # (python's .split() drops empties; split_pattern_regex keeps them)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
                      .astype(np.int64)
-        n_tok = segsum(nonempty).astype(np.float64)
-        scores = np.zeros((len(langs), len(starts)), dtype=np.float64)
+        n_tok = segsum(nonempty)
+        hits = np.zeros((len(langs), len(starts)), dtype=np.int64)
         for i, vs in enumerate(value_sets):
             hit = pc.is_in(flat, value_set=vs) \
                     .to_numpy(zero_copy_only=False).astype(np.int64)
-            scores[i] = np.divide(segsum(hit), n_tok,
-                                  out=np.zeros_like(n_tok), where=n_tok > 0)
-        best_i = scores.argmax(axis=0)       # first max wins = dict-order ties
-        best = scores[best_i, np.arange(len(starts))]
-        und = best <= 0.0
+            hits[i] = segsum(hit)
+        # argmax on hits == argmax on hits/n (same denominator per row);
+        # first max wins = dict-order tie-break, matching detect_language
+        best_i = hits.argmax(axis=0)
+        best_hits = hits[best_i, np.arange(len(starts))]
+        und = best_hits <= 0
         lang_arr = np.array(langs, dtype=object)[best_i]
         lang_arr[und] = "und"
+        n_safe = np.maximum(n_tok, 1).astype(np.float64)
+        conf = np.where(und, 0.0, best_hits / n_safe)
         return b.append_column("detected_lang", pa.array(lang_arr, pa.string())) \
-                .append_column("lang_confidence",
-                               pa.array(np.where(und, 0.0, best), pa.float64()))
+                .append_column("lang_confidence", pa.array(conf, pa.float64())) \
+                .append_column("lang_hits", pa.array(np.where(und, 0, best_hits),
+                                                     type=pa.int64())) \
+                .append_column("n_tokens_lang", pa.array(n_tok, pa.int64()))
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 

@@ -360,10 +360,14 @@ def docs_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def finalize(b: pa.Table) -> pa.Table:
-        conf = np.rint(b.column("lang_confidence").to_numpy() * 1e6).astype(np.int64)
+        # integer-exact confidence: hits*1e6 // n_tokens, so the DuckDB oracle
+        # ((hits*1000000)//n) matches bit-for-bit with no float rounding
+        hits = b.column("lang_hits").to_numpy()
+        n = np.maximum(b.column("n_tokens_lang").to_numpy(), 1)
+        conf = hits * 1_000_000 // n
         return pa.table({"doc_id": b.column("doc_id"),
                          "detected_lang": b.column("detected_lang"),
-                         "conf_micro": pa.array(conf)})
+                         "conf_micro": pa.array(conf, pa.int64())})
 
     return with_language(ds).map_batches(finalize, batch_format="pyarrow")
 
