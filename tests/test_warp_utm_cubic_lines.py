@@ -544,3 +544,29 @@ class TestAutoCrsTagRoundtrip:
         a, b = read_geotiff(out_a), read_geotiff(out_b)
         assert a.left == b.left and a.top == b.top
         assert (a.data == b.data).all()
+
+
+class TestDistributedWarp:
+    def test_distributed_equals_single_process(self, ray_session, tmp_path, monkeypatch):
+        """The Ray row-chunk warp path must produce the exact bytes of the
+        single-process path (same kernel, different scheduling)."""
+        import dggsray.ops.warp as W
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+
+        rng = np.random.default_rng(7)
+        data = rng.integers(1, 255, size=(2, 90, 120), dtype=np.int64).astype(np.float64)
+        src = str(tmp_path / "src.tif")
+        write_geotiff(src, GeoTiff(data, left=-3.0, top=48.0,
+                                   res_x=0.01, res_y=0.01, nodata=0.0))
+
+        single = str(tmp_path / "single.tif")
+        W.raster_to_rhealpix(src, single, resampling="bilinear", row_chunk=37)
+
+        monkeypatch.setattr(W, "_DIST_WARP_MIN_CELLS", 1)
+        dist = str(tmp_path / "dist.tif")
+        W.raster_to_rhealpix(src, dist, resampling="bilinear", row_chunk=37)
+
+        a, b = read_geotiff(single), read_geotiff(dist)
+        assert a.data.shape == b.data.shape
+        assert np.array_equal(a.data, b.data)
+        assert (a.left, a.top, a.res_x, a.res_y) == (b.left, b.top, b.res_x, b.res_y)
