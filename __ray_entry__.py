@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_dedup": R.docs_minhash_dedup,
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_lang_id": R.docs_lang_id,
+        "docs_stratified_sample": R.docs_stratified_sample,
+        "docs_pack_batches": R.docs_pack_batches,
         "embed_lsh_top20": R.embed_lsh_top20,
         "embed_ivf_top10": R.embed_ivf_top10,
         "images_jpeg_psnr": R.images_jpeg_psnr,
@@ -154,6 +156,16 @@ def _lang_id_sql() -> str:
         "FROM sc")
 
 
+def _sample_sql() -> str:
+    """Mirror of relational.docs_stratified_sample: same Knuth-hash keep rule,
+    CASE arms generated from the same rate dict."""
+    arms = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(R.SAMPLE_RATES_PER_MILLE.items()))
+    return ("SELECT doc_id, lang FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < "
+            f"CASE lang {arms} ELSE 0 END")
+
+
 def oracle_sql() -> dict[str, str]:
     lon_c, lat_c = lonlat_sql("c_custkey")
     lon_o, lat_o = lonlat_sql("o_orderkey")
@@ -215,6 +227,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": _ann_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),
+        "docs_stratified_sample": _sample_sql(),
+        "docs_pack_batches":
+            f"WITH t AS (SELECT doc_id, "
+            f"CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n "
+            f"FROM documents), "
+            f"c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS excl "
+            f"FROM t) "
+            f"SELECT CAST(excl // {R.PACK_TOKEN_BUDGET} AS BIGINT) AS batch_id, "
+            f"CAST(SUM(n) AS BIGINT) AS sum_tokens, COUNT(*) AS n_docs "
+            f"FROM c GROUP BY 1",
         "docs_charset_jaccard":
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(round(jaccard(a.text, b.text) * 1000000) AS BIGINT) AS "

@@ -355,6 +355,43 @@ def docs_simhash_clusters(sf_dir: str):
                          Min("doc_id", alias_name="min_doc_id"))
 
 
+# stratified keep-rates per mille for docs_stratified_sample; the oracle CASE
+# expression is generated from this same dict (never drifts)
+SAMPLE_RATES_PER_MILLE = {"en": 200, "es": 150, "de": 100, "fr": 100, "zh": 50}
+PACK_TOKEN_BUDGET = 2048
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsample of documents by language — the
+    integer-hash keep decision reproduces exactly in SQL (and across retries:
+    no RNG state)."""
+    from ..ops.sampling import hash_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(ds, SAMPLE_RATES_PER_MILLE, "doc_id", "lang")
+
+
+def docs_pack_batches(sf_dir: str, budget: int = PACK_TOKEN_BUDGET):
+    """Fixed-token-budget training-batch packing via distributed prefix sum
+    (ops.sampling.pack_token_batches), summarized per batch."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby
+    from ..ops.sampling import pack_token_batches
+
+    packed = pack_token_batches(_read(sf_dir, "documents", ["doc_id", "text"]),
+                                budget)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["batch_id", "n_tokens"]).group_by("batch_id") \
+             .aggregate([("n_tokens", "sum"), ([], "count_all")])
+        return g.rename_columns(["batch_id", "_ps", "_pc"])
+
+    return lowcard_groupby(packed.map_batches(partial, batch_format="pyarrow"),
+                           "batch_id",
+                           Sum("_ps", alias_name="sum_tokens"),
+                           Sum("_pc", alias_name="n_docs"))
+
+
 def docs_lang_id(sf_dir: str):
     from ..ops.text import with_language
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

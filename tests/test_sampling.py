@@ -1,0 +1,88 @@
+"""Deterministic sampling + token-budget packing (ops/sampling.py)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dggsray.ops.sampling import hash_sample, pack_token_batches, _KNUTH, _MOD
+
+
+def _docs(ids, langs=None, texts=None):
+    t = {"doc_id": pa.array(ids, pa.int64())}
+    if langs is not None:
+        t["lang"] = pa.array(langs, pa.string())
+    if texts is not None:
+        t["text"] = pa.array(texts, pa.string())
+    return rd.from_arrow(pa.table(t))
+
+
+class TestHashSample:
+    def test_matches_reference_rule_and_is_deterministic(self, ray_session):
+        rng = np.random.default_rng(3)
+        ids = rng.choice(100_000, size=2000, replace=False)
+        langs = rng.choice(["en", "es", "xx"], size=2000)
+        rates = {"en": 300, "es": 100}
+        ds = _docs(ids, langs)
+        out1 = hash_sample(ds, rates, "doc_id", "lang").to_pandas()
+        out2 = hash_sample(ds, rates, "doc_id", "lang").to_pandas()
+        assert out1.sort_values("doc_id").equals(out2.sort_values("doc_id"))
+        keep = (ids.astype(np.int64) * _KNUTH) % _MOD % 1000
+        expect = set()
+        for i, l, k in zip(ids, langs, keep):
+            if k < rates.get(l, 0):     # unknown stratum -> default 0 = drop
+                expect.add(int(i))
+        assert set(out1.doc_id) == expect
+
+    def test_rate_bounds(self, ray_session):
+        ids = np.arange(500)
+        ds = _docs(ids, ["en"] * 500)
+        assert hash_sample(ds, {"en": 1000}, "doc_id", "lang").count() == 500
+        assert hash_sample(ds, {"en": 0}, "doc_id", "lang").count() == 0
+
+
+class TestPackTokenBatches:
+    def _brute(self, ids, ntoks, budget):
+        order = np.argsort(ids)
+        excl = np.concatenate([[0], np.cumsum(ntoks[order][:-1])])
+        bid = excl // budget
+        out = {}
+        for i, b in zip(np.asarray(ids)[order], bid):
+            out[int(i)] = int(b)
+        return out
+
+    def test_matches_brute_force_with_sparse_ids(self, ray_session):
+        rng = np.random.default_rng(11)
+        ids = np.sort(rng.choice(1_000_000, size=3000, replace=False))
+        rng.shuffle(ids)                       # arrival order is not id order
+        texts = [" ".join(["w"] * int(n)) for n in rng.integers(1, 60, 3000)]
+        ntoks = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+        ds = _docs(ids, texts=texts)
+        got = pack_token_batches(ds, budget=512, n_ranges=16).to_pandas()
+        brute = self._brute(ids, ntoks, 512)
+        assert len(got) == 3000
+        assert all(brute[int(i)] == int(b)
+                   for i, b in zip(got.doc_id, got.batch_id))
+        # token counts carried through
+        lookup = dict(zip(ids.tolist(), ntoks.tolist()))
+        assert all(lookup[int(i)] == int(n)
+                   for i, n in zip(got.doc_id, got.n_tokens))
+
+    def test_precomputed_token_column(self, ray_session):
+        ids = np.arange(100, dtype=np.int64)
+        n = np.full(100, 10, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                     "n_tok": pa.array(n)}))
+        got = pack_token_batches(ds, budget=100, token_col="n_tok",
+                                 n_ranges=4).to_pandas().sort_values("doc_id")
+        # 10 docs x 10 tokens fill each 100-token batch exactly
+        assert got.batch_id.tolist() == [i // 10 for i in range(100)]
+
+    def test_single_range(self, ray_session):
+        ids = np.array([5, 3, 9], dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                     "n_tok": pa.array([7, 4, 2], pa.int64())}))
+        got = pack_token_batches(ds, budget=10, token_col="n_tok",
+                                 n_ranges=1).to_pandas().sort_values("doc_id")
+        # order by id: 3(4),5(7),9(2) -> excl 0,4,11 -> batches 0,0,1
+        assert got.batch_id.tolist() == [0, 0, 1]
