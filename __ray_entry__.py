@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_lang_id": R.docs_lang_id,
         "docs_stratified_sample": R.docs_stratified_sample,
+        "docs_repetition": R.docs_repetition,
         "docs_pack_batches": R.docs_pack_batches,
         "embed_lsh_top20": R.embed_lsh_top20,
         "embed_ivf_top10": R.embed_ivf_top10,
@@ -228,6 +229,16 @@ def oracle_sql() -> dict[str, str]:
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),
         "docs_stratified_sample": _sample_sql(),
+        "docs_repetition":
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
+            "AS l FROM documents) "
+            "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(greatest(len(l) - 1, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(len(list_distinct(list_transform(range(1, len(l)), "
+            "i -> l[i] || chr(31) || l[i+1]))) AS BIGINT) "
+            "AS n_distinct_bigrams FROM t",
         "docs_pack_batches":
             f"WITH t AS (SELECT doc_id, "
             f"CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n "

@@ -281,7 +281,7 @@ if __name__ == "__main__":
     if "--scaling-kernel" in sys.argv:
         run_scaling_kernel()
     elif "--scaling" in sys.argv:
-        run_scaling()
+        run_scaling(epochs=int(os.environ.get("GRAFT_SCALING_EPOCHS", "8")))
     elif "--one-flagship" in sys.argv:
         run_one_flagship()
     else:

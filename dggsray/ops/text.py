@@ -140,6 +140,65 @@ def quality_score_batch(b: pa.Table) -> pa.Table:
     return b.append_column("quality_score", pa.array(score))
 
 
+def repetition_metrics_batch(b: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token/bigram repetition signals (Gopher/C4-style quality rules), all
+    integers and fully vectorized: one Arrow split, one dictionary encode,
+    per-doc distinct counts via a single lexsort + boundary compare.
+
+    Outputs per doc: n_tokens (whitespace tokens, empties dropped),
+    n_distinct_tokens, n_bigrams (= max(n_tokens-1, 0)),
+    n_distinct_bigrams.  A doc with heavy repetition has
+    n_distinct_* << n_* — the downstream filter thresholds the ratios."""
+    toks = pc.split_pattern_regex(b.column(text_col), r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy()
+    off = (off - off[0]).astype(np.int64)
+    lens = off[1:] - off[:-1]
+    nseg = len(lens)
+    seg_all = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    seg = seg_all[keep]
+    code = codes[keep]
+    n_tok = np.bincount(seg, minlength=nseg).astype(np.int64)
+
+    def distinct_per_seg(s: np.ndarray, k: np.ndarray) -> np.ndarray:
+        if s.size == 0:
+            return np.zeros(nseg, dtype=np.int64)
+        order = np.lexsort((k, s))
+        ss, kk = s[order], k[order]
+        first = np.ones(ss.size, dtype=bool)
+        first[1:] = (ss[1:] != ss[:-1]) | (kk[1:] != kk[:-1])
+        return np.bincount(ss[first], minlength=nseg).astype(np.int64)
+
+    n_dtok = distinct_per_seg(seg, code)
+
+    # bigrams: consecutive filtered tokens within the same doc; the pair key
+    # packs two dictionary codes into one int64 (dict size bounds the base)
+    if seg.size >= 2:
+        adj = seg[1:] == seg[:-1]
+        base = np.int64(code.max() + 1) if code.size else np.int64(1)
+        pair_seg = seg[:-1][adj]
+        pair_key = code[:-1][adj] * base + code[1:][adj]
+        n_dbig = distinct_per_seg(pair_seg, pair_key)
+    else:
+        n_dbig = np.zeros(nseg, dtype=np.int64)
+    n_big = np.maximum(n_tok - 1, 0)
+
+    return b.append_column("n_tokens", pa.array(n_tok)) \
+            .append_column("n_distinct_tokens", pa.array(n_dtok)) \
+            .append_column("n_bigrams", pa.array(n_big)) \
+            .append_column("n_distinct_bigrams", pa.array(n_dbig))
+
+
+def with_repetition(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: repetition_metrics_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
 def winnowing_fingerprint(text: bytes, k: int = 5, window: int = 4) -> np.ndarray:
     """Winnowing (Schleimer et al. 2003): k-gram rolling hashes, per-window
     minimum, deduplicated — a compact document fingerprint set."""

@@ -392,6 +392,15 @@ def docs_pack_batches(sf_dir: str, budget: int = PACK_TOKEN_BUDGET):
                            Sum("_pc", alias_name="n_docs"))
 
 
+def docs_repetition(sf_dir: str):
+    """Token/bigram repetition quality signals per doc (Gopher/C4-style),
+    vectorized dictionary-encode + lexsort distinct counts."""
+    from ..ops.text import with_repetition
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_repetition(ds).map_batches(
+        lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+
+
 def docs_lang_id(sf_dir: str):
     from ..ops.text import with_language
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -86,3 +86,21 @@ class TestPackTokenBatches:
                                  n_ranges=1).to_pandas().sort_values("doc_id")
         # order by id: 3(4),5(7),9(2) -> excl 0,4,11 -> batches 0,0,1
         assert got.batch_id.tolist() == [0, 0, 1]
+
+
+class TestRepetitionMetrics:
+    def test_known_counts_and_edges(self, ray_session):
+        from dggsray.ops.text import with_repetition
+        texts = ["a b a b c",          # 5 tok, 3 distinct; bigrams ab,ba,ab,bc -> 3 distinct
+                 "x x x x",            # 4/1; bigrams xx,xx,xx -> 1
+                 "",                   # 0/0, 0/0
+                 "   ",                # whitespace only -> 0 tokens
+                 "solo",               # 1/1, 0 bigrams
+                 "é ü é"]              # unicode: 3/2; bigrams éü,üé -> 2
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                                     "text": pa.array(texts)}))
+        out = with_repetition(ds).to_pandas().sort_values("doc_id")
+        assert out.n_tokens.tolist() == [5, 4, 0, 0, 1, 3]
+        assert out.n_distinct_tokens.tolist() == [3, 1, 0, 0, 1, 2]
+        assert out.n_bigrams.tolist() == [4, 3, 0, 0, 0, 2]
+        assert out.n_distinct_bigrams.tolist() == [3, 1, 0, 0, 0, 2]
