@@ -144,30 +144,48 @@ class AudioFeatures:
 
 
 class VideoFrameSample:
-    """Actor stage for video binary columns: fmt 'rawv' (deterministic fake =
-    concatenated raw RGB frames) supports frame sampling for real; real
-    containers raise NotImplementedError.  Emits one row per sampled frame."""
+    """Actor stage for video binary columns.  Real format: 'mjpeg' — AVI/MJPEG
+    containers parsed by core.aviio (pure-struct RIFF walk) with every sampled
+    frame decoded by the from-scratch baseline-JPEG codec (core.jpegio);
+    'rawv' (concatenated raw RGB frames) remains as the lossless fixture
+    format.  Codecs needing external libraries (h264/vp9/...) raise
+    NotImplementedError.  Emits one (video_id, frame_idx, bytes=raw RGB) row
+    per sampled frame."""
 
     def __init__(self, every_n: int = 10):
         self.every_n = every_n
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        from ..core.aviio import read_avi_mjpeg
+        from ..core.jpegio import decode_jpeg
+
         out_id, out_frame, out_bytes = [], [], []
         for k in range(b.num_rows):
             fmt = b.column("fmt")[k].as_py()
-            if fmt != "rawv":
-                raise NotImplementedError(
-                    f"video codec {fmt!r}: no video libraries in this "
-                    f"environment; only the 'rawv' fake is decodable")
-            w = b.column("w")[k].as_py()
-            h = b.column("h")[k].as_py()
+            vid = b.column("video_id")[k].as_py()
             blob = b.column("bytes")[k].as_py()
-            frame_bytes = w * h * 3
-            n_frames = len(blob) // frame_bytes
-            for f in range(0, n_frames, self.every_n):
-                out_id.append(b.column("video_id")[k].as_py())
-                out_frame.append(f)
-                out_bytes.append(blob[f * frame_bytes:(f + 1) * frame_bytes])
+            if fmt == "mjpeg":
+                frames, _info = read_avi_mjpeg(blob)
+                for f in range(0, len(frames), self.every_n):
+                    img = decode_jpeg(frames[f])
+                    if img.ndim == 2:
+                        img = np.repeat(img[:, :, None], 3, axis=2)
+                    out_id.append(vid)
+                    out_frame.append(f)
+                    out_bytes.append(img.tobytes())
+            elif fmt == "rawv":
+                w = b.column("w")[k].as_py()
+                h = b.column("h")[k].as_py()
+                frame_bytes = w * h * 3
+                n_frames = len(blob) // frame_bytes
+                for f in range(0, n_frames, self.every_n):
+                    out_id.append(vid)
+                    out_frame.append(f)
+                    out_bytes.append(blob[f * frame_bytes:(f + 1) * frame_bytes])
+            else:
+                raise NotImplementedError(
+                    f"video codec {fmt!r}: external codecs unavailable in "
+                    f"this environment; decodable here: 'mjpeg' (AVI), 'rawv'")
         return pa.table({"video_id": pa.array(out_id, pa.string()),
                          "frame_idx": pa.array(out_frame, pa.int32()),
                          "bytes": pa.array(out_bytes, pa.binary())})

@@ -6,6 +6,7 @@ import os
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 PNOA = "/root/reference/tests/test_data/pnoa_2015_25830_0354_4_4.jpg"
@@ -136,3 +137,59 @@ def test_image_with_world_file_to_geotiff(tmp_path):
     assert (g.data == 128).all()
     assert g.left == pytest.approx(99.0) and g.top == pytest.approx(51.0)
     assert g.nodata == 0
+
+
+class TestAviMjpeg:
+    def _frames(self, n=6, h=40, w=56):
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        # smooth gradient frames (JPEG-friendly) with a moving bright bar
+        xx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+        frames = np.empty((n, h, w, 3), dtype=np.uint8)
+        for i in range(n):
+            f = 0.5 * base + 0.5 * xx
+            f[:, (i * 7) % w:(i * 7) % w + 4, :] = 250
+            frames[i] = np.clip(f, 0, 255).astype(np.uint8)
+        return frames
+
+    def test_container_roundtrip_exact_jpeg_bytes(self):
+        from dggsray.core.aviio import read_avi_mjpeg, write_avi_mjpeg
+        from dggsray.core.jpegio import encode_jpeg
+        frames = self._frames()
+        jpegs = [encode_jpeg(frames[i], quality=95) for i in range(len(frames))]
+        avi = write_avi_mjpeg(jpegs, frames.shape[2], frames.shape[1], fps=10)
+        back, info = read_avi_mjpeg(avi)
+        assert back == jpegs                   # container is lossless
+        assert info["width"] == frames.shape[2]
+        assert info["height"] == frames.shape[1]
+        assert info["n_frames"] == len(jpegs)
+        assert info["fps"] == 10
+
+    def test_video_stage_decodes_real_mjpeg(self, ray_session):
+        from dggsray.core.aviio import encode_avi_mjpeg
+        from dggsray.ops.multimodal import VideoFrameSample
+        frames = self._frames(n=7)
+        avi = encode_avi_mjpeg(frames, fps=5, quality=95)
+        vt = pa.table({"video_id": pa.array(["v1"], pa.string()),
+                       "w": pa.array([frames.shape[2]], pa.int32()),
+                       "h": pa.array([frames.shape[1]], pa.int32()),
+                       "bytes": pa.array([avi], pa.binary()),
+                       "fmt": pa.array(["mjpeg"], pa.string())})
+        out = VideoFrameSample(every_n=3)(vt)
+        assert out.column("frame_idx").to_pylist() == [0, 3, 6]
+        for row, fidx in enumerate([0, 3, 6]):
+            got = np.frombuffer(out.column("bytes")[row].as_py(),
+                                dtype=np.uint8).reshape(frames.shape[1:])
+            err = (got.astype(np.float64) - frames[fidx]) ** 2
+            psnr = 10 * np.log10(255.0 ** 2 / max(err.mean(), 1e-12))
+            assert psnr > 30, f"frame {fidx}: PSNR {psnr:.1f} dB"
+
+    def test_unknown_codec_raises(self):
+        from dggsray.ops.multimodal import VideoFrameSample
+        vt = pa.table({"video_id": pa.array(["v"], pa.string()),
+                       "w": pa.array([2], pa.int32()),
+                       "h": pa.array([2], pa.int32()),
+                       "bytes": pa.array([b"xxxx"], pa.binary()),
+                       "fmt": pa.array(["h264"], pa.string())})
+        with pytest.raises(NotImplementedError):
+            VideoFrameSample()(vt)
