@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": R.docs_lang_id,
         "docs_stratified_sample": R.docs_stratified_sample,
         "docs_repetition": R.docs_repetition,
+        "docs_ngram_jaccard": R.docs_ngram_jaccard,
         "docs_pack_batches": R.docs_pack_batches,
         "embed_lsh_top20": R.embed_lsh_top20,
         "embed_ivf_top10": R.embed_ivf_top10,
@@ -239,6 +240,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_distinct(list_transform(range(1, len(l)), "
             "i -> l[i] || chr(31) || l[i+1]))) AS BIGINT) "
             "AS n_distinct_bigrams FROM t",
+        "docs_ngram_jaccard":
+            "WITH l0 AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
+            "AS l FROM documents), "
+            "t AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, len(l)), i -> l[i] || chr(31) || l[i+1])) AS bg "
+            "FROM l0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST((len(list_intersect(a.bg, b.bg)) * 1000000) // "
+            "(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) "
+            "AS BIGINT) AS jac_micro "
+            "FROM t a JOIN t b ON a.doc_id < b.doc_id "
+            "WHERE len(a.bg) > 0 AND len(b.bg) > 0 AND "
+            "len(list_intersect(a.bg, b.bg)) * 1000000 >= "
+            "500000 * (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))",
         "docs_pack_batches":
             f"WITH t AS (SELECT doc_id, "
             f"CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n "

@@ -325,6 +325,111 @@ def charset_jaccard_pairs(ds, threshold: float, text_col: str = "text",
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def _bigram_hash_sets(texts: pa.Array | pa.ChunkedArray):
+    """Per-doc sorted DISTINCT word-bigram 64-bit hash sets, vectorized: one
+    Arrow split, one dictionary encode, token hashes computed once per batch
+    VOCAB (not per occurrence), bigram hash = asymmetric wrap-mix of the two
+    token hashes, per-doc distinct via lexsort+boundary.  Returns
+    (concat_sorted_hashes uint64, offsets int64 len n+1)."""
+    from hashlib import blake2b
+
+    toks = pc.split_pattern_regex(texts, r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy()
+    off = (off - off[0]).astype(np.int64)
+    lens = off[1:] - off[:-1]
+    nseg = len(lens)
+    seg_all = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    th = np.fromiter(
+        (int.from_bytes(blake2b(v.encode("utf-8", "ignore"),
+                                digest_size=8).digest(), "little")
+         for v in vocab), dtype=np.uint64, count=len(vocab))
+    seg = seg_all[keep]
+    code = codes[keep]
+    out_off = np.zeros(nseg + 1, dtype=np.int64)
+    if seg.size >= 2:
+        adj = seg[1:] == seg[:-1]
+        pseg = seg[:-1][adj]
+        with np.errstate(over="ignore"):
+            ph = th[code[:-1][adj]] * np.uint64(0xFF51AFD7ED558CCD) \
+                + th[code[1:][adj]]
+        order = np.lexsort((ph, pseg))
+        ss, hh = pseg[order], ph[order]
+        first = np.ones(ss.size, dtype=bool)
+        first[1:] = (ss[1:] != ss[:-1]) | (hh[1:] != hh[:-1])
+        ss, hh = ss[first], hh[first]
+        np.add.at(out_off, ss + 1, 1)
+        np.cumsum(out_off, out=out_off)
+        return hh, out_off
+    return np.zeros(0, dtype=np.uint64), out_off
+
+
+def ngram_jaccard_pairs(ds, threshold: float, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """All pairs with word-BIGRAM set Jaccard >= threshold — the n-gram
+    near-dup oracle baseline (DuckDB: list_intersect over list_distinct
+    bigram lists).  Same shape as charset_jaccard_pairs: the broadcast side is
+    the DISTRIBUTED per-doc hash-set table (~8 B per distinct bigram), never
+    the corpus text; each task intersects its block's sets against the
+    broadcast with sorted-array membership.  Docs with no bigrams (<2 tokens)
+    are excluded, matching the SQL's len(bg)>0 guard.  The oracle semantics
+    are inherently all-pairs; the 100 TB near-dup path is minhash_dedup.
+    jac_micro is integer-exact: (inter * 1e6) // union."""
+    import ray
+
+    thr_micro = int(round(threshold * 1_000_000))
+
+    def set_kernel(bt: pa.Table) -> pa.Table:
+        h, o = _bigram_hash_sets(bt.column(text_col))
+        blobs = [h[o[i]:o[i + 1]].tobytes() for i in range(len(o) - 1)]
+        return pa.table({id_col: bt.column(id_col),
+                         "_set": pa.array(blobs, pa.large_binary())})
+
+    sets_tbl = ds.map_batches(set_kernel, batch_format="pyarrow").to_pandas()
+    ids_all = sets_tbl[id_col].to_numpy().astype(np.int64)
+    blobs = sets_tbl["_set"].to_numpy()
+    n_all = np.array([len(x) // 8 for x in blobs], dtype=np.int64)
+    H_all = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+    off_all = np.concatenate([[0], np.cumsum(n_all)])
+    bref = ray.put((H_all, off_all, ids_all, n_all))
+
+    def kernel(bt: pa.Table) -> pa.Table:
+        Ha, oa, ia, na = ray.get(bref)
+        doc_of = np.repeat(np.arange(len(ia), dtype=np.int64),
+                           (oa[1:] - oa[:-1]))
+        h, o = _bigram_hash_sets(bt.column(text_col))
+        ids = bt.column(id_col).to_numpy().astype(np.int64)
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            s = h[o[i]:o[i + 1]]
+            if s.size == 0:
+                continue
+            pos = np.searchsorted(s, Ha)
+            hit = (pos < s.size) & (s[np.minimum(pos, s.size - 1)] == Ha)
+            inter = np.bincount(doc_of[hit], minlength=len(ia))
+            union = s.size + na - inter
+            jm = inter * 1_000_000 // np.maximum(union, 1)
+            sel = (jm >= thr_micro) & (ia > ids[i]) & (na > 0)
+            jj = np.nonzero(sel)[0]
+            out_a.append(np.full(jj.size, ids[i], np.int64))
+            out_b.append(ia[jj])
+            out_j.append(jm[jj])
+        cat = (lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int64))
+        return pa.table({"id_a": pa.array(cat(out_a), pa.int64()),
+                         "id_b": pa.array(cat(out_b), pa.int64()),
+                         "jac_micro": pa.array(cat(out_j), pa.int64())})
+
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("jac_micro", pa.int64())])
+    return collect_typed(ds.map_batches(kernel, batch_format="pyarrow"),
+                         schema)
+
+
 def ngram_jaccard(a: bytes, b: bytes, k: int = 3, unit: str = "word") -> float:
     sa, sb = shingle_set(a, k, unit), shingle_set(b, k, unit)
     inter = np.intersect1d(sa, sb).size

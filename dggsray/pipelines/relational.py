@@ -392,6 +392,14 @@ def docs_pack_batches(sf_dir: str, budget: int = PACK_TOKEN_BUDGET):
                            Sum("_pc", alias_name="n_docs"))
 
 
+def docs_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Word-bigram-set Jaccard near-dup pairs (exact, all-pairs oracle
+    baseline; minhash_dedup is the scale path)."""
+    from ..ops.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold)
+
+
 def docs_repetition(sf_dir: str):
     """Token/bigram repetition quality signals per doc (Gopher/C4-style),
     vectorized dictionary-encode + lexsort distinct counts."""

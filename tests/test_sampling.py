@@ -104,3 +104,24 @@ class TestRepetitionMetrics:
         assert out.n_distinct_tokens.tolist() == [3, 1, 0, 0, 1, 2]
         assert out.n_bigrams.tolist() == [4, 3, 0, 0, 0, 2]
         assert out.n_distinct_bigrams.tolist() == [3, 1, 0, 0, 0, 2]
+
+
+class TestNgramJaccardPairs:
+    def test_planted_pairs_and_short_doc_exclusion(self, ray_session):
+        from dggsray.ops.dedup import ngram_jaccard_pairs
+        texts = ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+                 "completely different words entirely here now",
+                 "solo",                                          # 0 bigrams
+                 "the quick brown fox jumps over the lazy dog"]   # exact dup of 0
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                                     "text": pa.array(texts)}))
+        out = ngram_jaccard_pairs(ds, 0.5).to_pandas()
+        pairs = set(zip(out.id_a, out.id_b))
+        assert (0, 4) in pairs                 # identical docs
+        assert (0, 1) in pairs and (1, 4) in pairs   # 7/9 common bigrams
+        assert all(3 not in p for p in pairs)  # <2-token doc excluded
+        exact = out[(out.id_a == 0) & (out.id_b == 4)].jac_micro.iloc[0]
+        assert exact == 1_000_000
+        near = out[(out.id_a == 0) & (out.id_b == 1)].jac_micro.iloc[0]
+        assert near == 7 * 1_000_000 // 9      # |inter|=7, |union|=9
