@@ -225,8 +225,35 @@ def read_geotiff(path: str) -> GeoTiff:
     ascii_tags = {}
     if 42112 in tags:
         ascii_tags["GDAL_METADATA"] = tags[42112]
+    if 34735 in tags:
+        # GeoKeyDirectoryTag: (version, rev, minor, n) then n 4-SHORT entries
+        # (keyid, location, count, value); SHORT-valued keys live inline
+        # (location 0) — enough for the EPSG model/CS codes auto-CRS needs
+        gk = tags[34735]
+        geokeys = {}
+        for i in range(gk[3] if len(gk) >= 4 else 0):
+            kid, loc, cnt, val = gk[4 + i * 4: 8 + i * 4]
+            if loc == 0:
+                geokeys[kid] = val
+        ascii_tags["geokeys"] = geokeys
     return GeoTiff(np.ascontiguousarray(data), left, top, res_x, res_y, nodata,
                    ascii_tags)
+
+
+def epsg_from_geokeys(geokeys: dict) -> str | None:
+    """Engine CRS name from GeoTIFF GeoKeys (ProjectedCSTypeGeoKey 3072 /
+    GeographicTypeGeoKey 2048), for the families this engine projects:
+    EPSG:4326 geographic, 326xx/327xx UTM, 3857 Web Mercator."""
+    code = geokeys.get(3072) or geokeys.get(2048)
+    if code in (4326, 4258):            # WGS84 / ETRS89 geographic
+        return "geographic"
+    if code is not None and 32601 <= code <= 32660:
+        return f"utm:{code - 32600}N"
+    if code is not None and 32701 <= code <= 32760:
+        return f"utm:{code - 32700}S"
+    if code == 3857:
+        return "webmerc"
+    return None
 
 
 def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True):
@@ -285,6 +312,12 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True):
     for name, text in sorted(g.tags.items()):
         if name == "GDAL_METADATA":
             add(42112, 2, [text], "c")
+        elif name == "geokeys" and text:
+            keys = sorted(text.items())
+            gk = [1, 1, 0, len(keys)]
+            for kid, val in keys:
+                gk += [int(kid), 0, 1, int(val)]
+            add(34735, 3, gk, "H")
     if g.nodata is not None:
         nd = int(g.nodata) if float(g.nodata).is_integer() else g.nodata
         add(42113, 2, [str(nd)], "c")

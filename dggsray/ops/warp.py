@@ -227,6 +227,15 @@ def raster_to_rhealpix(input_path: str, output_path: str,
             input_crs = "albers"
         elif input_crs == "albers":
             raise ValueError(f"{input_path}: no Albers parameters in file")
+        elif "geokeys" in g.tags:         # GeoTIFF GeoKeyDirectory EPSG codes
+            from ..core.tiffio import epsg_from_geokeys
+            detected = epsg_from_geokeys(g.tags["geokeys"])
+            if detected is None:
+                raise ValueError(
+                    f"{input_path}: GeoKeys carry an EPSG code outside the "
+                    f"supported families (geographic/UTM/WebMercator) — pass "
+                    f"input_crs explicitly")
+            input_crs = detected
         elif "utm" in g.tags:             # JPEG+PAM / world-file UTM rasters
             zone, north = g.tags["utm"]
             input_crs = f"utm:{zone}{'N' if north else 'S'}"

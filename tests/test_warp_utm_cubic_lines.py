@@ -570,3 +570,40 @@ class TestDistributedWarp:
         assert a.data.shape == b.data.shape
         assert np.array_equal(a.data, b.data)
         assert (a.left, a.top, a.res_x, a.res_y) == (b.left, b.top, b.res_x, b.res_y)
+
+
+class TestGeoKeysAutoCrs:
+    def test_geokey_roundtrip_and_auto_utm(self, ray_session, tmp_path):
+        """A GeoTIFF whose GeoKeyDirectory carries EPSG:32630 warps through
+        input_crs='auto' identically to an explicit input_crs='utm:30N'."""
+        from dggsray.core.tiffio import (GeoTiff, epsg_from_geokeys,
+                                         read_geotiff, write_geotiff)
+        from dggsray.core.tmerc import utm_fwd
+        from dggsray.ops.warp import raster_to_rhealpix
+
+        rng = np.random.default_rng(9)
+        data = rng.integers(1, 200, size=(1, 24, 30)).astype(np.float64)
+        # place the raster around UTM 30N coordinates of (-3E, 40N)
+        ex, ny = utm_fwd(np.array([-3.0]), np.array([40.0]), 30, True)
+        src = str(tmp_path / "utm.tif")
+        write_geotiff(src, GeoTiff(data, left=float(ex[0]), top=float(ny[0]),
+                                   res_x=100.0, res_y=100.0, nodata=0.0,
+                                   tags={"geokeys": {1024: 1, 3072: 32630}}))
+        g = read_geotiff(src)
+        assert g.tags["geokeys"][3072] == 32630
+        assert epsg_from_geokeys(g.tags["geokeys"]) == "utm:30N"
+
+        out_auto = str(tmp_path / "auto.tif")
+        out_utm = str(tmp_path / "utm_exp.tif")
+        r1 = raster_to_rhealpix(src, out_auto, input_crs="auto")
+        r2 = raster_to_rhealpix(src, out_utm, input_crs="utm:30N")
+        assert r1 == r2
+        a, b = read_geotiff(out_auto), read_geotiff(out_utm)
+        assert np.array_equal(a.data, b.data)
+
+    def test_epsg_mapping(self):
+        from dggsray.core.tiffio import epsg_from_geokeys
+        assert epsg_from_geokeys({2048: 4326}) == "geographic"
+        assert epsg_from_geokeys({3072: 32733}) == "utm:33S"
+        assert epsg_from_geokeys({3072: 3857}) == "webmerc"
+        assert epsg_from_geokeys({3072: 2154}) is None   # Lambert-93: explicit
