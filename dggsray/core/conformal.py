@@ -140,3 +140,124 @@ def parse_lcc_crs(crs: str) -> LCCParams:
 
 def is_webmerc(crs: str) -> bool:
     return crs.lower() in ("webmerc", "epsg:3857", "web_mercator")
+
+
+# ---------------------------------------------------------------------------
+# Polar Stereographic (Snyder 1987 ch. 21, ellipsoidal; EPSG method 9810/9829)
+# and the spherical Sinusoidal projection on the authalic sphere (the MODIS
+# grid).  Same public-formula approach as LCC above.
+# ---------------------------------------------------------------------------
+
+class PolarStereoParams:
+    """north: aspect; lat_ts: standard parallel (variant B, e.g. EPSG:3413
+    lat_ts=70) OR None with k0 given (variant A, e.g. UPS k0=0.994); lon0,
+    fe, fn in radians/meters.  a/f default WGS84 (overridable for goldens)."""
+
+    def __init__(self, north: bool, lon0: float, lat_ts: float | None = None,
+                 k0: float | None = None, fe: float = 0.0, fn: float = 0.0,
+                 a: float = _A, f: float = _F):
+        self.north = north
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+        self.a = a
+        e2 = f * (2.0 - f)
+        self.e = np.sqrt(e2)
+        self.e2 = e2
+        if lat_ts is not None:
+            ts = abs(lat_ts)
+            self.rho_scale = a * _m(ts, e2) / _t(ts, self.e)
+        else:
+            k0 = 0.994 if k0 is None else k0
+            self.rho_scale = (2.0 * a * k0
+                              / np.sqrt((1.0 + self.e) ** (1.0 + self.e)
+                                        * (1.0 - self.e) ** (1.0 - self.e)))
+
+
+def pstereo_fwd(lon_deg, lat_deg, P: PolarStereoParams):
+    """Geodetic degrees -> polar stereographic meters (Snyder 21-33/34)."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    if not P.north:
+        lam, phi = -lam, -phi
+    rho = P.rho_scale * _t(phi, P.e)
+    dl = lam - (P.lon0 if P.north else -P.lon0)
+    x = rho * np.sin(dl)
+    y = -rho * np.cos(dl)
+    if not P.north:
+        x, y = -x, -y
+    return P.fe + x, P.fn + y
+
+
+def pstereo_inv(x, y, P: PolarStereoParams):
+    """Polar stereographic meters -> geodetic degrees (Snyder 21-39/40 with
+    the standard fixed-point latitude iteration)."""
+    xx = np.asarray(x, dtype=np.float64) - P.fe
+    yy = np.asarray(y, dtype=np.float64) - P.fn
+    if not P.north:
+        xx, yy = -xx, -yy
+    rho = np.hypot(xx, yy)
+    t = rho / P.rho_scale
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = P.e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (P.e / 2.0))
+    lam = (P.lon0 if P.north else -P.lon0) + np.arctan2(xx, -yy)
+    if not P.north:
+        lam, phi = -lam, -phi
+    lam = np.mod(lam + np.pi, 2.0 * np.pi) - np.pi   # wrap to [-180, 180)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def parse_pstereo_crs(crs: str) -> PolarStereoParams:
+    """Accepted spellings: 'epsg:3413' (NSIDC Sea Ice North: lat_ts 70,
+    lon0 -45), 'epsg:3031' (Antarctic PS: lat_ts -71, lon0 0), 'ups:N'/'ups:S'
+    (k0 0.994, fe/fn 2,000,000), 'pstereo:lat_ts,lon0[,fe,fn]'."""
+    c = crs.lower()
+    if c == "epsg:3413":
+        return PolarStereoParams(True, np.radians(-45.0),
+                                 lat_ts=np.radians(70.0))
+    if c == "epsg:3031":
+        return PolarStereoParams(False, 0.0, lat_ts=np.radians(71.0))
+    if c in ("ups:n", "ups:s"):
+        return PolarStereoParams(c == "ups:n", 0.0, k0=0.994,
+                                 fe=2_000_000.0, fn=2_000_000.0)
+    if c.startswith("pstereo:"):
+        parts = c[8:].split(",")
+        if len(parts) not in (2, 4):
+            raise ValueError(f"pstereo CRS needs lat_ts,lon0[,fe,fn]: {crs!r}")
+        v = [float(p) for p in parts]
+        fe, fn = (v[2], v[3]) if len(v) == 4 else (0.0, 0.0)
+        return PolarStereoParams(v[0] >= 0, np.radians(v[1]),
+                                 lat_ts=np.radians(v[0]), fe=fe, fn=fn)
+    raise ValueError(f"not a polar stereographic CRS: {crs!r}")
+
+
+def is_pstereo(crs: str) -> bool:
+    try:
+        parse_pstereo_crs(crs)
+        return True
+    except ValueError:
+        return False
+
+
+_R_AUTHALIC = 6371007.181       # MODIS sinusoidal sphere == rHEALPix authalic
+
+def sinu_fwd(lon_deg, lat_deg):
+    """Spherical sinusoidal on the authalic sphere (the MODIS grid):
+    x = R*lon*cos(lat), y = R*lat."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    return _R_AUTHALIC * lam * np.cos(phi), _R_AUTHALIC * phi
+
+
+def sinu_inv(x, y):
+    phi = np.asarray(y, dtype=np.float64) / _R_AUTHALIC
+    c = np.cos(phi)
+    lam = np.where(np.abs(c) > 1e-12,
+                   np.asarray(x, dtype=np.float64) / (_R_AUTHALIC * c), 0.0)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def is_sinu(crs: str) -> bool:
+    return crs.lower() in ("sinu", "sinusoidal", "modis")

@@ -253,6 +253,8 @@ def epsg_from_geokeys(geokeys: dict) -> str | None:
         return f"utm:{code - 32700}S"
     if code == 3857:
         return "webmerc"
+    if code in (3413, 3031):
+        return f"epsg:{code}"
     return None
 
 

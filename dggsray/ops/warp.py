@@ -206,13 +206,16 @@ def raster_to_rhealpix(input_path: str, output_path: str,
                        src_nodata=None, dst_nodata=None,
                        row_chunk: int = 1024) -> int:
     """Returns the destination resolution index (reference contract)."""
+    from ..core.conformal import is_pstereo, is_sinu
     if input_crs not in ("geographic", "rhealpix", "auto", "albers") \
             and not _is_utm(input_crs) and not is_webmerc(input_crs) \
-            and not _is_lcc(input_crs):
+            and not _is_lcc(input_crs) and not is_pstereo(input_crs) \
+            and not is_sinu(input_crs):
         raise ValueError(
             f"unsupported input CRS {input_crs!r}: geographic | rhealpix | "
             f"utm:NNh | epsg:326NN/327NN | albers | webmerc/epsg:3857 | "
-            f"lcc:lat1,lat2,lat0,lon0[,fe,fn] | auto")
+            f"lcc:lat1,lat2,lat0,lon0[,fe,fn] | epsg:3413/3031 | ups:N/S | "
+            f"pstereo:lat_ts,lon0[,fe,fn] | sinu | auto")
     g = open_raster(input_path)
     albers = None
     if input_crs in ("auto", "albers"):
@@ -478,9 +481,20 @@ def _crs_funcs(name: str, grid: GridConfig, albers_params=None):
         P = parse_lcc_crs(name)
         return (lambda lon, lat: lcc_fwd(lon, lat, P),
                 lambda x, y: lcc_inv(x, y, P))
+    from ..core.conformal import is_pstereo, is_sinu
+    if is_pstereo(name):
+        from ..core.conformal import parse_pstereo_crs, pstereo_fwd, pstereo_inv
+        P = parse_pstereo_crs(name)
+        return (lambda lon, lat: pstereo_fwd(lon, lat, P),
+                lambda x, y: pstereo_inv(x, y, P))
+    if is_sinu(name):
+        from ..core.conformal import sinu_fwd, sinu_inv
+        return sinu_fwd, sinu_inv
     raise ValueError(f"unsupported CRS {name!r}: geographic | rhealpix | "
                      f"utm:NNh | epsg:326NN/327NN | albers | "
-                     f"webmerc/epsg:3857 | lcc:lat1,lat2,lat0,lon0[,fe,fn]")
+                     f"webmerc/epsg:3857 | lcc:lat1,lat2,lat0,lon0[,fe,fn] | "
+                     f"epsg:3413/3031 | ups:N/S | pstereo:lat_ts,lon0[,fe,fn] "
+                     f"| sinu")
 
 
 def reproject_raster(input_path: str, output_path: str, dst_crs: str,
