@@ -117,8 +117,10 @@ def main(argv=None):
     sp.add_argument("--input-crs", default="geographic",
                     help="geographic | rhealpix | utm:NNh (e.g. utm:30N) | "
                          "epsg:326NN/327NN | albers | webmerc/epsg:3857 | "
-                         "lcc:lat1,lat2,lat0,lon0[,fe,fn] | auto (read the "
-                         "CRS embedded in the file, e.g. ERDAS .img)")
+                         "lcc:lat1,lat2,lat0,lon0[,fe,fn] | epsg:3413/3031 | "
+                         "ups:N/S | pstereo:lat_ts,lon0[,fe,fn] | sinu | "
+                         "auto (read the CRS embedded in the file: ERDAS "
+                         ".img, GeoTIFF GeoKeys, JPEG PAM/world-file)")
     sp.add_argument("--resampling", default="nearest",
                     choices=["nearest", "bilinear", "cubic", "cubic_spline",
                              "lanczos"])

@@ -216,13 +216,73 @@ def winnowing_fingerprint(text: bytes, k: int = 5, window: int = 4) -> np.ndarra
     return np.unique(sw.min(axis=1))
 
 
+def winnowing_fingerprints_batch(texts_utf8: pa.Array | pa.ChunkedArray,
+                                 k: int = 5, window: int = 4):
+    """Batched winnowing over ALL docs at once: one rolling-hash pass over the
+    concatenated byte buffer, one global sliding-min, per-doc validity masks —
+    no per-row Python.  Bit-identical to winnowing_fingerprint per doc.
+    Returns (sorted-unique values uint64 concat, offsets int64 len n+1)."""
+    arr = texts_utf8.combine_chunks() \
+        if isinstance(texts_utf8, pa.ChunkedArray) else texts_utf8
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], np.uint8)[off[0]:off[-1]] \
+        if bufs[2] is not None else np.zeros(0, np.uint8)
+    off = (off - off[0]).astype(np.int64)
+    n = len(off) - 1
+    lens = off[1:] - off[:-1]
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    if data.size < k:
+        return np.zeros(0, dtype=np.uint64), out_off
+
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    mult = (np.uint64(256) ** np.arange(k, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        h = (win @ mult) * np.uint64(0x9E3779B97F4A7C15)
+    # doc i's k-gram hashes occupy h[off[i] : off[i+1]-k+1] (empty if len<k)
+    n_h = np.maximum(lens - k + 1, 0)
+    doc_vals, doc_ids = [], []
+    # docs with a full winnow window: slice the GLOBAL sliding min
+    if h.size >= window:
+        sm = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        big = np.nonzero(n_h >= window)[0]
+        if big.size:
+            cnt = (n_h[big] - window + 1)
+            starts = off[big]
+            pos = np.repeat(starts, cnt) \
+                + (np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            doc_vals.append(sm[pos])
+            doc_ids.append(np.repeat(big, cnt))
+    # short docs (1 <= n_h < window): single min over their hash range
+    small = np.nonzero((n_h >= 1) & (n_h < window))[0]
+    if small.size:
+        mins = np.array([h[off[i]:off[i] + n_h[i]].min() for i in small],
+                        dtype=np.uint64)
+        doc_vals.append(mins)
+        doc_ids.append(small)
+    if not doc_vals:
+        return np.zeros(0, dtype=np.uint64), out_off
+    vals = np.concatenate(doc_vals)
+    ids = np.concatenate(doc_ids)
+    order = np.lexsort((vals, ids))
+    ids, vals = ids[order], vals[order]
+    first = np.ones(ids.size, dtype=bool)
+    first[1:] = (ids[1:] != ids[:-1]) | (vals[1:] != vals[:-1])
+    ids, vals = ids[first], vals[first]
+    np.add.at(out_off, ids + 1, 1)
+    np.cumsum(out_off, out=out_off)
+    return vals, out_off
+
+
 def with_fingerprints(ds, text_col: str = "text", k: int = 5, window: int = 4):
     def kernel(b: pa.Table) -> pa.Table:
-        fps = [winnowing_fingerprint(t.encode("utf-8", "ignore"), k, window)
-               for t in b.column(text_col).to_pylist()]
-        return b.append_column(
-            "fingerprint", pa.array([f.tolist() for f in fps],
-                                    pa.list_(pa.uint64()))) \
-                .append_column("fp_size", pa.array([f.size for f in fps],
-                                                   pa.int64()))
+        txt = pc.cast(b.column(text_col), pa.string())
+        vals, off = winnowing_fingerprints_batch(txt.combine_chunks()
+                                                 if isinstance(txt, pa.ChunkedArray)
+                                                 else txt, k, window)
+        fp = pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                      pa.array(vals, pa.uint64()))
+        sizes = off[1:] - off[:-1]
+        return b.append_column("fingerprint", fp) \
+                .append_column("fp_size", pa.array(sizes, pa.int64()))
     return ds.map_batches(kernel, batch_format="pyarrow")
