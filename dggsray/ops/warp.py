@@ -34,9 +34,61 @@ from ..core.conformal import is_webmerc, parse_lcc_crs
 from ..core.tmerc import parse_utm_crs, utm_fwd, utm_inv
 
 
-# destination-cell count above which raster_to_rhealpix fans row chunks out to
-# Ray tasks (below it, single-process is lower-latency); tests patch this down
+# destination-cell count above which the warps fan row chunks out to Ray
+# tasks (below it, single-process is lower-latency); tests patch this down
 _DIST_WARP_MIN_CELLS = 4_000_000
+
+
+def _fill_chunked(out: np.ndarray, src: np.ndarray, chunk_vals,
+                  nrows: int, ncols: int, row_chunk: int):
+    """Fill `out[:, r0:r1, :]` for every destination row chunk, distributing
+    over Ray tasks when the output is large and a Ray session exists.  The
+    source raster goes to the object store ONCE (broadcast, zero-copy numpy
+    view per task); `chunk_vals(src, r0, r1)` must be a pure function shipped
+    by closure — the projection math is the bottleneck and parallelizes
+    embarrassingly.  The driver assembles chunks into the single-file GeoTIFF
+    (inherent to that output format; the partitioned scale path is
+    tiles_to_cells -> parquet)."""
+    nbands = out.shape[0]
+    dtype = out.dtype
+    starts = list(range(0, nrows, row_chunk))
+    use_ray = False
+    if len(starts) > 1 and ncols * nrows >= _DIST_WARP_MIN_CELLS:
+        try:                      # distribute only inside an existing session
+            import ray
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+    if not use_ray:
+        for r0 in starts:
+            r1 = min(r0 + row_chunk, nrows)
+            out[:, r0:r1, :] = chunk_vals(src, r0, r1)
+        return
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    src_ref = ray.put(src)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        s = ray.get(src_ref)
+        r0s, outs = [], []
+        for i in b.column("id").to_numpy():
+            r0, r1 = starts[i], min(starts[i] + row_chunk, nrows)
+            r0s.append(r0)
+            outs.append(chunk_vals(s, r0, r1).tobytes())
+        return pa.table({"r0": pa.array(r0s, pa.int64()),
+                         "vals": pa.array(outs, pa.large_binary())})
+
+    chunks = rd.range(len(starts)).map_batches(
+        kernel, batch_format="pyarrow", batch_size=1)
+    for b in chunks.iter_batches(batch_format="pyarrow"):
+        for r0, raw in zip(b.column("r0").to_numpy(),
+                           b.column("vals").to_pylist()):
+            r1 = min(r0 + row_chunk, nrows)
+            out[:, r0:r1, :] = np.frombuffer(
+                raw, dtype=dtype).reshape(nbands, r1 - r0, ncols)
 
 
 class RescalingStrategy(enum.Enum):
@@ -313,49 +365,7 @@ def raster_to_rhealpix(input_path: str, output_path: str,
         return vals.reshape(nbands, r1 - r0, ncols)
 
     out = np.full((nbands, nrows, ncols), set_dst_nd, dtype=g.data.dtype)
-    starts = list(range(0, nrows, row_chunk))
-    use_ray = False
-    if len(starts) > 1 and ncols * nrows >= _DIST_WARP_MIN_CELLS:
-        try:                      # distribute only inside an existing session
-            import ray
-            use_ray = ray.is_initialized()
-        except ImportError:
-            pass
-    if use_ray:
-        # Distributed warp: the source raster goes to the object store ONCE
-        # (broadcast, zero-copy numpy view in each task); each task computes a
-        # destination row chunk — the projection math is the bottleneck and
-        # parallelizes embarrassingly.  The driver assembles chunks into the
-        # single-file GeoTIFF (inherent to the output format; the partitioned
-        # scale path is tiles_to_cells -> parquet).
-        import ray
-        import ray.data as rd
-        import pyarrow as pa
-
-        src_ref = ray.put(g.data)
-
-        def kernel(b: pa.Table) -> pa.Table:
-            src = ray.get(src_ref)
-            r0s, outs = [], []
-            for i in b.column("id").to_numpy():
-                r0, r1 = starts[i], min(starts[i] + row_chunk, nrows)
-                r0s.append(r0)
-                outs.append(chunk_vals(src, r0, r1).tobytes())
-            return pa.table({"r0": pa.array(r0s, pa.int64()),
-                             "vals": pa.array(outs, pa.large_binary())})
-
-        chunks = rd.range(len(starts)).map_batches(
-            kernel, batch_format="pyarrow", batch_size=1)
-        for b in chunks.iter_batches(batch_format="pyarrow"):
-            for r0, raw in zip(b.column("r0").to_numpy(),
-                               b.column("vals").to_pylist()):
-                r1 = min(r0 + row_chunk, nrows)
-                out[:, r0:r1, :] = np.frombuffer(
-                    raw, dtype=g.data.dtype).reshape(nbands, r1 - r0, ncols)
-    else:
-        for r0 in starts:
-            r1 = min(r0 + row_chunk, nrows)
-            out[:, r0:r1, :] = chunk_vals(g.data, r0, r1)
+    _fill_chunked(out, g.data, chunk_vals, nrows, ncols, row_chunk)
 
     write_geotiff(output_path, GeoTiff(
         out, dleft, dtop, cw, cw, nodata=set_dst_nd,
@@ -515,6 +525,13 @@ def reproject_raster(input_path: str, output_path: str, dst_crs: str,
             from ..core.albers import AlbersParams
             src_albers = AlbersParams.from_hfa(proj)
             input_crs = "albers"
+        elif "geokeys" in g.tags:
+            from ..core.tiffio import epsg_from_geokeys
+            detected = epsg_from_geokeys(g.tags["geokeys"])
+            if detected is None:
+                raise ValueError(f"{input_path}: unsupported GeoKeys EPSG — "
+                                 f"pass input_crs explicitly")
+            input_crs = detected
         elif "utm" in g.tags:
             zone, north = g.tags["utm"]
             input_crs = f"utm:{zone}{'N' if north else 'S'}"
@@ -552,18 +569,21 @@ def reproject_raster(input_path: str, output_path: str, dst_crs: str,
     if set_dst_nd is None:
         set_dst_nd = 0
 
-    out = np.full((nbands, nrows, ncols), set_dst_nd, dtype=g.data.dtype)
-    for r0 in range(0, nrows, row_chunk):
-        r1 = min(r0 + row_chunk, nrows)
+    s_left, s_top, s_rx, s_ry = g.left, g.top, g.res_x, g.res_y
+
+    def chunk_vals(src: np.ndarray, r0: int, r1: int) -> np.ndarray:
         jj, ii = np.meshgrid(np.arange(ncols), np.arange(r0, r1))
         xs = dleft + (jj.ravel() + 0.5) * res
         ys = dtop - (ii.ravel() + 0.5) * res
         lon, lat = dinv(xs, ys)
         sx, sy = sfwd(lon, lat)
-        fc = (sx - g.left) / g.res_x
-        fr = (g.top - sy) / g.res_y
-        vals = resample_grid(g.data, fc, fr, resampling, set_src_nd, set_dst_nd)
-        out[:, r0:r1, :] = vals.reshape(nbands, r1 - r0, ncols)
+        fc = (sx - s_left) / s_rx
+        fr = (s_top - sy) / s_ry
+        vals = resample_grid(src, fc, fr, resampling, set_src_nd, set_dst_nd)
+        return vals.reshape(nbands, r1 - r0, ncols)
+
+    out = np.full((nbands, nrows, ncols), set_dst_nd, dtype=g.data.dtype)
+    _fill_chunked(out, g.data, chunk_vals, nrows, ncols, row_chunk)
 
     tags = {"GDAL_METADATA": f'<GDALMetadata><Item name="crs">{dst_crs}'
                              f'</Item></GDALMetadata>'}

@@ -607,3 +607,21 @@ class TestGeoKeysAutoCrs:
         assert epsg_from_geokeys({3072: 32733}) == "utm:33S"
         assert epsg_from_geokeys({3072: 3857}) == "webmerc"
         assert epsg_from_geokeys({3072: 2154}) is None   # Lambert-93: explicit
+
+    def test_reproject_distributed_equals_single(self, ray_session, tmp_path, monkeypatch):
+        import dggsray.ops.warp as W
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        rng = np.random.default_rng(21)
+        data = rng.integers(1, 255, size=(1, 80, 100)).astype(np.float64)
+        src = str(tmp_path / "src.tif")
+        write_geotiff(src, GeoTiff(data, left=-2.0, top=45.0,
+                                   res_x=0.01, res_y=0.01, nodata=0.0))
+        s = str(tmp_path / "s.tif")
+        W.reproject_raster(src, s, dst_crs="webmerc", input_crs="geographic",
+                           resampling="bilinear", row_chunk=23)
+        monkeypatch.setattr(W, "_DIST_WARP_MIN_CELLS", 1)
+        d = str(tmp_path / "d.tif")
+        W.reproject_raster(src, d, dst_crs="webmerc", input_crs="geographic",
+                           resampling="bilinear", row_chunk=23)
+        a, b = read_geotiff(s), read_geotiff(d)
+        assert np.array_equal(a.data, b.data)
