@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": R.docs_stratified_sample,
         "docs_repetition": R.docs_repetition,
         "docs_ngram_jaccard": R.docs_ngram_jaccard,
+        "docs_corpus_pipeline": R.docs_corpus_pipeline,
         "docs_pack_batches": R.docs_pack_batches,
         "embed_lsh_top20": R.embed_lsh_top20,
         "embed_ivf_top10": R.embed_ivf_top10,
@@ -168,6 +169,32 @@ def _sample_sql() -> str:
             f"CASE lang {arms} ELSE 0 END")
 
 
+def _corpus_sql() -> str:
+    """Mirror of relational.docs_corpus_pipeline: quality filter -> min-id
+    exact dedup -> stratified Knuth-hash sample -> token-budget packing ->
+    per-batch summary.  Constants and the rate CASE come from the same
+    relational-module definitions the engine uses."""
+    arms = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(R.SAMPLE_RATES_PER_MILLE.items()))
+    return (
+        "WITH tok AS (SELECT doc_id, text, lang, "
+        "CAST(length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n "
+        "FROM documents), "
+        f"q AS (SELECT * FROM tok WHERE n >= {R.CORPUS_MIN_TOKENS} "
+        f"AND length(text) <= {R.CORPUS_MAX_CHARS}), "
+        "k AS (SELECT MIN(doc_id) AS keep FROM q GROUP BY text), "
+        "d AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep), "
+        "s AS (SELECT * FROM d WHERE "
+        "((doc_id * 2654435761) % 4294967296) % 1000 < "
+        f"CASE lang {arms} ELSE 0 END), "
+        "c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS excl "
+        "FROM s) "
+        f"SELECT CAST(excl // {R.PACK_TOKEN_BUDGET} AS BIGINT) AS batch_id, "
+        "CAST(SUM(n) AS BIGINT) AS sum_tokens, COUNT(*) AS n_docs "
+        "FROM c GROUP BY 1")
+
+
 def oracle_sql() -> dict[str, str]:
     lon_c, lat_c = lonlat_sql("c_custkey")
     lon_o, lat_o = lonlat_sql("o_orderkey")
@@ -230,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),
         "docs_stratified_sample": _sample_sql(),
+        "docs_corpus_pipeline": _corpus_sql(),
         "docs_repetition":
             "WITH t AS (SELECT doc_id, "
             "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "

@@ -87,6 +87,11 @@ def pack_token_batches(ds, budget: int, id_col: str = "doc_id",
     # the (already projected) token table.
     stats = tok.aggregate(Min(id_col, alias_name="lo"),
                           Max(id_col, alias_name="hi"))
+    if stats is None or stats.get("lo") is None:      # empty input
+        import ray.data as rd
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "n_tokens": pa.array([], pa.int64()),
+                                       "batch_id": pa.array([], pa.int64())}))
     lo, hi = int(stats["lo"]), int(stats["hi"])
     span = max(1, -(-(hi - lo + 1) // n_ranges))      # ceil
 

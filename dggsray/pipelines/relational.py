@@ -392,6 +392,71 @@ def docs_pack_batches(sf_dir: str, budget: int = PACK_TOKEN_BUDGET):
                            Sum("_pc", alias_name="n_docs"))
 
 
+CORPUS_MIN_TOKENS = 20
+CORPUS_MAX_CHARS = 2000
+
+
+def docs_corpus_pipeline(sf_dir: str, budget: int = PACK_TOKEN_BUDGET):
+    """End-to-end training-corpus preparation as ONE streaming composition:
+    quality filter -> exact dedup (min doc_id per text, winner row packed into
+    the string Min so the only shuffle moves (text, small-key) rows) ->
+    deterministic stratified sample -> token-budget batch packing ->
+    per-batch summary.  Every stage is an existing operator; the whole chain
+    is SQL-mirrorable, so the driver value-hashes the composition, not just
+    the pieces."""
+    from ray.data.aggregate import Min
+
+    from ..ops.joins import sized_groupby
+    from ..ops.sampling import hash_sample, pack_token_batches
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def qual_and_pack(b: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(b.column("text"), r"\s+")), pa.int64())
+        chars = pc.cast(pc.utf8_length(b.column("text")), pa.int64())
+        mask = pc.and_(
+            pc.greater_equal(toks, pa.scalar(CORPUS_MIN_TOKENS, pa.int64())),
+            pc.less_equal(chars, pa.scalar(CORPUS_MAX_CHARS, pa.int64())))
+        b = b.filter(mask)
+        ids = b.column("doc_id").to_numpy()
+        langs = b.column("lang").to_pylist()
+        packed = [f"{i:020d}|{l}" for i, l in zip(ids, langs)]
+        g = pa.table({"text": b.column("text"),
+                      "_w": pa.array(packed, pa.string())}) \
+            .group_by("text").aggregate([("_w", "min")])
+        return g.rename_columns(["text", "_w"])
+
+    winners = sized_groupby(
+        ds.map_batches(qual_and_pack, batch_format="pyarrow"),
+        "text", Min("_w", alias_name="_w"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        w = b.column("_w").to_pylist()
+        ids = np.array([int(x[:20]) for x in w], dtype=np.int64)
+        langs = [x[21:] for x in w]
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": b.column("text"),
+                         "lang": pa.array(langs, pa.string())})
+
+    survivors = winners.map_batches(unpack, batch_format="pyarrow")
+    sampled = hash_sample(survivors, SAMPLE_RATES_PER_MILLE, "doc_id", "lang")
+    packed = pack_token_batches(sampled, budget)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["batch_id", "n_tokens"]).group_by("batch_id") \
+             .aggregate([("n_tokens", "sum"), ([], "count_all")])
+        return g.rename_columns(["batch_id", "_ps", "_pc"])
+
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby
+    return lowcard_groupby(packed.map_batches(partial, batch_format="pyarrow"),
+                           "batch_id",
+                           Sum("_ps", alias_name="sum_tokens"),
+                           Sum("_pc", alias_name="n_docs"))
+
+
 def docs_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     """Word-bigram-set Jaccard near-dup pairs (exact, all-pairs oracle
     baseline; minhash_dedup is the scale path)."""

@@ -125,3 +125,50 @@ class TestNgramJaccardPairs:
         assert exact == 1_000_000
         near = out[(out.id_a == 0) & (out.id_b == 1)].jac_micro.iloc[0]
         assert near == 7 * 1_000_000 // 9      # |inter|=7, |union|=9
+
+
+class TestCorpusPipeline:
+    def test_matches_pandas_brute_force(self, ray_session, tmp_path):
+        import pandas as pd
+        from dggsray.pipelines.relational import (
+            CORPUS_MAX_CHARS, CORPUS_MIN_TOKENS, PACK_TOKEN_BUDGET,
+            SAMPLE_RATES_PER_MILLE, docs_corpus_pipeline)
+        rng = np.random.default_rng(17)
+        rows = []
+        langs = list(SAMPLE_RATES_PER_MILLE) + ["xx"]
+        for i in range(800):
+            n_words = int(rng.integers(1, 80))
+            text = " ".join(rng.choice(["alpha", "beta", "gamma", "delta",
+                                        "eps"], n_words))
+            rows.append({"doc_id": i, "text": text,
+                         "lang": langs[int(rng.integers(0, len(langs)))]})
+        # plant exact duplicates with later ids
+        for j in range(40):
+            src = rows[int(rng.integers(0, 800))]
+            rows.append({"doc_id": 800 + j, "text": src["text"],
+                         "lang": src["lang"]})
+        df = pd.DataFrame(rows)
+        pa_tbl = pa.Table.from_pandas(df, preserve_index=False)
+        import pyarrow.parquet as pq
+        sf_dir = str(tmp_path)
+        pq.write_table(pa_tbl, f"{sf_dir}/documents.parquet")
+
+        got = docs_corpus_pipeline(sf_dir).to_pandas() \
+            .sort_values("batch_id").reset_index(drop=True)
+
+        # pandas brute force of the same chain
+        df["n"] = df.text.str.split(r"\s+").map(len)
+        q = df[(df.n >= CORPUS_MIN_TOKENS) & (df.text.str.len() <= CORPUS_MAX_CHARS)]
+        keep = q.groupby("text", sort=False).doc_id.min()
+        d = q[q.doc_id.isin(set(keep))]
+        key = (d.doc_id.to_numpy().astype(np.int64) * 2654435761) % (1 << 32) % 1000
+        rate = d.lang.map(lambda l: SAMPLE_RATES_PER_MILLE.get(l, 0)).to_numpy()
+        s = d[key < rate].sort_values("doc_id")
+        excl = np.concatenate([[0], np.cumsum(s.n.to_numpy()[:-1])])
+        bid = excl // PACK_TOKEN_BUDGET
+        exp = pd.DataFrame({"batch_id": bid, "n": s.n.to_numpy()}) \
+            .groupby("batch_id").agg(sum_tokens=("n", "sum"),
+                                     n_docs=("n", "count")).reset_index()
+        assert got.batch_id.tolist() == exp.batch_id.tolist()
+        assert got.sum_tokens.tolist() == exp.sum_tokens.tolist()
+        assert got.n_docs.tolist() == exp.n_docs.tolist()
