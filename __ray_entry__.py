@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_pipeline": R.docs_corpus_pipeline,
         "docs_pack_batches": R.docs_pack_batches,
         "embed_lsh_top20": R.embed_lsh_top20,
+        "embed_knn_join": R.embed_knn_join,
         "embed_ivf_top10": R.embed_ivf_top10,
         "images_jpeg_psnr": R.images_jpeg_psnr,
         "auid_customer_region": R.auid_customer_region,
@@ -124,6 +125,24 @@ def _knn_sql(k: int = 15, res: int = 6) -> str:
         f"AS dist FROM lcp WHERE m >= (SELECT p FROM pstar)) "
         f"SELECT c_custkey, cellid, CAST(round(dist) AS BIGINT) AS dist_m_int "
         f"FROM cand ORDER BY dist, cellid, c_custkey LIMIT {k}")
+
+
+def _knn_join_sql(k: int = 5, n_queries: int = 8, dim: int = 64) -> str:
+    """Mirror of relational.embed_knn_join: same deterministic query matrix,
+    per-query top-k via QUALIFY row_number."""
+    import numpy as np
+    rows = []
+    for j in range(n_queries):
+        q = np.sin(np.arange(dim, dtype=np.float64) * 0.1 * (j + 1)) + 0.5
+        lit = "[" + ", ".join(repr(v) for v in q) + "]"
+        rows.append(f"({j}, {lit}::DOUBLE[])")
+    return (f"WITH q(qid, qv) AS (SELECT * FROM (VALUES {', '.join(rows)})) "
+            f"SELECT CAST(qid AS INTEGER) AS query, vec_id, "
+            f"CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            f"qv) * 1000000) AS BIGINT) AS cos_micro "
+            f"FROM q CROSS JOIN embeddings "
+            f"QUALIFY row_number() OVER (PARTITION BY qid "
+            f"ORDER BY cos_micro DESC, vec_id ASC) <= {k}")
 
 
 def _lang_id_sql() -> str:
@@ -254,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars, "
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
+        "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),
         "docs_stratified_sample": _sample_sql(),

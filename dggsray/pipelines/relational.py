@@ -491,6 +491,18 @@ def docs_lang_id(sf_dir: str):
     return with_language(ds).map_batches(finalize, batch_format="pyarrow")
 
 
+def embed_knn_join(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Batched ANN (kNN join): top-k per query for a broadcast query matrix in
+    ONE corpus pass — per-block GEMM + per-query partial top-k, tiny final
+    merge (ops.similarity.brute_topk already takes a matrix)."""
+    from ..ops.similarity import brute_topk
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = 64
+    Q = np.stack([np.sin(np.arange(dim, dtype=np.float64) * 0.1 * (j + 1))
+                  + 0.5 for j in range(n_queries)])
+    return brute_topk(ds, Q, k)
+
+
 def embed_lsh_top20(sf_dir: str):
     from ..ops.similarity import lsh_topk
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
