@@ -136,6 +136,10 @@ def main(argv=None):
     sp.add_argument("--nodata", type=float, default=0)
     sp.add_argument("--layer", default=None,
                     help="GeoPackage layer name (default: first feature layer)")
+    sp.add_argument("--all-touched", action="store_true",
+                    help="burn every cell the geometry touches, not just "
+                         "cells whose center is covered (reference "
+                         "vector_to_rhpx.py all_touched)")
 
     sp = sub.add_parser("vec-ras-area-error")
     sp.add_argument("vector"), sp.add_argument("raster")
@@ -147,6 +151,8 @@ def main(argv=None):
     sp.add_argument("input"), sp.add_argument("output")
     add_common(sp)
     sp.add_argument("--geo-id-column-name", default="cellid")
+    sp.add_argument("--layer-name", default="data",
+                    help="output GeoPackage layer name")
     sp.add_argument("--add-uid", action="store_true")
     sp.add_argument("--values-in-json", action="store_true")
     sp.add_argument("--store-nodata", action="store_true")
@@ -193,7 +199,8 @@ def main(argv=None):
                                         allpts[:, 0].max(), allpts[:, 1].min(),
                                         1000, 1000)
             res = grid.get_closest_resolution(diag / 1000)[0]
-        cells = burn_polygons_to_cells(feats, res, grid) \
+        cells = burn_polygons_to_cells(feats, res, grid,
+                                       all_touched=args.all_touched) \
             .rename_columns(["cellid", "band1"])
         ds = rd.from_arrow(cells)
         meta = meta_from_cells(
@@ -228,6 +235,7 @@ def main(argv=None):
             from .io.gpkg import rhealpix_to_geopackage
             rhealpix_to_geopackage(args.input, args.output, grid.n_side,
                                    args.geo_id_column_name,
+                                   layer_name=args.layer_name,
                                    add_uid=args.add_uid,
                                    values_in_json=args.values_in_json,
                                    store_nodata=args.store_nodata)
