@@ -392,6 +392,22 @@ def docs_pack_batches(sf_dir: str, budget: int = PACK_TOKEN_BUDGET):
                            Sum("_pc", alias_name="n_docs"))
 
 
+def events_median_value(sf_dir: str):
+    """Exact per-type median via two-pass distributed histogram narrowing
+    (ops.quantile) — outputs the exact lower/upper middle ORDER STATISTICS
+    (bit-identical to the SQL row_number mirror; no interpolation arithmetic
+    to match across engines)."""
+    from ..ops.quantile import exact_group_median
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    t = exact_group_median(ds, "value", "event_type")
+    lo = np.floor(t.column("med_lo").to_numpy() * 1e6 + 0.5).astype(np.int64)
+    hi = np.floor(t.column("med_hi").to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return pa.table({"event_type": t.column("event_type"),
+                     "med_lo_micro": pa.array(lo),
+                     "med_hi_micro": pa.array(hi),
+                     "n_events": t.column("n")})
+
+
 CORPUS_MIN_TOKENS = 20
 CORPUS_MAX_CHARS = 2000
 

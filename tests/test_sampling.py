@@ -172,3 +172,30 @@ class TestCorpusPipeline:
         assert got.batch_id.tolist() == exp.batch_id.tolist()
         assert got.sum_tokens.tolist() == exp.sum_tokens.tolist()
         assert got.n_docs.tolist() == exp.n_docs.tolist()
+
+
+class TestExactGroupMedian:
+    def test_matches_numpy_order_statistics(self, ray_session):
+        from dggsray.ops.quantile import exact_group_median
+        rng = np.random.default_rng(23)
+        groups, vals = [], []
+        sizes = {"a": 10001, "b": 5000, "c": 1, "d": 2}
+        for g, n in sizes.items():
+            groups += [g] * n
+            vals.append(rng.normal(float(ord(g)), 7.0, n))
+        # degenerate: all-identical values (histogram short-circuit path)
+        groups += ["e"] * 999
+        vals.append(np.full(999, 42.5))
+        v = np.concatenate(vals)
+        perm = rng.permutation(len(groups))
+        t = pa.table({"g": pa.array(np.array(groups, dtype=object)[perm],
+                                    pa.string()),
+                      "v": pa.array(v[perm])})
+        out = exact_group_median(rd.from_arrow(t), "v", "g").to_pandas() \
+            .set_index("g")
+        for g in list(sizes) + ["e"]:
+            sv = np.sort(v[np.array(groups) == g])
+            n = len(sv)
+            assert out.loc[g, "med_lo"] == sv[(n - 1) // 2], g
+            assert out.loc[g, "med_hi"] == sv[n // 2], g
+            assert out.loc[g, "n"] == n
