@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_topk_densest": R.cell_topk_densest,
         "events_hourly": R.events_hourly,
         "events_median_value": R.events_median_value,
+        "events_p90_value": R.events_p90_value,
         "events_sessions": R.events_sessions,
         "events_moving_window": R.events_moving_window,
         "events_asof_click_error": R.events_asof_click_error,
@@ -367,6 +368,17 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000 + 0.5) AS BIGINT) AS med_lo_micro, "
             "CAST(floor(MAX(CASE WHEN r = n // 2 THEN value END) "
             "* 1000000 + 0.5) AS BIGINT) AS med_hi_micro, "
+            "COUNT(*) AS n_events FROM ranked GROUP BY 1",
+        "events_p90_value":
+            "WITH ranked AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) - 1 AS r, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, "
+            "CAST(floor(MAX(CASE WHEN r = ((n - 1) * 9) // 10 "
+            "THEN value END) * 1000000 + 0.5) AS BIGINT) AS p90_lo_micro, "
+            "CAST(floor(MAX(CASE WHEN r = ((n - 1) * 9 + 9) // 10 "
+            "THEN value END) * 1000000 + 0.5) AS BIGINT) AS p90_hi_micro, "
             "COUNT(*) AS n_events FROM ranked GROUP BY 1",
         "events_sessions":
             "WITH o AS (SELECT user_id, ts, lag(ts) OVER "

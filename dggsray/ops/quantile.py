@@ -32,6 +32,14 @@ def exact_group_median(ds, value_col: str, group_col: str,
                        n_buckets: int = 1 << 14):
     """-> pa.Table (group, med_lo, med_hi, n): exact lower/upper middle order
     statistics per group (equal when n is odd)."""
+    return exact_group_quantile(ds, value_col, group_col, 1, 2, n_buckets)
+
+
+def exact_group_quantile(ds, value_col: str, group_col: str,
+                         num: int, den: int, n_buckets: int = 1 << 14):
+    """Exact q = num/den order statistics per group: the ranks picked are
+    r0 = floor((n-1)*q) and r1 = ceil((n-1)*q) — integer rational arithmetic,
+    so a SQL row_number mirror selects bit-identical doubles."""
     from ray.data.aggregate import Count, Max, Min
 
     from .joins import lowcard_groupby
@@ -101,7 +109,8 @@ def exact_group_median(ds, value_col: str, group_col: str,
             h = np.frombuffer(row["_h"], dtype=np.int64)
             cum = np.cumsum(h)
             n = n_of[g]
-            r0, r1 = (n - 1) // 2, n // 2
+            r0 = ((n - 1) * num) // den
+            r1 = -((-(n - 1) * num) // den)        # ceil
             b0 = int(np.searchsorted(cum, r0 + 1))
             b1 = int(np.searchsorted(cum, r1 + 1))
             below = int(cum[b0 - 1]) if b0 > 0 else 0

@@ -408,6 +408,20 @@ def events_median_value(sf_dir: str):
                      "n_events": t.column("n")})
 
 
+def events_p90_value(sf_dir: str):
+    """Exact per-type 90th-percentile order statistics (same two-pass
+    histogram machinery as the median, ranks floor/ceil((n-1)*0.9))."""
+    from ..ops.quantile import exact_group_quantile
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    t = exact_group_quantile(ds, "value", "event_type", 9, 10)
+    lo = np.floor(t.column("med_lo").to_numpy() * 1e6 + 0.5).astype(np.int64)
+    hi = np.floor(t.column("med_hi").to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return pa.table({"event_type": t.column("event_type"),
+                     "p90_lo_micro": pa.array(lo),
+                     "p90_hi_micro": pa.array(hi),
+                     "n_events": t.column("n")})
+
+
 CORPUS_MIN_TOKENS = 20
 CORPUS_MAX_CHARS = 2000
 
