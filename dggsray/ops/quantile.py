@@ -40,7 +40,7 @@ def exact_group_quantile(ds, value_col: str, group_col: str,
     """Exact q = num/den order statistics per group: the ranks picked are
     r0 = floor((n-1)*q) and r1 = ceil((n-1)*q) — integer rational arithmetic,
     so a SQL row_number mirror selects bit-identical doubles."""
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     from .joins import lowcard_groupby
 
@@ -50,7 +50,6 @@ def exact_group_quantile(ds, value_col: str, group_col: str,
             [(value_col, "count"), (value_col, "min"), (value_col, "max")])
         return g.rename_columns([group_col, "_c", "_lo", "_hi"])
 
-    from ray.data.aggregate import Sum
     stats = lowcard_groupby(ds.map_batches(stat_partial, batch_format="pyarrow"),
                             group_col, Sum("_c", alias_name="n"),
                             Min("_lo", alias_name="lo"),
