@@ -85,14 +85,20 @@ def pack_token_batches(ds, budget: int, id_col: str = "doc_id",
 
     # id span -> contiguous ranges.  min/max is one tiny aggregate pass over
     # the (already projected) token table.
+    from ray.data.aggregate import Count
     stats = tok.aggregate(Min(id_col, alias_name="lo"),
-                          Max(id_col, alias_name="hi"))
+                          Max(id_col, alias_name="hi"),
+                          Count(id_col, alias_name="rows"))
     if stats is None or stats.get("lo") is None:      # empty input
         import ray.data as rd
         return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
                                        "n_tokens": pa.array([], pa.int64()),
                                        "batch_id": pa.array([], pa.int64())}))
     lo, hi = int(stats["lo"]), int(stats["hi"])
+    # each range is locally sorted in ONE task (pass 2), so cap the expected
+    # rows per range — with uniform-ish ids this bounds task memory at any
+    # input size instead of letting 64 ranges swallow 1/64th of the corpus
+    n_ranges = max(n_ranges, int(stats["rows"]) // 2_000_000 + 1)
     span = max(1, -(-(hi - lo + 1) // n_ranges))      # ceil
 
     def with_range(b: pa.Table) -> pa.Table:
