@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_median_value": R.events_median_value,
         "events_p90_value": R.events_p90_value,
+        "events_top_users": R.events_top_users,
         "events_sessions": R.events_sessions,
         "events_moving_window": R.events_moving_window,
         "events_asof_click_error": R.events_asof_click_error,
@@ -380,6 +381,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(MAX(CASE WHEN r = ((n - 1) * 9 + 9) // 10 "
             "THEN value END) * 1000000 + 0.5) AS BIGINT) AS p90_hi_micro, "
             "COUNT(*) AS n_events FROM ranked GROUP BY 1",
+        "events_top_users":
+            "WITH uv AS (SELECT event_type, user_id, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, user_id, cents FROM uv "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY cents DESC, user_id ASC) <= 3",
         "events_sessions":
             "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) AS prev FROM events) "

@@ -408,6 +408,47 @@ def events_median_value(sf_dir: str):
                      "n_events": t.column("n")})
 
 
+def events_top_users(sf_dir: str, k: int = 3):
+    """Grouped top-k (top users by summed value per event type): per-batch
+    partial (type, user) sums -> one keyed shuffle -> per-block vectorized
+    grouped top-k -> tiny single-block final merge.  No global sort."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import sized_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "user_id": b.column("user_id"),
+                      "_c": pa.array(cents)})
+        g = t.group_by(["event_type", "user_id"]).aggregate([("_c", "sum")])
+        return g.rename_columns(["event_type", "user_id", "_c"])
+
+    agg = sized_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["event_type", "user_id"],
+                        Sum("_c", alias_name="cents"))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        idx = pc.sort_indices(b, sort_keys=[("event_type", "ascending"),
+                                            ("cents", "descending"),
+                                            ("user_id", "ascending")])
+        b = b.take(idx)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        sizes = np.diff(np.r_[starts, len(et)])
+        ranks = np.arange(len(et)) - np.repeat(starts, sizes)
+        return b.filter(pa.array(ranks < k))
+
+    # per-block partial top-k, then ONE coalesced final pass (<= k*types*blocks
+    # rows — a merge, not a shuffle)
+    return agg.map_batches(block_topk, batch_format="pyarrow") \
+        .repartition(1).map_batches(block_topk, batch_format="pyarrow")
+
+
 def events_p90_value(sf_dir: str):
     """Exact per-type 90th-percentile order statistics (same two-pass
     histogram machinery as the median, ranks floor/ceil((n-1)*0.9))."""
