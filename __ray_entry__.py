@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auid_customer_region": R.auid_customer_region,
         "knn_cells_customer": R.knn_cells_customer,
         "images_features": R.images_features,
+        "audio_features": R.audio_features,
+        "video_frames": R.video_frames,
         "images_verify_invariant": R.images_verify_invariant,
         "cell_setops_customer_orders": lambda d: R.cell_setops_customer_orders(d, _RES_JOIN),
         "cell_topk_densest": R.cell_topk_densest,

@@ -408,6 +408,62 @@ def events_median_value(sf_dir: str):
                      "n_events": t.column("n")})
 
 
+def _sf_of(sf_dir: str) -> float:
+    return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+
+def audio_features(sf_dir: str):
+    """Audio actor-pool stage over the synthetic WAV table: real RIFF/PCM
+    decode (stdlib wave) + rms/peak/zcr/spectral-centroid features; outputs
+    micro-int columns for deterministic comparison."""
+    import ray.data as rd
+
+    from ..io.avtable import ensure_audio_table
+    from ..ops.multimodal import AudioFeatures, _default_pool
+
+    ds = rd.read_parquet(ensure_audio_table(_sf_of(sf_dir)))
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         concurrency=_default_pool(), max_restarts=0)
+
+    def fin(b: pa.Table) -> pa.Table:
+        def micro(col):
+            return pa.array(np.rint(b.column(col).to_numpy() * 1e6)
+                            .astype(np.int64))
+        return pa.table({"audio_id": b.column("audio_id"),
+                         "rms_micro": micro("rms"),
+                         "peak_micro": micro("peak"),
+                         "zcr_micro": micro("zcr"),
+                         "centroid_mhz": micro("spectral_centroid_hz"),
+                         "n_samples": b.column("n_samples")})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def video_frames(sf_dir: str):
+    """Video actor-pool stage over the synthetic AVI/MJPEG table: real RIFF
+    parse + baseline-JPEG frame decode, every-2nd-frame sampling, per-frame
+    mean brightness."""
+    import ray.data as rd
+
+    from ..io.avtable import ensure_video_table
+    from ..ops.multimodal import VideoFrameSample, _default_pool
+
+    ds = rd.read_parquet(ensure_video_table(_sf_of(sf_dir)))
+    frames = ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                            fn_constructor_kwargs={"every_n": 2},
+                            concurrency=_default_pool(), max_restarts=0)
+
+    def bright(b: pa.Table) -> pa.Table:
+        means = np.array([np.frombuffer(x, np.uint8).mean() if len(x) else 0.0
+                          for x in b.column("bytes").to_pylist()])
+        return pa.table({"video_id": b.column("video_id"),
+                         "frame_idx": b.column("frame_idx"),
+                         "mean_milli": pa.array(np.rint(means * 1000)
+                                                .astype(np.int64))})
+
+    return frames.map_batches(bright, batch_format="pyarrow")
+
+
 def events_top_users(sf_dir: str, k: int = 3):
     """Grouped top-k (top users by summed value per event type): per-batch
     partial (type, user) sums -> one keyed shuffle -> per-block vectorized

@@ -199,3 +199,19 @@ class TestExactGroupMedian:
             assert out.loc[g, "med_lo"] == sv[(n - 1) // 2], g
             assert out.loc[g, "med_hi"] == sv[n // 2], g
             assert out.loc[g, "n"] == n
+
+
+class TestAVQueries:
+    def test_audio_and_video_queries_deterministic(self, ray_session):
+        from dggsray.pipelines.relational import audio_features, video_frames
+        a1 = audio_features("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("audio_id").reset_index(drop=True)
+        a2 = audio_features("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("audio_id").reset_index(drop=True)
+        assert len(a1) == 40 and a1.equals(a2)
+        assert (a1.n_samples == 2000).all()
+        assert (a1.rms_micro > 0).all() and (a1.peak_micro <= 1_000_000).all()
+        v = video_frames("/root/testdata/sf0.001").to_pandas()
+        assert len(v) == 20 * 3              # 6 frames sampled every 2
+        assert set(v.frame_idx) == {0, 2, 4}
+        assert v.mean_milli.between(0, 255_000).all()
