@@ -431,17 +431,23 @@ def scale_raster(input_path: str, output_path: str, scale_x: float,
         # bilinear, matching GDAL's one-source-pixel-per-dest behavior)
         if resampling in ("average", "mode"):
             resampling = "bilinear"
-        jj, ii = np.meshgrid(np.arange(ow), np.arange(oh))
-        fc = (jj.ravel() + 0.5) * (W / ow)
-        fr = (ii.ravel() + 0.5) * (H / oh)
-        # clamp so edge samples stay inside the interpolation support
         pad = {"cubic": 1.5, "cubic_spline": 1.5,
                "lanczos": 2.5}.get(resampling, 0.5)
-        fc = np.clip(fc, pad, W - pad - 1e-9)
-        fr = np.clip(fr, pad, H - pad - 1e-9)
-        out = resample_grid(g.data, fc, fr, resampling, g.nodata, g.nodata
-                            if g.nodata is not None else 0) \
-            .reshape(nbands, oh, ow)
+        nd = g.nodata
+        nd_fill = nd if nd is not None else 0
+
+        def chunk_vals(src: np.ndarray, r0: int, r1: int) -> np.ndarray:
+            jj, ii = np.meshgrid(np.arange(ow), np.arange(r0, r1))
+            fc = (jj.ravel() + 0.5) * (W / ow)
+            fr = (ii.ravel() + 0.5) * (H / oh)
+            # clamp so edge samples stay inside the interpolation support
+            fc = np.clip(fc, pad, W - pad - 1e-9)
+            fr = np.clip(fr, pad, H - pad - 1e-9)
+            return resample_grid(src, fc, fr, resampling, nd, nd_fill) \
+                .reshape(nbands, r1 - r0, ow)
+
+        out = np.empty((nbands, oh, ow), dtype=g.data.dtype)
+        _fill_chunked(out, g.data, chunk_vals, oh, ow, row_chunk=1024)
     write_geotiff(output_path, GeoTiff(
         out, g.left, g.top, g.res_x * (W / ow), g.res_y * (H / oh),
         nodata=g.nodata, tags=g.tags))
