@@ -427,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey "
             "ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 50",
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
-        # docs_minhash_dedup, docs_simhash_clusters, embed_lsh_top20,
-        # auid_customer_region, images_features, flagship_cell_join
+        # docs_minhash_dedup, docs_simhash_clusters (byte-level hash contracts),
+        # embed_lsh_top20, embed_ivf_top10 (recall-dependent candidate sets),
+        # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
+        # images_features / images_verify_invariant / images_jpeg_psnr /
+        # audio_features / video_frames (engine-synthesized multimodal tables)
     }

@@ -42,6 +42,9 @@ def run_suite(num_cpus: int) -> dict:
                                        n_images_for_sf)
     ensure_image_table(sf)              # cache outside the timed section
     ensure_jpeg_table()                 # lossy-invariant table (encode once)
+    from dggsray.io.avtable import ensure_audio_table, ensure_video_table
+    ensure_audio_table(sf)
+    ensure_video_table(sf)
     n_images = n_images_for_sf(sf)
 
     from dggsray.pipelines.flagship import flagship_pipeline
