@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": R.docs_stratified_sample,
         "docs_repetition": R.docs_repetition,
         "docs_ngram_jaccard": R.docs_ngram_jaccard,
+        "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
         "docs_corpus_pipeline": R.docs_corpus_pipeline,
         "docs_pack_batches": R.docs_pack_batches,
         "embed_lsh_top20": R.embed_lsh_top20,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 50",
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
         # docs_minhash_dedup, docs_simhash_clusters (byte-level hash contracts),
+        # docs_fingerprint_overlap (winnowing rolling-hash contract),
         # embed_lsh_top20, embed_ivf_top10 (recall-dependent candidate sets),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /

@@ -592,6 +592,16 @@ def docs_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     return ngram_jaccard_pairs(ds, threshold)
 
 
+def docs_fingerprint_overlap(sf_dir: str, top_k: int = 20):
+    """Top document pairs by shared winnowing fingerprints (MOSS-style copy
+    detection over the corpus; rows-only — the rolling-hash fingerprint has no
+    SQL equivalent).  Exact-duplicate documents share their whole fingerprint
+    set, so planted dups surface at the top."""
+    from ..ops.text import fingerprint_overlap_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_overlap_pairs(ds, top_k=top_k)
+
+
 def docs_repetition(sf_dir: str):
     """Token/bigram repetition quality signals per doc (Gopher/C4-style),
     vectorized dictionary-encode + lexsort distinct counts."""

@@ -175,6 +175,49 @@ class TestTextOps:
         assert overlap_ab > 0.5 > overlap_ac
 
 
+    def test_fingerprint_overlap_pairs(self, ray_session):
+        import itertools
+        import ray.data as rd
+        from dggsray.ops.text import (fingerprint_overlap_pairs,
+                                      winnowing_fingerprint)
+        rng = np.random.default_rng(11)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "theta", "kappa", "lambda", "sigma"]
+        texts = [" ".join(rng.choice(words, 30)) for _ in range(20)]
+        texts.append(texts[3])                      # exact duplicate of doc 3
+        texts.append(texts[7][:-8] + " changed")    # near duplicate of doc 7
+        ids = list(range(len(texts)))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        got = fingerprint_overlap_pairs(ds, top_k=50, df_cap=1000) \
+            .to_pandas().sort_values(["shared", "id_a", "id_b"],
+                                     ascending=[False, True, True]) \
+            .reset_index(drop=True)
+        # brute-force oracle: pairwise fingerprint-set intersections
+        fps = [winnowing_fingerprint(t.encode()) for t in texts]
+        exp = sorted(((int(np.intersect1d(fps[a], fps[b]).size), a, b)
+                      for a, b in itertools.combinations(ids, 2)
+                      if np.intersect1d(fps[a], fps[b]).size > 0),
+                     key=lambda r: (-r[0], r[1], r[2]))[:50]
+        assert [tuple(r) for r in got[["shared", "id_a", "id_b"]]
+                .itertuples(index=False)] == exp
+        # both planted duplicate pairs surface in the top pairs
+        pairs = set(zip(got.id_a, got.id_b))
+        assert (3, 20) in pairs and (7, 21) in pairs
+
+    def test_fingerprint_overlap_df_cap_drops_ubiquitous(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.text import fingerprint_overlap_pairs
+        # every doc identical -> every fingerprint has df = n_docs > df_cap
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(["shared common body of text"] * 10,
+                             pa.string())}))
+        got = fingerprint_overlap_pairs(ds, top_k=10, df_cap=4).to_pandas()
+        assert len(got) == 0
+
+
 class TestMultimodal:
     def test_resize_and_features(self, ray_session):
         import ray.data as rd
