@@ -209,15 +209,18 @@ def run_one_flagship():
     # once; steady-state throughput is what the N-vs-4N comparison measures
     flagship_pipeline(sf=sf, verify=True).count()
     mat = os.environ.get("GRAFT_MATERIALIZE", "0") == "1"
-    if epochs == 1:
+    calllog = os.environ.get("GRAFT_CALLLOG")
+    if epochs == 1 and not calllog:
         pipe = None
     else:
         # building the pipeline runs the one-time input materialization (when
         # requested) OUTSIDE the timed window — the window then measures the
-        # steady-state processing stage only
+        # steady-state processing stage only.  The epochs path is also the
+        # only one that installs the per-call timing pool, so any calllog
+        # request routes through it (even at epochs=1) instead of silently
+        # falling back to wall-time ratios.
         pipe = flagship_epochs(sf=sf, epochs=epochs, verify=True,
                                materialize_input=mat)
-    calllog = os.environ.get("GRAFT_CALLLOG")
     if calllog:
         import glob as _glob
         for f in _glob.glob(os.path.join(calllog, "*.log")):
@@ -238,6 +241,8 @@ def run_one_flagship():
         s = sustained_throughput(calllog)
         if s:
             out["sustained_img_s"] = round(s, 1)
+        else:       # visible in the JSON instead of a silent wall-time fallback
+            out["sustained_missing"] = True
     ray.shutdown()
     print(json.dumps(out))
 

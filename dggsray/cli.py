@@ -238,22 +238,24 @@ def main(argv=None):
                                    layer_name=args.layer_name,
                                    add_uid=args.add_uid,
                                    values_in_json=args.values_in_json,
-                                   store_nodata=args.store_nodata)
+                                   store_nodata=args.store_nodata,
+                                   grid=grid)
         else:
             from .io.storage import rhealpix_to_parquet
             rhealpix_to_parquet(args.input, args.output, grid.n_side,
                                 args.geo_id_column_name, args.add_uid,
-                                args.values_in_json, args.store_nodata)
+                                args.values_in_json, args.store_nodata,
+                                grid=grid)
     elif args.cmd == "vec-rhpx-to-ras-rhpx":
         _ray_init()
         if args.input.endswith(".gpkg"):
             from .io.gpkg import geopackage_to_rhealpix
             geopackage_to_rhealpix(args.input, args.output, args.nodata,
-                                   grid.n_side)
+                                   grid.n_side, grid=grid)
         else:
             from .io.storage import parquet_to_rhealpix
             parquet_to_rhealpix(args.input, args.output, args.nodata,
-                                grid.n_side)
+                                grid.n_side, grid=grid)
     elif args.cmd == "print-ras-rhpx-metadata":
         from .core.raster import raster_subdatasets
         from .ops.warp import get_rhpx_metadata

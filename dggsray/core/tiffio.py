@@ -251,6 +251,8 @@ def epsg_from_geokeys(geokeys: dict) -> str | None:
         return f"utm:{code - 32600}N"
     if code is not None and 32701 <= code <= 32760:
         return f"utm:{code - 32700}S"
+    if code is not None and 25828 <= code <= 25838:  # ETRS89 / UTM zone NNN
+        return f"utm:{code - 25800}N"
     if code == 3857:
         return "webmerc"
     if code in (3413, 3031):

@@ -474,6 +474,8 @@ def rhealpix_to_geopackage(input_tif: str, output_gpkg: str, n_side: int = 3,
                            values_in_json=values_in_json, add_uid=add_uid)
     if geo_id_column_name != "cellid":
         cells = cells.rename_columns({"cellid": geo_id_column_name})
+        # record the rename so the metadata-driven read side resolves it
+        meta = dict(meta, geo_id_column_name=geo_id_column_name)
     write_geopackage(cells, output_gpkg, meta, layer_name=layer_name,
                      geo_id_column_name=geo_id_column_name, grid=grid)
     return meta

@@ -396,12 +396,13 @@ def ngram_jaccard_pairs(ds, threshold: float, text_col: str = "text",
     n_all = np.array([len(x) // 8 for x in blobs], dtype=np.int64)
     H_all = np.frombuffer(b"".join(blobs), dtype=np.uint64)
     off_all = np.concatenate([[0], np.cumsum(n_all)])
-    bref = ray.put((H_all, off_all, ids_all, n_all))
+    # doc_of is O(total distinct bigrams); build it ONCE here and ship it in
+    # the broadcast instead of re-allocating it in every map_batches task
+    doc_of_all = np.repeat(np.arange(len(ids_all), dtype=np.int64), n_all)
+    bref = ray.put((H_all, off_all, ids_all, n_all, doc_of_all))
 
     def kernel(bt: pa.Table) -> pa.Table:
-        Ha, oa, ia, na = ray.get(bref)
-        doc_of = np.repeat(np.arange(len(ia), dtype=np.int64),
-                           (oa[1:] - oa[:-1]))
+        Ha, oa, ia, na, doc_of = ray.get(bref)
         h, o = _bigram_hash_sets(bt.column(text_col))
         ids = bt.column(id_col).to_numpy().astype(np.int64)
         out_a, out_b, out_j = [], [], []

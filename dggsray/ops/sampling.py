@@ -81,7 +81,12 @@ def pack_token_batches(ds, budget: int, id_col: str = "doc_id",
              else _token_counts(b, text_col))
         return pa.table({id_col: b.column(id_col), "_n": n})
 
-    tok = ds.map_batches(with_tokens, batch_format="pyarrow")
+    # Materialize the projected (id, count) table ONCE: three consumers follow
+    # (min/max/count stats, pass-1 subtotals, pass-2 assignment), and without
+    # this the whole upstream lineage — possibly a dedup shuffle — would
+    # re-execute for each.  The materialized table is two int64 columns per
+    # doc, held distributed in the object store, not on the driver.
+    tok = ds.map_batches(with_tokens, batch_format="pyarrow").materialize()
 
     # id span -> contiguous ranges.  min/max is one tiny aggregate pass over
     # the (already projected) token table.

@@ -29,7 +29,7 @@ import numpy as np
 from ..core.geodesy import get_geodesic_size
 from ..core.rhpx import DEFAULT_GRID, GridConfig, align_point, project_fwd, project_inv
 from ..core.raster import open_raster
-from ..core.tiffio import GeoTiff, read_geotiff, write_geotiff
+from ..core.tiffio import GeoTiff, epsg_from_geokeys, read_geotiff, write_geotiff
 from ..core.conformal import is_webmerc, parse_lcc_crs
 from ..core.tmerc import parse_utm_crs, utm_fwd, utm_inv
 
@@ -111,6 +111,44 @@ def _is_lcc(crs: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+def _auto_crs(g: GeoTiff, input_path: str):
+    """(crs_name, AlbersParams | None) detected from the file's own metadata,
+    mirroring how the reference takes the CRS straight from the opened file.
+    Detection chain: HFA Eprj_ProParameters (Albers) -> GeoTIFF GeoKeys EPSG
+    -> PAM/world-file UTM -> the engine's own rhealpix tags -> GDAL_METADATA
+    crs item -> geographic default.
+
+    An unresolvable GeoKeys entry falls THROUGH the chain rather than erroring
+    (the directory may be empty or carry only an unknown geographic datum,
+    where the geographic default is the right call) — except when it names a
+    projected CRS outside the supported families, which would warp to garbage
+    under any fallback and so errors explicitly."""
+    proj = g.tags.get("proj")
+    if proj is not None and "Albers" in proj.get("name", ""):
+        from ..core.albers import AlbersParams
+        return "albers", AlbersParams.from_hfa(proj)
+    gk = g.tags.get("geokeys") or {}
+    detected = epsg_from_geokeys(gk)
+    if detected is not None:
+        return detected, None
+    if "utm" in g.tags:
+        zone, north = g.tags["utm"]
+        return f"utm:{zone}{'N' if north else 'S'}", None
+    if "n_side" in g.tags.get("GDAL_METADATA", ""):
+        return "rhealpix", None           # the engine's own warp outputs
+    # the engine's own reproject_raster outputs carry a crs item
+    m = re.search(r'<Item name="crs">([^<]+)</Item>',
+                  g.tags.get("GDAL_METADATA", ""))
+    if m:
+        return m.group(1), None
+    code = gk.get(3072)
+    if code and code != 32767:            # 32767 = user-defined, no info
+        raise ValueError(
+            f"{input_path}: GeoKeys carry projected EPSG:{code}, outside the "
+            f"supported families — pass input_crs explicitly")
+    return "geographic", None
 
 
 def infer_resolution_idx(g: GeoTiff, crs: str, grid: GridConfig,
@@ -270,38 +308,12 @@ def raster_to_rhealpix(input_path: str, output_path: str,
             f"pstereo:lat_ts,lon0[,fe,fn] | sinu | auto")
     g = open_raster(input_path)
     albers = None
-    if input_crs in ("auto", "albers"):
-        # "auto": take the CRS the file itself carries (HFA Eprj_ProParameters
-        # -> core.hfaio tags; the reference reads CRS from the file via
-        # rasterio the same way).  Files without projection metadata are
-        # treated as geographic.
-        proj = g.tags.get("proj")
-        if proj is not None and "Albers" in proj.get("name", ""):
-            from ..core.albers import AlbersParams
-            albers = AlbersParams.from_hfa(proj)
-            input_crs = "albers"
-        elif input_crs == "albers":
+    if input_crs == "auto":
+        input_crs, albers = _auto_crs(g, input_path)
+    elif input_crs == "albers":
+        detected, albers = _auto_crs(g, input_path)
+        if albers is None:
             raise ValueError(f"{input_path}: no Albers parameters in file")
-        elif "geokeys" in g.tags:         # GeoTIFF GeoKeyDirectory EPSG codes
-            from ..core.tiffio import epsg_from_geokeys
-            detected = epsg_from_geokeys(g.tags["geokeys"])
-            if detected is None:
-                raise ValueError(
-                    f"{input_path}: GeoKeys carry an EPSG code outside the "
-                    f"supported families (geographic/UTM/WebMercator) — pass "
-                    f"input_crs explicitly")
-            input_crs = detected
-        elif "utm" in g.tags:             # JPEG+PAM / world-file UTM rasters
-            zone, north = g.tags["utm"]
-            input_crs = f"utm:{zone}{'N' if north else 'S'}"
-        elif "n_side" in g.tags.get("GDAL_METADATA", ""):
-            input_crs = "rhealpix"        # the engine's own warp outputs
-        else:
-            # the engine's own reproject_raster outputs carry a crs item —
-            # keep this detection in sync with reproject_raster's auto branch
-            m = re.search(r'<Item name="crs">([^<]+)</Item>',
-                          g.tags.get("GDAL_METADATA", ""))
-            input_crs = m.group(1) if m else "geographic"
     if dst_resolution_idx == -1:
         dst_resolution_idx = infer_resolution_idx(g, input_crs, grid,
                                                   rescaling_strategy)
@@ -526,27 +538,7 @@ def reproject_raster(input_path: str, output_path: str, dst_crs: str,
     g = open_raster(input_path)
     src_albers = None
     if input_crs == "auto":
-        proj = g.tags.get("proj")
-        if proj is not None and "Albers" in proj.get("name", ""):
-            from ..core.albers import AlbersParams
-            src_albers = AlbersParams.from_hfa(proj)
-            input_crs = "albers"
-        elif "geokeys" in g.tags:
-            from ..core.tiffio import epsg_from_geokeys
-            detected = epsg_from_geokeys(g.tags["geokeys"])
-            if detected is None:
-                raise ValueError(f"{input_path}: unsupported GeoKeys EPSG — "
-                                 f"pass input_crs explicitly")
-            input_crs = detected
-        elif "utm" in g.tags:
-            zone, north = g.tags["utm"]
-            input_crs = f"utm:{zone}{'N' if north else 'S'}"
-        elif "n_side" in g.tags.get("GDAL_METADATA", ""):
-            input_crs = "rhealpix"
-        else:
-            m = re.search(r'<Item name="crs">([^<]+)</Item>',
-                          g.tags.get("GDAL_METADATA", ""))
-            input_crs = m.group(1) if m else "geographic"
+        input_crs, src_albers = _auto_crs(g, input_path)
     sfwd, sinv = _crs_funcs(input_crs, grid, src_albers)
     dfwd, dinv = _crs_funcs(dst_crs, grid)
 

@@ -82,3 +82,32 @@ class TestCli:
         rc, out = run_cli("ras-to-rhpx-ras", inputs["tif"], "/tmp/x.tif",
                           "--rdggs", "5/0/0")
         assert rc != 0
+
+
+class TestRdggsGridPassthrough:
+    def test_composites_honor_cap_squares(self, inputs):
+        """--rdggs 3/2/1 must reach the storage composites: a raster inside
+        the north cap square of GridConfig(3,2,1) converts and roundtrips on
+        THAT grid (regression: the CLI used to pass only n_side, so cap
+        squares silently fell back to 3/1/0)."""
+        d = inputs["dir"]
+        from dggsray.core.rhpx import GridConfig, align_point
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        grid = GridConfig(3, 2, 1)
+        F = grid.cell_width(0)
+        w = grid.cell_width(2)
+        # center of the ns=2 north square: x in [0, F], y in [F/2, 3F/2]
+        left, top = align_point(F / 2, F, 2, grid)
+        arr = (np.arange(12, dtype=np.int32).reshape(3, 4) + 1)[None]
+        tif = str(d / "g321.tif")
+        write_geotiff(tif, GeoTiff(arr, left, top, w, w, nodata=0))
+        rc, out = run_cli("ras-rhpx-to-vec-rhpx", tif, str(d / "c321"),
+                          "--rdggs", "3/2/1")
+        assert rc == 0 and "OK" in out
+        meta = json.load(open(d / "c321" / "_meta.json"))["attrs"]
+        assert meta["rhealpixdggs"]["north_square"] == 2
+        assert meta["rhealpixdggs"]["south_square"] == 1
+        rc, out = run_cli("vec-rhpx-to-ras-rhpx", str(d / "c321"),
+                          str(d / "b321.tif"), "--rdggs", "3/2/1")
+        assert rc == 0 and "OK" in out
+        assert np.array_equal(read_geotiff(str(d / "b321.tif")).data, arr)

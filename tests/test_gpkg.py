@@ -175,3 +175,29 @@ class TestEwkbFlags:
             rings = _wkb_rings(wkb)
             assert len(rings) == 1 and rings[0].shape == (4, 2)
             assert rings[0][1].tolist() == [4.0, 0.0]
+
+
+class TestRenamedCellColumnRoundtrip:
+    def test_geo_id_column_name_recorded_in_metadata(self, ray_session, tmp_path):
+        """rhealpix_to_geopackage(geo_id_column_name=...) must record the
+        rename in the GPKG metadata so the metadata-driven read side (the CLI
+        path, which passes no column name) still resolves the cell column
+        (regression: only the parquet composite recorded it)."""
+        from dggsray.core.rhpx import DEFAULT_GRID, align_point
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.io.gpkg import (geopackage_to_rhealpix,
+                                     get_gpkg_rhpx_metadata,
+                                     rhealpix_to_geopackage)
+        rng = np.random.default_rng(13)
+        res = 3
+        w = DEFAULT_GRID.cell_width(res)
+        left, top = align_point(-1e6, 1e6, res, DEFAULT_GRID)
+        arr = rng.integers(1, 9, (1, 4, 5)).astype(np.int32)
+        src = str(tmp_path / "src.tif")
+        write_geotiff(src, GeoTiff(arr, left, top, w, w, nodata=0))
+        gp = str(tmp_path / "cells.gpkg")
+        rhealpix_to_geopackage(src, gp, geo_id_column_name="cell_code")
+        assert get_gpkg_rhpx_metadata(gp)["geo_id_column_name"] == "cell_code"
+        back = str(tmp_path / "back.tif")
+        geopackage_to_rhealpix(gp, back)      # no column name: metadata-driven
+        assert (read_geotiff(back).data == arr).all()

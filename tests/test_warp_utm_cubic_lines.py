@@ -625,3 +625,49 @@ class TestGeoKeysAutoCrs:
                            resampling="bilinear", row_chunk=23)
         a, b = read_geotiff(s), read_geotiff(d)
         assert np.array_equal(a.data, b.data)
+
+
+class TestAutoCrsFallthrough:
+    def test_empty_geokeys_fall_through_to_rhpx_tags(self, ray_session, tmp_path):
+        """A GeoTIFF whose GeoKeyDirectory carries no resolvable EPSG code
+        (e.g. only a raster-type key) must fall through the auto-CRS chain to
+        the GDAL_METADATA n_side tag instead of hard-erroring (regression)."""
+        from dggsray.core.rhpx import DEFAULT_GRID, align_point
+        from dggsray.core.tiffio import GeoTiff, read_geotiff, write_geotiff
+        from dggsray.ops.warp import get_rhpx_metadata
+        res = 3
+        w = DEFAULT_GRID.cell_width(res)
+        left, top = align_point(-1e6, 1e6, res, DEFAULT_GRID)
+        arr = np.arange(20, dtype=np.int32).reshape(1, 4, 5) + 1
+        src = str(tmp_path / "rhpx_gk.tif")
+        write_geotiff(src, GeoTiff(
+            arr, left, top, w, w, nodata=0,
+            tags={"geokeys": {1025: 1},     # GTRasterTypeGeoKey only
+                  "GDAL_METADATA": '<GDALMetadata><Item name="n_side">3'
+                                   '</Item></GDALMetadata>'}))
+        meta = get_rhpx_metadata(src)
+        assert meta["res_idx"] == res       # detected as rhealpix, no error
+
+    def test_unknown_geographic_code_defaults_geographic(self, ray_session, tmp_path):
+        """An unknown GEOGRAPHIC GeoKeys code (NAD83) falls back to the
+        geographic default; an unknown PROJECTED code still errors."""
+        from dggsray.core.tiffio import GeoTiff, write_geotiff
+        from dggsray.ops.warp import raster_to_rhealpix
+        arr = np.full((1, 6, 8), 5, dtype=np.float64)
+        nad = str(tmp_path / "nad83.tif")
+        write_geotiff(nad, GeoTiff(arr, left=-4.0, top=41.0, res_x=0.05,
+                                   res_y=0.05, nodata=0.0,
+                                   tags={"geokeys": {2048: 4269}}))
+        out = str(tmp_path / "o.tif")
+        raster_to_rhealpix(nad, out, input_crs="auto")
+        assert os.path.exists(out)          # warped under the geographic default
+        lcc = str(tmp_path / "l93.tif")
+        write_geotiff(lcc, GeoTiff(arr, left=650000.0, top=6860000.0,
+                                   res_x=100.0, res_y=100.0, nodata=0.0,
+                                   tags={"geokeys": {3072: 2154}}))
+        with pytest.raises(ValueError, match="2154"):
+            raster_to_rhealpix(lcc, str(tmp_path / "o2.tif"), input_crs="auto")
+
+    def test_etrs89_utm_geokey(self):
+        from dggsray.core.tiffio import epsg_from_geokeys
+        assert epsg_from_geokeys({3072: 25830}) == "utm:30N"
