@@ -96,6 +96,33 @@ def _ann_sql(dim: int = 64) -> str:
             f"ORDER BY cos_micro DESC, vec_id ASC LIMIT 10")
 
 
+def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
+    """Mirror of relational.docs_minhash_dedup: pairs whose word-{k}-shingle
+    set Jaccard clears the threshold, integer-exact micro arithmetic
+    (inter*1e6 // union) matching ops.dedup.minhash_dedup's verify stage.
+    The engine's LSH bands (32 bands x 4 rows, fixed seed) recall every
+    qualifying pair on the test tables (verified at sf0.001 and sf0.01), so
+    the exact all-pairs answer is the oracle; the band prefilter only prunes
+    the candidate set."""
+    thr = int(round(threshold * 1_000_000))
+    sep = " || chr(31) || "
+    shingle = sep.join(f"l[i+{j}]" for j in range(k))
+    return (
+        "WITH l0 AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
+        "AS l FROM documents), "
+        f"t AS (SELECT doc_id, list_distinct(list_transform("
+        f"range(1, len(l) - {k - 2}), i -> {shingle})) AS sg FROM l0) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST((len(list_intersect(a.sg, b.sg)) * 1000000) // "
+        "(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) "
+        "AS BIGINT) AS jaccard_micro "
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id "
+        "WHERE len(a.sg) > 0 AND len(b.sg) > 0 "
+        "AND len(list_intersect(a.sg, b.sg)) * 1000000 >= "
+        f"{thr} * (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))")
+
+
 def _knn_sql(k: int = 15, res: int = 6) -> str:
     """Mirror of relational.knn_cells_customer: LCP prefix selection + exact
     planar centroid distance.  The query cell and its centroid are Python-side
@@ -279,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars, "
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
+        "docs_minhash_dedup": _minhash_sql(),
         "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),
@@ -428,9 +456,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey "
             "ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 50",
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
-        # docs_minhash_dedup, docs_simhash_clusters (byte-level hash contracts),
+        # docs_simhash_clusters (byte-level hash contracts),
         # docs_fingerprint_overlap (winnowing rolling-hash contract),
-        # embed_lsh_top20, embed_ivf_top10 (recall-dependent candidate sets),
+        # embed_lsh_top20 / embed_ivf_top10 (recall genuinely partial:
+        # measured 15/20 resp. <10/10 candidate recall at sf0.01),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
         # audio_features / video_frames (engine-synthesized multimodal tables)

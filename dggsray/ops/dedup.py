@@ -431,10 +431,18 @@ def ngram_jaccard_pairs(ds, threshold: float, text_col: str = "text",
                          schema)
 
 
-def ngram_jaccard(a: bytes, b: bytes, k: int = 3, unit: str = "word") -> float:
+def ngram_jaccard_counts(a: bytes, b: bytes, k: int = 3,
+                         unit: str = "word") -> tuple[int, int]:
+    """(|intersection|, |union|) of the two k-shingle sets — integer-exact
+    building blocks so callers can threshold and scale without float rounding
+    (the repo convention: jaccard_micro = inter * 1e6 // union)."""
     sa, sb = shingle_set(a, k, unit), shingle_set(b, k, unit)
-    inter = np.intersect1d(sa, sb).size
-    union = sa.size + sb.size - inter
+    inter = int(np.intersect1d(sa, sb).size)
+    return inter, int(sa.size) + int(sb.size) - inter
+
+
+def ngram_jaccard(a: bytes, b: bytes, k: int = 3, unit: str = "word") -> float:
+    inter, union = ngram_jaccard_counts(a, b, k, unit)
     return inter / union if union else 1.0
 
 
@@ -499,6 +507,7 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
                                id_col).drop_columns(["truncated"]) \
         .materialize()      # candidate PAIRS only — small by LSH construction
 
+    thr_micro = int(round(threshold * 1_000_000))
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                         ("jaccard_micro", pa.int64())])
 
@@ -510,13 +519,17 @@ def minhash_dedup(ds, threshold: float = 0.8, text_col: str = "text",
         est = (sa == sb).mean(axis=1)
         maybe = est >= max(0.0, threshold - 0.15)
         ia, ib, ta, tb = ia[maybe], ib[maybe], ta[maybe], tb[maybe]
-        jac = np.array([ngram_jaccard(a.encode(), b.encode(), shingle_k, unit)
-                        for a, b in zip(ta, tb)])
-        keep = jac >= threshold if jac.size else np.zeros(0, bool)
+        # integer-exact keep rule and micro value (inter*1e6 // union), the
+        # same arithmetic as the SQL oracle — float round here drifted ±1
+        cnt = [ngram_jaccard_counts(a.encode(), b.encode(), shingle_k, unit)
+               for a, b in zip(ta, tb)]
+        inter = np.array([c[0] for c in cnt], dtype=np.int64)
+        union = np.array([c[1] for c in cnt], dtype=np.int64)
+        keep = (union > 0) & (inter * 1_000_000 >= thr_micro * union)
         return pa.table({"id_a": pa.array(ia[keep], pa.int64()),
                          "id_b": pa.array(ib[keep], pa.int64()),
                          "jaccard_micro": pa.array(
-                             np.rint(jac[keep] * 1e6).astype(np.int64))})
+                             inter[keep] * 1_000_000 // union[keep])})
 
     def sig_mat(col) -> np.ndarray:
         return np.stack([np.frombuffer(s, dtype=np.uint64)
