@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_window": R.events_moving_window,
         "events_asof_click_error": R.events_asof_click_error,
         "orders_lineitem_revenue": R.orders_lineitem_revenue,
+        "images_phash_dedup": R.images_phash_dedup,
         "flagship_cell_join": _flagship,
     }
 
@@ -462,5 +463,6 @@ def oracle_sql() -> dict[str, str]:
         # measured 15/20 resp. <10/10 candidate recall at sf0.01),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
-        # audio_features / video_frames (engine-synthesized multimodal tables)
+        # images_phash_dedup / audio_features / video_frames
+        # (engine-synthesized multimodal tables)
     }

@@ -698,6 +698,43 @@ def images_jpeg_psnr(sf_dir: str, n: int = 500):
         max_restarts=0)
 
 
+def images_phash_dedup(sf_dir: str):
+    """Perceptual-hash dedup clusters across encodings — the multimodal
+    analogue of docs_dedup_exact (LAION-style re-encode detection): the
+    lossless image table UNIONed with its JPEG re-encoded variant, grouped by
+    the 64-bit average-phash column the canonical input table carries
+    (input_hint).  A re-encoded copy hashes identically (q98 JPEG preserves
+    the 8x8 luma means bit-for-bit), so every cross-encoding duplicate lands
+    in a cluster with n_jpeg > 0.  One row per duplicated cluster:
+    (phash, n_images, n_jpeg, keeper_id = lexicographically first member).
+    Only (image_id, phash, fmt) columns ever leave the parquet scan; the
+    shuffle moves per-block partial aggregates, not image rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..io.imagetable import ensure_image_table, ensure_jpeg_table
+    from ..ops.joins import sized_groupby
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    cols = ["image_id", "phash", "fmt"]
+    ds = rd.read_parquet(ensure_image_table(sf), columns=cols) \
+        .union(rd.read_parquet(ensure_jpeg_table(), columns=cols))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "phash": b.column("phash"),
+            "image_id": b.column("image_id"),
+            "_is_jpeg": pc.cast(pc.equal(b.column("fmt"), "jpeg"),
+                                pa.int64())})
+
+    grouped = sized_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"), "phash",
+        Count(alias_name="n_images"),
+        Sum("_is_jpeg", alias_name="n_jpeg"),
+        Min("image_id", alias_name="keeper_id"))
+    return grouped.filter(expr="n_images > 1")
+
+
 def auid_customer_region(sf_dir: str, res: int = 3):
     """Distinct customer cells -> optimized CUID set -> canonical AUID.
     The distributed part is the distinct; the (small) compaction + encode is

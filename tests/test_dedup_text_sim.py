@@ -332,3 +332,34 @@ class TestWav:
         assert out.loc["a440", "spectral_centroid_hz"] == pytest.approx(440, rel=0.05)
         assert out.loc["a880", "spectral_centroid_hz"] == pytest.approx(880, rel=0.05)
         assert out.loc["a880", "n_samples"] == 16000   # stereo folded to mono
+
+
+class TestImagesPhashDedup:
+    def test_clusters_match_pandas_and_catch_reencodes(self, ray_session):
+        """images_phash_dedup clusters == a pandas groupby over the same two
+        parquet tables, and every JPEG re-encode lands in a cluster with its
+        lossless twin (q98 JPEG preserves the 8x8 average-phash exactly)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from dggsray.io.imagetable import ensure_image_table, ensure_jpeg_table
+        from dggsray.pipelines.relational import images_phash_dedup
+
+        out = images_phash_dedup("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("phash").reset_index(drop=True)
+
+        base = pq.read_table(ensure_image_table(0.001),
+                             columns=["image_id", "phash", "fmt"]).to_pandas()
+        jp = pq.read_table(ensure_jpeg_table(),
+                           columns=["image_id", "phash", "fmt"]).to_pandas()
+        allrows = pd.concat([base, jp], ignore_index=True)
+        allrows["is_jpeg"] = (allrows.fmt == "jpeg").astype("int64")
+        exp = allrows.groupby("phash").agg(
+            n_images=("image_id", "size"), n_jpeg=("is_jpeg", "sum"),
+            keeper_id=("image_id", "min")).reset_index()
+        exp = exp[exp.n_images > 1].sort_values("phash").reset_index(drop=True)
+
+        cols = ["phash", "n_images", "n_jpeg", "keeper_id"]
+        pd.testing.assert_frame_equal(out[cols], exp[cols],
+                                      check_dtype=False)
+        # every jpeg twin is detected: its phash belongs to some cluster
+        assert set(jp.phash).issubset(set(out.phash))
