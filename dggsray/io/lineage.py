@@ -116,9 +116,12 @@ class LineageLog:
         return n == rec["rows"]
 
     def commit(self, part: int, inputs: list[str], rows: int, digest: str,
-               wall_s: float, n_parts: int | None = None):
+               wall_s: float, n_parts: int | None = None,
+               out_bytes: int | None = None):
         rec = {"part": part, "inputs": inputs, "n_parts": n_parts,
                "rows": rows, "digest": digest, "wall_s": round(wall_s, 3),
+               "out_bytes": out_bytes,
+               "rows_per_s": round(rows / wall_s, 1) if wall_s > 0 else None,
                "ts": time.time()}
         tmp = self.record_path(part) + ".tmp"
         with open(tmp, "w") as f:
@@ -133,8 +136,12 @@ class LineageLog:
         recs = [json.load(open(os.path.join(self.dir, f)))
                 for f in sorted(os.listdir(self.dir))
                 if f.startswith("part-") and f.endswith(".json")]
-        return {"parts": len(recs), "rows": sum(r["rows"] for r in recs),
-                "wall_s": sum(r["wall_s"] for r in recs)}
+        out = {"parts": len(recs), "rows": sum(r["rows"] for r in recs),
+               "wall_s": round(sum(r["wall_s"] for r in recs), 3),
+               "out_bytes": sum(r.get("out_bytes") or 0 for r in recs)}
+        if out["wall_s"] > 0:
+            out["rows_per_s"] = round(out["rows"] / out["wall_s"], 1)
+        return out
 
 
 def run_resumable(input_files: list[str], out_dir: str, make_pipeline,
@@ -205,8 +212,9 @@ def run_resumable(input_files: list[str], out_dir: str, make_pipeline,
         acc = 0
         for r in stats:
             acc ^= int(r["_dig"], 16)
+        out_bytes = sum(os.path.getsize(f) for f in part_out)
         log.commit(part, part_files, rows, f"{acc:016x}", time.time() - t0,
-                   n_parts=n_parts)
+                   n_parts=n_parts, out_bytes=out_bytes)
         computed += 1
         if fail_after is not None and computed >= fail_after:
             raise RuntimeError(f"injected failure after {computed} partitions")

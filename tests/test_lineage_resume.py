@@ -84,3 +84,41 @@ class TestShardingChangeInvalidates:
         computed, skipped = flagship_resumable(0.001, out, n_parts=3)
         assert skipped == 0 and computed == 3
         assert read_resumable(out).count() == n_ref
+
+
+class TestJobEntrypoint:
+    """python -m dggsray.job — the ray-job-submit driver program (north_rule).
+    In-process here (the test session owns Ray); on a cluster the same main()
+    runs under `ray job submit` with RAY_ADDRESS pointing at the head node."""
+
+    def test_pipeline_mode_writes_parquet_and_reports(self, ray_session,
+                                                      tmp_path, capsys):
+        import json
+        import ray.data as rd
+        from dggsray.job import main
+
+        out = str(tmp_path / "job_p")
+        rc = main(["--pipeline", "cell_count_by_face",
+                   "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["pipeline"] == "cell_count_by_face" and rep["rows"] > 0
+        assert rd.read_parquet(out).count() == rep["rows"]
+
+    def test_resumable_mode_skips_on_resubmit(self, ray_session, tmp_path,
+                                              capsys):
+        import json
+        from dggsray.job import main
+
+        out = str(tmp_path / "job_r")
+        args = ["--resumable", "--sf-dir", "/root/testdata/sf0.001",
+                "--out", out, "--n-parts", "3"]
+        assert main(args) == 0
+        first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert first["computed_parts"] == 3 and first["rows"] == 500
+        assert first["lineage"]["out_bytes"] > 0
+        assert first["lineage"]["rows_per_s"] > 0
+        assert main(args) == 0      # resubmit: all partitions verify -> skip
+        second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert second["skipped_parts"] == 3 and second["computed_parts"] == 0
+        assert second["rows"] == 500
