@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_click_error": R.events_asof_click_error,
         "orders_lineitem_revenue": R.orders_lineitem_revenue,
         "images_phash_dedup": R.images_phash_dedup,
+        "docs_vocab_topk": R.docs_vocab_topk,
+        "events_props_extract": R.events_props_extract,
         "flagship_cell_join": _flagship,
     }
 
@@ -308,6 +310,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
         "docs_minhash_dedup": _minhash_sql(),
+        "docs_vocab_topk":
+            "WITH t AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1 "
+            "ORDER BY n DESC, token ASC LIMIT 50",
+        "events_props_extract":
+            "SELECT event_type, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
+            "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS max_k, "
+            "COUNT(*) AS n_events FROM events GROUP BY 1",
         "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),

@@ -1007,3 +1007,57 @@ def orders_lineitem_revenue(sf_dir: str, k: int = 50):
     out = out[["l_orderkey", "o_orderpriority", "revenue_e4"]]
     return out.sort_values(["revenue_e4", "l_orderkey"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def docs_vocab_topk(sf_dir: str, k: int = 50):
+    """Corpus vocabulary: the k most frequent whitespace tokens.  The classic
+    wide aggregate done combiner-first: every batch pre-counts its own tokens
+    with one Arrow split+flatten+value_counts (the shuffle then moves
+    (distinct-token x block) partial rows, not one row per token INSTANCE),
+    a keyed Sum merges partials, and ops.topk.partial_topk picks the winners
+    without a global sort.  At 100 TB the exchanged bytes are bounded by
+    vocabulary size x block count — independent of corpus length."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import sized_groupby
+    from ..ops.topk import partial_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(b.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tot = sized_groupby(ds.map_batches(counts, batch_format="pyarrow"),
+                        "token", Sum("n", alias_name="n"))
+    return partial_topk(tot, ["n", "token"], [True, False], k)
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured parsing: pull the integer field `k` out of the JSON
+    `props` column with ONE vectorized Arrow regex per batch (extract_regex —
+    no per-row json.loads), then a low-cardinality grouped aggregate per
+    event type.  The JSON never leaves the scan stage; the shuffle moves one
+    partial row per (event_type, block)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..ops.joins import lowcard_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>\d+)')
+        kv = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "_k": kv})
+        g = t.group_by("event_type").aggregate(
+            [("_k", "sum"), ("_k", "max"), ([], "count_all")])
+        return g.rename_columns(["event_type", "_s", "_m", "_n"])
+
+    return lowcard_groupby(ds.map_batches(kernel, batch_format="pyarrow"),
+                           "event_type", Sum("_s", alias_name="sum_k"),
+                           Max("_m", alias_name="max_k"),
+                           Sum("_n", alias_name="n_events"))

@@ -215,3 +215,35 @@ class TestAVQueries:
         assert len(v) == 20 * 3              # 6 frames sampled every 2
         assert set(v.frame_idx) == {0, 2, 4}
         assert v.mean_milli.between(0, 255_000).all()
+
+
+class TestVocabAndProps:
+    def test_vocab_topk_matches_bruteforce(self, ray_session):
+        from collections import Counter
+        import pyarrow.parquet as pq
+        from dggsray.pipelines.relational import docs_vocab_topk
+
+        out = docs_vocab_topk("/root/testdata/sf0.001", k=10).to_pandas()
+        texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        c = Counter(w for t in texts for w in t.split())
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(map(tuple, out[["token", "n"]].values)) == exp
+
+    def test_props_extract_matches_json_loads(self, ray_session):
+        import json
+        import pyarrow.parquet as pq
+        from dggsray.pipelines.relational import events_props_extract
+
+        out = events_props_extract("/root/testdata/sf0.001").to_pandas() \
+            .set_index("event_type")
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_type", "props"]).to_pandas()
+        t["k"] = [json.loads(p)["k"] for p in t.props]
+        exp = t.groupby("event_type").agg(sum_k=("k", "sum"),
+                                          max_k=("k", "max"),
+                                          n_events=("k", "size"))
+        for et, row in exp.iterrows():
+            assert out.loc[et, "sum_k"] == row.sum_k
+            assert out.loc[et, "max_k"] == row.max_k
+            assert out.loc[et, "n_events"] == row.n_events
