@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_dedup": R.images_phash_dedup,
         "docs_vocab_topk": R.docs_vocab_topk,
         "events_props_extract": R.events_props_extract,
+        "video_scene_cuts": R.video_scene_cuts,
         "flagship_cell_join": _flagship,
     }
 
@@ -478,6 +479,6 @@ def oracle_sql() -> dict[str, str]:
         # measured 15/20 resp. <10/10 candidate recall at sf0.01),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
-        # images_phash_dedup / audio_features / video_frames
-        # (engine-synthesized multimodal tables)
+        # images_phash_dedup / audio_features / video_frames /
+        # video_scene_cuts (engine-synthesized multimodal tables)
     }

@@ -464,6 +464,23 @@ def video_frames(sf_dir: str):
     return frames.map_batches(bright, batch_format="pyarrow")
 
 
+def video_scene_cuts(sf_dir: str):
+    """Scene-cut rows over the synthetic AVI/MJPEG table: every clip's frames
+    decode in an actor pool, consecutive-frame mean-|Δ| marks the cut where
+    the clip's luminance cycle wraps (the synthetic clips contain exactly one
+    such jump in their 6 frames — a deterministic detection target).  Only
+    cut transitions are returned."""
+    import ray.data as rd
+
+    from ..io.avtable import ensure_video_table
+    from ..ops.multimodal import VideoSceneCuts, _default_pool
+
+    ds = rd.read_parquet(ensure_video_table(_sf_of(sf_dir)))
+    rows = ds.map_batches(VideoSceneCuts, batch_format="pyarrow",
+                          concurrency=_default_pool(), max_restarts=0)
+    return rows.filter(expr="is_cut")
+
+
 def events_top_users(sf_dir: str, k: int = 3):
     """Grouped top-k (top users by summed value per event type): per-batch
     partial (type, user) sums -> one keyed shuffle -> per-block vectorized

@@ -247,3 +247,41 @@ class TestVocabAndProps:
             assert out.loc[et, "sum_k"] == row.sum_k
             assert out.loc[et, "max_k"] == row.max_k
             assert out.loc[et, "n_events"] == row.n_events
+
+
+class TestVideoSceneCuts:
+    def test_cut_detected_at_luminance_wrap(self, ray_session):
+        """Every synthetic clip's base luminance is 20*((idx+f) % 5): the one
+        frame transition where the cycle wraps (drop of 80) must be flagged,
+        and smooth +20 transitions must not."""
+        from dggsray.pipelines.relational import video_scene_cuts
+
+        out = video_scene_cuts("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0 and out.is_cut.all()
+        for r in out.itertuples():
+            idx = int(r.video_id[1:])
+            # wrap transition: (idx + f) % 5 == 0 for f in 1..5
+            assert (idx + r.frame_idx) % 5 == 0, (r.video_id, r.frame_idx)
+            assert r.diff_milli > 50_000
+        # exactly one cut per clip that has a wrap within its 6 frames
+        assert (out.groupby("video_id").size() == 1).all()
+
+    def test_rawv_path_and_short_clip(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.multimodal import VideoSceneCuts
+
+        w, h = 4, 3
+        a = np.zeros((h, w, 3), np.uint8)
+        b_ = np.full((h, w, 3), 200, np.uint8)
+        clip = a.tobytes() + b_.tobytes() + b_.tobytes()
+        t = pa.table({"video_id": pa.array(["r1", "short"], pa.string()),
+                      "w": pa.array([w, w], pa.int32()),
+                      "h": pa.array([h, h], pa.int32()),
+                      "fmt": pa.array(["rawv", "rawv"], pa.string()),
+                      "bytes": pa.array([clip, a.tobytes()], pa.binary())})
+        out = rd.from_arrow(t).map_batches(
+            VideoSceneCuts, concurrency=1, batch_format="pyarrow").to_pandas()
+        assert set(out.video_id) == {"r1"}      # <2 frames -> no rows
+        assert out.loc[out.frame_idx == 1, "diff_milli"].iloc[0] == 200_000
+        assert bool(out.loc[out.frame_idx == 1, "is_cut"].iloc[0])
+        assert not bool(out.loc[out.frame_idx == 2, "is_cut"].iloc[0])
