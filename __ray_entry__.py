@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_topk": R.docs_vocab_topk,
         "events_props_extract": R.events_props_extract,
         "video_scene_cuts": R.video_scene_cuts,
+        "embed_ivf_multiquery": R.embed_ivf_multiquery,
         "flagship_cell_join": _flagship,
     }
 
@@ -475,8 +476,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only by design (non-SQL-expressible or engine-synthesized input):
         # docs_simhash_clusters (byte-level hash contracts),
         # docs_fingerprint_overlap (winnowing rolling-hash contract),
-        # embed_lsh_top20 / embed_ivf_top10 (recall genuinely partial:
-        # measured 15/20 resp. <10/10 candidate recall at sf0.01),
+        # embed_lsh_top20 / embed_ivf_top10 / embed_ivf_multiquery (recall
+        # genuinely partial: measured 15/20 resp. <10/10 at sf0.01),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
         # images_phash_dedup / audio_features / video_frames /

@@ -191,3 +191,50 @@ def ivf_topk(ds, query: np.ndarray, k: int, centroids: np.ndarray,
 
     cand = ds.map_batches(filter_lists, batch_format="pyarrow")
     return brute_topk(cand, q[None, :], k, id_col, emb_col)
+
+
+def build_ivf_index(ds, centroids: np.ndarray, out_dir: str,
+                    emb_col: str = "embedding") -> str:
+    """Persist the IVF index: one ivf_assign pass, hive-partitioned parquet by
+    list_id.  This is the multi-query scale path — the one-off index build
+    streams the corpus ONCE, and every later probe reads only its nprobe
+    partition directories instead of rescanning everything (at 100 TB a probe
+    touches nprobe/n_lists of the bytes).  Idempotent via a _SUCCESS marker."""
+    import os
+
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    ivf_assign(ds, centroids, emb_col).write_parquet(
+        out_dir, partition_cols=["list_id"])
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def ivf_topk_indexed(index_dir: str, query: np.ndarray, k: int,
+                     centroids: np.ndarray, nprobe: int = 8,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Top-k for one query from a persisted IVF index: partition-pruned read
+    of ONLY the nprobe nearest list directories, exact rerank (brute_topk).
+    Same results as ivf_topk over the raw dataset with the same quantizer —
+    minus the full-corpus scan."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    q = np.asarray(query, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    probe = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:nprobe]
+    files = [f for p in probe
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"list_id={p}", "*.parquet")))]
+    if not files:
+        return rd.from_arrow(pa.table({
+            "query": pa.array([], pa.int32()),
+            id_col: pa.array([], pa.int64()),
+            "cos_micro": pa.array([], pa.int64())}))
+    cand = rd.read_parquet(files, columns=[id_col, emb_col])
+    return brute_topk(cand, q[None, :], k, id_col, emb_col)

@@ -679,6 +679,37 @@ def embed_ivf_top10(sf_dir: str, n_centroids: int = 32, nprobe: int = 8):
     return ivf_topk(ds, q, 10, C, nprobe=nprobe)
 
 
+def embed_ivf_multiquery(sf_dir: str, n_queries: int = 4, k: int = 5,
+                         n_centroids: int = 32, nprobe: int = 8):
+    """Multi-query ANN over a PERSISTED IVF index: the corpus is assigned to
+    lists and written hive-partitioned ONCE (cached under /tmp like the image
+    tables); each of the n_queries then reads only its nprobe list
+    directories — the serving pattern where the index cost amortizes over
+    queries.  Deterministic: same quantizer sample/seed as embed_ivf_top10."""
+    import os
+
+    from ..ops.similarity import (build_ivf_index, ivf_topk_indexed,
+                                  kmeans_centroids)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = ds.limit(2048).to_pandas()
+    X = np.stack(sample["embedding"].to_numpy())
+    C = kmeans_centroids(X, n_centroids)
+    dim = X.shape[1]
+    sf = _sf_of(sf_dir)
+    idx_dir = os.path.join("/tmp/dggsray_cache",
+                           f"ivf_sf{sf}_c{n_centroids}")
+    build_ivf_index(ds, C, idx_dir)
+    outs = []
+    for j in range(n_queries):
+        q = np.sin(np.arange(dim, dtype=np.float64) * 0.1 * (j + 1)) + 0.5
+        t = ivf_topk_indexed(idx_dir, q, k, C, nprobe=nprobe).to_pandas()
+        t["query"] = np.int32(j)
+        outs.append(t)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def images_jpeg_psnr(sf_dir: str, n: int = 500):
     """Lossy-codec per-row invariant (input_hint: "decoded-pixel allclose,
     PSNR >= 40 dB for lossy"): the JPEG-encoded variant table decodes through

@@ -363,3 +363,42 @@ class TestImagesPhashDedup:
                                       check_dtype=False)
         # every jpeg twin is detected: its phash belongs to some cluster
         assert set(jp.phash).issubset(set(out.phash))
+
+
+class TestIvfIndexed:
+    def test_indexed_probe_equals_streaming_ivf(self, ray_session, tmp_path):
+        """ivf_topk_indexed over the persisted hive-partitioned index returns
+        the SAME top-k as ivf_topk streaming the raw dataset with the same
+        quantizer, while reading only the probed list directories."""
+        import glob
+        import ray.data as rd
+        from dggsray.ops.similarity import (build_ivf_index, ivf_topk,
+                                            ivf_topk_indexed, kmeans_centroids)
+
+        rng = np.random.default_rng(7)
+        emb = rng.standard_normal((600, 16))
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(600), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64()))}))
+        C = kmeans_centroids(emb[:300], 8)
+        idx = build_ivf_index(ds, C, str(tmp_path / "ivf"))
+        # index is really partitioned, and a probe touches a strict subset
+        all_dirs = glob.glob(str(tmp_path / "ivf" / "list_id=*"))
+        assert len(all_dirs) > 2
+        q = emb[42] * 0.9
+        a = ivf_topk_indexed(idx, q, 5, C, nprobe=3).to_pandas()
+        b = ivf_topk(ds, q, 5, C, nprobe=3).to_pandas()
+        cols = ["vec_id", "cos_micro"]
+        assert a[cols].values.tolist() == b[cols].values.tolist()
+        assert a.vec_id.iloc[0] == 42
+        # build is idempotent (cached by _SUCCESS)
+        assert build_ivf_index(ds, C, idx) == idx
+
+    def test_multiquery_pipeline(self, ray_session):
+        from dggsray.pipelines.relational import embed_ivf_multiquery
+        out = embed_ivf_multiquery("/root/testdata/sf0.001", n_queries=3, k=4)
+        assert len(out) == 12
+        assert set(out["query"]) == {0, 1, 2}
+        # per-query results are sorted by descending cosine
+        for _, g in out.groupby("query"):
+            assert list(g.cos_micro) == sorted(g.cos_micro, reverse=True)
