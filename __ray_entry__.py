@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": R.events_props_extract,
         "video_scene_cuts": R.video_scene_cuts,
         "embed_ivf_multiquery": R.embed_ivf_multiquery,
+        "docs_decontaminate": R.docs_decontaminate,
         "flagship_cell_join": _flagship,
     }
 
@@ -99,6 +100,25 @@ def _ann_sql(dim: int = 64) -> str:
             f"CAST(embedding AS DOUBLE[]), {lit}) "
             f"* 1000000) AS BIGINT) AS cos_micro FROM embeddings "
             f"ORDER BY cos_micro DESC, vec_id ASC LIMIT 10")
+
+
+def _decontaminate_sql(k: int = 5, mod: int = 10) -> str:
+    """Mirror of relational.docs_decontaminate: eval = doc_id % mod == 0,
+    flag training docs whose distinct word-k-gram lists intersect the eval
+    union, count the shared distinct k-grams."""
+    terms = " || chr(31) || ".join(f"l[i+{j}]" for j in range(k))
+    return (
+        "WITH l0 AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, list_distinct(list_transform("
+        f"range(1, len(l) - {k - 2}), i -> {terms})) AS kg FROM l0), "
+        f"ev AS (SELECT list_distinct(flatten(list(kg))) AS ekg FROM g "
+        f"WHERE doc_id % {mod} = 0), "
+        f"tr AS (SELECT doc_id, kg FROM g WHERE doc_id % {mod} <> 0) "
+        "SELECT tr.doc_id, CAST(len(list_intersect(tr.kg, ev.ekg)) AS BIGINT) "
+        "AS n_shared_kgrams FROM tr, ev "
+        "WHERE len(list_intersect(tr.kg, ev.ekg)) > 0")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -312,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
         "docs_minhash_dedup": _minhash_sql(),
+        "docs_decontaminate": _decontaminate_sql(),
         "docs_vocab_topk":
             "WITH t AS (SELECT unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "

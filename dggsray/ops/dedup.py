@@ -369,6 +369,91 @@ def _bigram_hash_sets(texts: pa.Array | pa.ChunkedArray):
     return np.zeros(0, dtype=np.uint64), out_off
 
 
+def _kgram_hash_sets(texts: pa.Array | pa.ChunkedArray, k: int):
+    """Per-doc sorted DISTINCT word-k-gram 64-bit hash sets — the k-ary
+    generalization of _bigram_hash_sets (same tokenize/vocab-hash prelude,
+    FNV-chained window mix like _word_shingle_hashes).  Returns
+    (concat_sorted_hashes uint64, offsets int64 len n+1)."""
+    from hashlib import blake2b
+
+    toks = pc.split_pattern_regex(texts, r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy()
+    off = (off - off[0]).astype(np.int64)
+    lens = off[1:] - off[:-1]
+    nseg = len(lens)
+    seg_all = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    th = np.fromiter(
+        (int.from_bytes(blake2b(v.encode("utf-8", "ignore"),
+                                digest_size=8).digest(), "little")
+         for v in vocab), dtype=np.uint64, count=len(vocab))
+    seg = seg_all[keep]
+    H = th[codes[keep]]
+    out_off = np.zeros(nseg + 1, dtype=np.int64)
+    n = H.size
+    if n >= k:
+        m = n - k + 1
+        with np.errstate(over="ignore"):
+            wh = np.zeros(m, dtype=np.uint64)
+            for c in range(k):
+                wh = wh * np.uint64(1099511628211) + H[c:m + c]
+        valid = seg[:m] == seg[k - 1:]        # window stays inside one doc
+        gseg, gh = seg[:m][valid], wh[valid]
+        order = np.lexsort((gh, gseg))
+        gseg, gh = gseg[order], gh[order]
+        first = np.ones(gseg.size, dtype=bool)
+        first[1:] = (gseg[1:] != gseg[:-1]) | (gh[1:] != gh[:-1])
+        gseg, gh = gseg[first], gh[first]
+        np.add.at(out_off, gseg + 1, 1)
+        np.cumsum(out_off, out=out_off)
+        return gh, out_off
+    return np.zeros(0, dtype=np.uint64), out_off
+
+
+def decontaminate(train_ds, eval_texts: list[str], k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Test-set decontamination (the GPT-3/PaLM n-gram overlap rule): flag
+    every training document that shares at least one word k-gram with ANY
+    eval document.  The eval side — small by nature — collapses to ONE sorted
+    union of k-gram hashes on the driver and is broadcast via ray.put; the
+    training corpus then streams through a vectorized searchsorted membership
+    kernel: no shuffle, no corpus materialization, eval bytes shipped once
+    per node.  Returns (doc_id, n_shared_kgrams) rows for flagged docs, where
+    n_shared_kgrams counts the doc's DISTINCT k-grams that appear anywhere in
+    the eval set."""
+    import ray
+
+    ev_h, _ = _kgram_hash_sets(pa.array(list(eval_texts), pa.string()), k)
+    ev = np.unique(ev_h)
+    ref = ray.put(ev)
+
+    schema = pa.schema([(id_col, pa.int64()),
+                        ("n_shared_kgrams", pa.int64())])
+
+    def kernel(bt: pa.Table) -> pa.Table:
+        E = ray.get(ref)
+        h, o = _kgram_hash_sets(bt.column(text_col), k)
+        hit = np.zeros(h.size, dtype=np.int64)
+        if h.size and E.size:
+            idx = np.searchsorted(E, h)
+            idx_c = np.minimum(idx, E.size - 1)
+            hit = ((idx < E.size) & (E[idx_c] == h)).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        cnt = cs[o[1:]] - cs[o[:-1]]
+        flag = cnt > 0
+        ids = bt.column(id_col).to_numpy().astype(np.int64)
+        return pa.table({id_col: pa.array(ids[flag]),
+                         "n_shared_kgrams": pa.array(cnt[flag])})
+
+    return collect_typed(train_ds.map_batches(kernel, batch_format="pyarrow"),
+                         schema)
+
+
 def ngram_jaccard_pairs(ds, threshold: float, text_col: str = "text",
                         id_col: str = "doc_id"):
     """All pairs with word-BIGRAM set Jaccard >= threshold — the n-gram

@@ -679,6 +679,29 @@ def embed_ivf_top10(sf_dir: str, n_centroids: int = 32, nprobe: int = 8):
     return ivf_topk(ds, q, 10, C, nprobe=nprobe)
 
 
+def docs_decontaminate(sf_dir: str, k: int = 5, mod: int = 10):
+    """Test-set decontamination over the documents table: every 1-in-`mod`
+    doc (by id) plays the held-out eval set; training docs sharing any word
+    k-gram with it are flagged with their shared-distinct-k-gram count
+    (ops.dedup.decontaminate — broadcast eval hash union, streaming
+    membership, no shuffle).  k=5 suits these short synthetic docs; real
+    decontamination runs use k=8..13 on the same code path."""
+    from ..ops.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(b: pa.Table, want_eval: bool) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        m = (ids % mod == 0) if want_eval else (ids % mod != 0)
+        return b.filter(pa.array(m))
+
+    eval_texts = ds.map_batches(lambda b: split(b, True),
+                                batch_format="pyarrow") \
+        .to_pandas()["text"].tolist()       # eval side: small by construction
+    train = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    return decontaminate(train, eval_texts, k=k)
+
+
 def embed_ivf_multiquery(sf_dir: str, n_queries: int = 4, k: int = 5,
                          n_centroids: int = 32, nprobe: int = 8):
     """Multi-query ANN over a PERSISTED IVF index: the corpus is assigned to

@@ -402,3 +402,28 @@ class TestIvfIndexed:
         # per-query results are sorted by descending cosine
         for _, g in out.groupby("query"):
             assert list(g.cos_micro) == sorted(g.cos_micro, reverse=True)
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flagged_and_counts_exact(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.dedup import decontaminate
+
+        evals = ["alpha beta gamma delta epsilon zeta", "one two three"]
+        train = [
+            ("clean", "the quick brown fox jumps over the lazy dog"),
+            # contains eval 8..gram? k=3: shares 'beta gamma delta'
+            ("hit1", "xx beta gamma delta yy"),
+            # two distinct shared trigrams with eval[0]
+            ("hit2", "alpha beta gamma delta qq"),
+            ("short", "one two"),            # k-1 words: no trigram, clean
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([t for _, t in train], pa.string())}))
+        out = decontaminate(ds, evals, k=3).to_pandas() \
+            .set_index("doc_id")
+        assert set(out.index) == {2, 3}
+        assert out.loc[2, "n_shared_kgrams"] == 1
+        # hit2 shares 'alpha beta gamma' and 'beta gamma delta'
+        assert out.loc[3, "n_shared_kgrams"] == 2
