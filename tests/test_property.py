@@ -1,0 +1,112 @@
+"""Property-based invariants (hypothesis) over the pure-numpy core.
+
+These complement the golden tests: goldens pin exact reference values on a few
+inputs, properties pin the ALGEBRA on thousands of generated ones — cell
+assignment is a function of position, packing preserves lexicographic order,
+AUID encode/decode is lossless, compaction preserves covered area.  No Ray
+session needed: everything here is driver-side math.
+"""
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dggsray.core.auid import (generate_bp_auid_from_cuids,
+                               generate_cuids_from_bp_auid, is_optimal_cuids,
+                               optimize_cuids)
+from dggsray.core.cells import (get_descendant_cellids_at_resolution_idx,
+                                truncate_to_resolution)
+from dggsray.core.rhpx import (DEFAULT_GRID, cell_centroid, cells_from_lonlat,
+                               pack_cellids, unpack_cellids)
+
+# rHEALPix cellids: face letter + up to 6 digits 0..8 (n_side=3)
+_cell = st.text(alphabet="012345678", min_size=0, max_size=6) \
+    .flatmap(lambda d: st.sampled_from("NOPQRS").map(lambda f: f + d))
+
+_lon = st.floats(min_value=-179.9, max_value=179.9,
+                 allow_nan=False, allow_infinity=False)
+_lat = st.floats(min_value=-89.9, max_value=89.9,
+                 allow_nan=False, allow_infinity=False)
+
+
+class TestCellAssignment:
+    @settings(max_examples=200, deadline=None)
+    @given(lon=_lon, lat=_lat, res=st.integers(min_value=0, max_value=8))
+    def test_centroid_maps_back_to_its_own_cell(self, lon, lat, res):
+        """cells_from_lonlat is idempotent through the cell centroid: the
+        planar centroid of an assigned cell lies in THAT cell (the invariant
+        the pixel-explode verify step relies on)."""
+        from dggsray.core.rhpx import cell_from_point, project_fwd
+        c = cells_from_lonlat(res, np.array([lon]), np.array([lat]))[0]
+        cx, cy = cell_centroid([c], DEFAULT_GRID)
+        c2 = cell_from_point(res, cx, cy, DEFAULT_GRID)[0]
+        assert c2 == c
+
+    @settings(max_examples=200, deadline=None)
+    @given(lon=_lon, lat=_lat,
+           res=st.integers(min_value=1, max_value=8),
+           up=st.integers(min_value=0, max_value=7))
+    def test_coarser_assignment_is_prefix(self, lon, lat, res, up):
+        """Assigning at a coarser resolution equals truncating the finer
+        cellid — the hierarchy property every rollup aggregate builds on."""
+        coarse_res = min(up, res)
+        lo = np.array([lon]); la = np.array([lat])
+        fine = cells_from_lonlat(res, lo, la)[0]
+        coarse = cells_from_lonlat(coarse_res, lo, la)[0]
+        assert fine[:coarse_res + 1] == coarse
+        assert truncate_to_resolution(np.array([fine]), coarse_res)[0] == coarse
+
+
+class TestPackedOrder:
+    @settings(max_examples=100, deadline=None)
+    @given(cells=st.lists(_cell, min_size=2, max_size=40))
+    def test_pack_order_equals_lexicographic(self, cells):
+        """Packed-int sort order == python string sort order (the claim that
+        lets the engine sort cellids as int64)."""
+        arr = np.array(cells)
+        face, path, res = pack_cellids(arr)
+        # same resolution required for a meaningful single-key comparison:
+        # pad by grouping per resolution
+        for r in np.unique(res):
+            m = res == r
+            sub = arr[m]
+            order = np.lexsort((path[m], face[m]))   # face major, then path
+            assert list(sub[order]) == sorted(sub)
+
+    @settings(max_examples=100, deadline=None)
+    @given(cells=st.lists(_cell, min_size=1, max_size=30))
+    def test_pack_unpack_roundtrip(self, cells):
+        arr = np.array(cells)
+        face, path, res = pack_cellids(arr)
+        back = unpack_cellids(face, path, res)
+        assert list(back) == cells
+
+
+class TestAuidRoundtrip:
+    @settings(max_examples=100, deadline=None)
+    @given(cells=st.sets(_cell, min_size=1, max_size=25))
+    def test_bp_auid_roundtrips_sorted_cuids(self, cells):
+        cuids = sorted(cells)
+        auid = generate_bp_auid_from_cuids(cuids)[0]
+        assert generate_cuids_from_bp_auid(auid) == cuids
+
+
+class TestOptimizeCuids:
+    @settings(max_examples=60, deadline=None)
+    @given(cells=st.sets(_cell, min_size=1, max_size=20))
+    def test_optimize_preserves_area_and_is_optimal(self, cells):
+        """Compaction never changes the covered area (expansion to the
+        deepest input resolution is set-equal) and its output passes the
+        optimality predicate."""
+        cuids = sorted(cells)
+        opt = optimize_cuids(cuids, 3)
+        assert is_optimal_cuids(opt, 3)
+        deep = max(len(c) for c in cuids) - 1
+
+        def expand(cs):
+            out = set()
+            for c in cs:
+                out.update(get_descendant_cellids_at_resolution_idx(
+                    c, DEFAULT_GRID, deep))
+            return out
+
+        assert expand(opt) == expand(cuids)
