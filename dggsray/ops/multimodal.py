@@ -191,6 +191,45 @@ class VideoFrameSample:
                          "bytes": pa.array(out_bytes, pa.binary())})
 
 
+class ImagePrep:
+    """Fused per-image corpus-prep stage: ONE decode per image feeding every
+    downstream signal — integrity (recomputed phash vs the stored column),
+    brightness/contrast stats for quality filtering, and the phash itself for
+    dedup.  Separate Verify/Features/Dedup stages would each decode again;
+    at 100 TB the decode IS the cost, so signals that share it must share the
+    pass (same reasoning as the fused flagship kernel).
+
+    Emits small integer rows only — bytes never leave the stage."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..io.imagetable import average_phash, decode_image
+
+        blobs = b.column("bytes").to_pylist()
+        ws = b.column("w").to_numpy()
+        hs = b.column("h").to_numpy()
+        fmts = b.column("fmt").to_pylist()
+        stored = b.column("phash").to_numpy()
+        n = len(blobs)
+        bright = np.empty(n)
+        contrast = np.empty(n)
+        ph_ok = np.empty(n, dtype=bool)
+        ph = np.empty(n, dtype=np.int64)
+        for k in range(n):
+            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+            bright[k] = img.mean()
+            contrast[k] = img.std()
+            ph[k] = average_phash(img)
+            ph_ok[k] = ph[k] == stored[k]
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "fmt": b.column("fmt"),
+            "phash": pa.array(ph),
+            "phash_ok": pa.array(ph_ok),
+            "bright_milli": pa.array(np.rint(bright * 1000).astype(np.int64)),
+            "contrast_milli": pa.array(
+                np.rint(contrast * 1000).astype(np.int64))})
+
+
 class VideoSceneCuts:
     """Scene-cut detection per clip: decode EVERY frame ('mjpeg' through the
     real AVI+baseline-JPEG path, 'rawv' by slicing), one vectorized

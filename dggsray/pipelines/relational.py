@@ -679,6 +679,67 @@ def embed_ivf_top10(sf_dir: str, n_centroids: int = 32, nprobe: int = 8):
     return ivf_topk(ds, q, 10, C, nprobe=nprobe)
 
 
+def images_corpus_pipeline(sf_dir: str, bright_max_milli: int = 127_000):
+    """End-to-end IMAGE corpus preparation, the multimodal analogue of
+    docs_corpus_pipeline: one fused decode pass (ops.multimodal.ImagePrep —
+    integrity check + brightness/contrast + phash, bytes never leave the
+    stage) -> quality filter (verified phash AND brightness under the cap,
+    a LAION-style exposure gate) -> perceptual-hash dedup (keeper = min
+    image_id per phash, sized_groupby) -> keeper semi-join -> per-format
+    summary with integer-exact averages.
+
+    The keeper set is broadcast (ray.put) because it is bounded by DISTINCT
+    phashes, already small after dedup; at 100 TB with a high-entropy phash
+    column, swap the semi-join for the hash join in ops.joins (one shuffle of
+    the small integer rows — the decode pass is unchanged either way)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..io.imagetable import ensure_image_table
+    from ..ops.joins import broadcast_semi_join, lowcard_groupby, sized_groupby
+    from ..ops.multimodal import ImagePrep, _default_pool
+
+    ds = rd.read_parquet(ensure_image_table(_sf_of(sf_dir)))
+    prep = ds.map_batches(ImagePrep, batch_format="pyarrow",
+                          concurrency=_default_pool(), max_restarts=0)
+    # materialize the POST-decode integer rows once: two consumers follow
+    # (keeper groupby, winner semi-join) and without this the whole decode
+    # pass would re-execute for the second — the exact cost the fused stage
+    # exists to avoid.  Bytes are gone by here, so this holds ~40 B/image in
+    # the object store, distributed.
+    good = prep.filter(
+        expr=f"phash_ok and bright_milli < {bright_max_milli}").materialize()
+    keep = sized_groupby(good, "phash",
+                         Min("image_id", alias_name="keeper_id")) \
+        .to_pandas()["keeper_id"].tolist()
+    winners = broadcast_semi_join(good, keep, key_col="image_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"fmt": b.column("fmt"),
+                      "_b": b.column("bright_milli"),
+                      "_c": b.column("contrast_milli")})
+        g = t.group_by("fmt").aggregate(
+            [("_b", "sum"), ("_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["fmt", "_sb", "_sc", "_n"])
+
+    agg = lowcard_groupby(winners.map_batches(partial, batch_format="pyarrow"),
+                          "fmt", Sum("_sb", alias_name="_sb"),
+                          Sum("_sc", alias_name="_sc"),
+                          Sum("_n", alias_name="n_kept"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b.column("n_kept").to_numpy()
+        return pa.table({
+            "fmt": b.column("fmt"),
+            "n_kept": b.column("n_kept"),
+            "avg_bright_milli": pa.array(
+                b.column("_sb").to_numpy() // np.maximum(n, 1)),
+            "avg_contrast_milli": pa.array(
+                b.column("_sc").to_numpy() // np.maximum(n, 1))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def docs_decontaminate(sf_dir: str, k: int = 5, mod: int = 10):
     """Test-set decontamination over the documents table: every 1-in-`mod`
     doc (by id) plays the held-out eval set; training docs sharing any word

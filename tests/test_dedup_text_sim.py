@@ -427,3 +427,40 @@ class TestDecontaminate:
         assert out.loc[2, "n_shared_kgrams"] == 1
         # hit2 shares 'alpha beta gamma' and 'beta gamma delta'
         assert out.loc[3, "n_shared_kgrams"] == 2
+
+
+class TestImagesCorpusPipeline:
+    def test_matches_pandas_reference(self, ray_session):
+        """The fused prep -> filter -> phash-dedup -> summary chain equals a
+        pandas recomputation over the decoded table."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from dggsray.io.imagetable import (average_phash, decode_image,
+                                           ensure_image_table)
+        from dggsray.pipelines.relational import images_corpus_pipeline
+
+        out = images_corpus_pipeline("/root/testdata/sf0.001") \
+            .to_pandas().set_index("fmt").sort_index()
+
+        t = pq.read_table(ensure_image_table(0.001)).to_pandas()
+        rows = []
+        for r in t.itertuples():
+            img = decode_image(r.bytes, r.w, r.h, r.fmt)
+            rows.append((r.image_id, r.fmt, average_phash(img),
+                         int(round(img.mean() * 1000)),
+                         int(round(img.std() * 1000))))
+        df = pd.DataFrame(rows, columns=["image_id", "fmt", "phash",
+                                         "bright", "contrast"])
+        df = df[df.bright < 127_000]
+        keep = df.groupby("phash").image_id.min()
+        df = df[df.image_id.isin(set(keep))]
+        exp = df.groupby("fmt").agg(n_kept=("image_id", "size"),
+                                    sb=("bright", "sum"),
+                                    sc=("contrast", "sum")).sort_index()
+        assert list(out.index) == list(exp.index)
+        for f in exp.index:
+            assert out.loc[f, "n_kept"] == exp.loc[f, "n_kept"]
+            assert out.loc[f, "avg_bright_milli"] == \
+                exp.loc[f, "sb"] // exp.loc[f, "n_kept"]
+            assert out.loc[f, "avg_contrast_milli"] == \
+                exp.loc[f, "sc"] // exp.loc[f, "n_kept"]
