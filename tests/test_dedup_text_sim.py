@@ -428,6 +428,22 @@ class TestDecontaminate:
         # hit2 shares 'alpha beta gamma' and 'beta gamma delta'
         assert out.loc[3, "n_shared_kgrams"] == 2
 
+    def test_edge_cases(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.dedup import _kgram_hash_sets, decontaminate
+
+        # docs shorter than k, empty strings, whitespace-only: empty sets
+        h, o = _kgram_hash_sets(pa.array(["", "a b", "   ", "a b c"]), 3)
+        assert list(o) == [0, 0, 0, 0, 1]       # only the 3-word doc has a gram
+        assert h.size == 1
+        # empty eval set: nothing can be flagged
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["a b c d"], pa.string())}))
+        assert decontaminate(ds, [], k=3).to_pandas().empty
+        # eval docs shorter than k contribute no grams
+        assert decontaminate(ds, ["a b"], k=3).to_pandas().empty
+
 
 class TestImagesCorpusPipeline:
     def test_matches_pandas_reference(self, ray_session):
