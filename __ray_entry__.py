@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_ivf_multiquery": R.embed_ivf_multiquery,
         "docs_decontaminate": R.docs_decontaminate,
         "images_corpus_pipeline": R.images_corpus_pipeline,
+        "images_augment": R.images_augment,
         "flagship_cell_join": _flagship,
     }
 
@@ -502,7 +503,7 @@ def oracle_sql() -> dict[str, str]:
         # genuinely partial: measured 15/20 resp. <10/10 at sf0.01),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
-        # images_phash_dedup / images_corpus_pipeline / audio_features /
-        # video_frames / video_scene_cuts (engine-synthesized multimodal
-        # tables)
+        # images_phash_dedup / images_corpus_pipeline / images_augment /
+        # audio_features / video_frames / video_scene_cuts
+        # (engine-synthesized multimodal tables)
     }

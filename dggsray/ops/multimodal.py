@@ -230,6 +230,74 @@ class ImagePrep:
                 np.rint(contrast * 1000).astype(np.int64))})
 
 
+class ImageAugment:
+    """Deterministic per-image augmentation (training-data variant
+    generation): horizontal/vertical flip and a brightness shift, each drawn
+    from a blake2b hash of the image_id — so retries/resumes regenerate the
+    SAME variant (the uuid-vs-deterministic-id reasoning of raster2dggs
+    applied to augmentation).  Decode once, transform in numpy views (flips
+    are zero-copy strides), emit raw bytes + the augmented phash.
+
+    Real augmentation menus (rotations, interpolated crops, color jitter) are
+    more kernels in the same __call__ — the Ray shape (actor pool, one decode,
+    deterministic seed per row) is what this stage pins down."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from hashlib import blake2b
+
+        from ..io.imagetable import average_phash, decode_image
+
+        blobs = b.column("bytes").to_pylist()
+        ws = b.column("w").to_numpy()
+        hs = b.column("h").to_numpy()
+        fmts = b.column("fmt").to_pylist()
+        ids = b.column("image_id").to_pylist()
+        n = len(blobs)
+        out_bytes = []
+        fh = np.empty(n, dtype=bool)
+        fv = np.empty(n, dtype=bool)
+        shift = np.empty(n, dtype=np.int64)
+        ph = np.empty(n, dtype=np.int64)
+        for k in range(n):
+            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+            h0 = blake2b(ids[k].encode(), digest_size=8).digest()
+            fh[k] = bool(h0[0] & 1)
+            fv[k] = bool(h0[0] & 2)
+            shift[k] = (h0[1] % 31) - 15        # -15..+15
+            if fh[k]:
+                img = img[:, ::-1]
+            if fv[k]:
+                img = img[::-1]
+            img = np.clip(img.astype(np.int16) + shift[k], 0, 255) \
+                .astype(np.uint8)
+            out_bytes.append(img.tobytes())
+            ph[k] = average_phash(img)
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "orig_phash": b.column("phash"),
+            "w": b.column("w"), "h": b.column("h"),
+            "fmt": pa.array(["raw"] * n, pa.string()),
+            "bytes": pa.array(out_bytes, pa.binary()),
+            "flip_h": pa.array(fh), "flip_v": pa.array(fv),
+            "bright_shift": pa.array(shift),
+            "phash": pa.array(ph)})
+
+
+def resample_audio(x: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    """Linear-interpolation resampler (mono float64) — the pure-numpy audio
+    prep kernel (training pipelines normalize sample rates before feature
+    extraction).  Output length = round(n * rate_out / rate_in)."""
+    n = x.size
+    m = int(round(n * rate_out / rate_in))
+    if m <= 0 or n == 0:
+        return np.zeros(0, dtype=np.float64)
+    pos = np.arange(m, dtype=np.float64) * (rate_in / rate_out)
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    return x[i0] * (1 - frac) + x[i1] * frac
+
+
 class VideoSceneCuts:
     """Scene-cut detection per clip: decode EVERY frame ('mjpeg' through the
     real AVI+baseline-JPEG path, 'rawv' by slicing), one vectorized

@@ -679,6 +679,56 @@ def embed_ivf_top10(sf_dir: str, n_centroids: int = 32, nprobe: int = 8):
     return ivf_topk(ds, q, 10, C, nprobe=nprobe)
 
 
+def images_augment(sf_dir: str):
+    """Deterministic augmentation sweep over the image table
+    (ops.multimodal.ImageAugment): per-variant summary grouped by the flip
+    combination — row count, mean |brightness shift|, and the mean phash
+    Hamming distance between original and augmented pixels (flips permute
+    the 8x8 hash blocks -> large distance; pure brightness shifts barely
+    move it).  Augmented bytes stay inside the stage; only integer partials
+    shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..io.imagetable import ensure_image_table
+    from ..ops.dedup import _popcount64
+    from ..ops.joins import lowcard_groupby
+    from ..ops.multimodal import ImageAugment, _default_pool
+
+    ds = rd.read_parquet(ensure_image_table(_sf_of(sf_dir)))
+    aug = ds.map_batches(ImageAugment, batch_format="pyarrow",
+                         concurrency=_default_pool(), max_restarts=0)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ham = _popcount64(b.column("orig_phash").to_numpy().astype(np.uint64)
+                          ^ b.column("phash").to_numpy().astype(np.uint64))
+        t = pa.table({
+            "flip_h": b.column("flip_h"), "flip_v": b.column("flip_v"),
+            "_ham": pa.array(ham.astype(np.int64)),
+            "_abs": pc.abs(b.column("bright_shift"))})
+        g = t.group_by(["flip_h", "flip_v"]).aggregate(
+            [("_ham", "sum"), ("_abs", "sum"), ([], "count_all")])
+        return g.rename_columns(["flip_h", "flip_v", "_sh", "_sa", "_n"])
+
+    agg = lowcard_groupby(aug.map_batches(partial, batch_format="pyarrow"),
+                          ["flip_h", "flip_v"],
+                          Sum("_sh", alias_name="_sh"),
+                          Sum("_sa", alias_name="_sa"),
+                          Sum("_n", alias_name="n_images"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = np.maximum(b.column("n_images").to_numpy(), 1)
+        return pa.table({
+            "flip_h": b.column("flip_h"), "flip_v": b.column("flip_v"),
+            "n_images": b.column("n_images"),
+            "mean_hamming_milli": pa.array(
+                b.column("_sh").to_numpy() * 1000 // n),
+            "mean_abs_shift_milli": pa.array(
+                b.column("_sa").to_numpy() * 1000 // n)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def images_corpus_pipeline(sf_dir: str, bright_max_milli: int = 127_000):
     """End-to-end IMAGE corpus preparation, the multimodal analogue of
     docs_corpus_pipeline: one fused decode pass (ops.multimodal.ImagePrep —

@@ -480,3 +480,59 @@ class TestImagesCorpusPipeline:
                 exp.loc[f, "sb"] // exp.loc[f, "n_kept"]
             assert out.loc[f, "avg_contrast_milli"] == \
                 exp.loc[f, "sc"] // exp.loc[f, "n_kept"]
+
+
+class TestImageAugmentAndResample:
+    def test_augment_deterministic_and_pixel_exact(self, ray_session):
+        import ray.data as rd
+        from hashlib import blake2b
+        from dggsray.io.imagetable import decode_image, synth_batch
+        from dggsray.ops.multimodal import ImageAugment
+
+        batch = synth_batch(pa.table({"id": pa.array(np.arange(12), pa.int64())}))
+        out1 = ImageAugment()(batch)
+        out2 = ImageAugment()(batch)      # same input -> identical variant
+        assert out1.equals(out2)
+        for k in range(out1.num_rows):
+            iid = out1.column("image_id")[k].as_py()
+            h0 = blake2b(iid.encode(), digest_size=8).digest()
+            assert out1.column("flip_h")[k].as_py() == bool(h0[0] & 1)
+            img = decode_image(batch.column("bytes")[k].as_py(),
+                               batch.column("w")[k].as_py(),
+                               batch.column("h")[k].as_py(),
+                               batch.column("fmt")[k].as_py())
+            if out1.column("flip_h")[k].as_py():
+                img = img[:, ::-1]
+            if out1.column("flip_v")[k].as_py():
+                img = img[::-1]
+            img = np.clip(img.astype(np.int16)
+                          + out1.column("bright_shift")[k].as_py(),
+                          0, 255).astype(np.uint8)
+            got = np.frombuffer(out1.column("bytes")[k].as_py(),
+                                np.uint8).reshape(img.shape)
+            assert np.array_equal(got, img)
+
+    def test_augment_query_groups(self, ray_session):
+        from dggsray.pipelines.relational import images_augment
+        out = images_augment("/root/testdata/sf0.001").to_pandas()
+        assert out.n_images.sum() == 500
+        assert len(out) <= 4       # at most the 4 flip combinations
+        # flipped variants move the phash far more than unflipped ones
+        flipped = out[out.flip_h | out.flip_v].mean_hamming_milli.min()
+        plain = out[~(out.flip_h | out.flip_v)].mean_hamming_milli.max()
+        assert flipped > plain
+
+    def test_resample_preserves_tone_frequency(self, ray_session):
+        from dggsray.ops.multimodal import resample_audio
+        rate = 8000
+        t = np.arange(rate) / rate
+        x = np.sin(2 * np.pi * 440 * t)
+        for rout in (4000, 16000):
+            y = resample_audio(x, rate, rout)
+            assert y.size == rate * rout // rate if rout <= rate else True
+            assert abs(y.size - round(x.size * rout / rate)) <= 0
+            # dominant FFT bin still at 440 Hz
+            f = np.fft.rfftfreq(y.size, 1 / rout)
+            peak = f[np.argmax(np.abs(np.fft.rfft(y)))]
+            assert abs(peak - 440) < 2
+        assert resample_audio(np.zeros(0), 8000, 4000).size == 0
