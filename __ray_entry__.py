@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": R.docs_decontaminate,
         "images_corpus_pipeline": R.images_corpus_pipeline,
         "images_augment": R.images_augment,
+        "events_cell_hourly": R.events_cell_hourly,
         "flagship_cell_join": _flagship,
     }
 
@@ -121,6 +122,17 @@ def _decontaminate_sql(k: int = 5, mod: int = 10) -> str:
         "SELECT tr.doc_id, CAST(len(list_intersect(tr.kg, ev.ekg)) AS BIGINT) "
         "AS n_shared_kgrams FROM tr, ev "
         "WHERE len(list_intersect(tr.kg, ev.ekg)) > 0")
+
+
+def _cell_hourly_sql(res: int = 2) -> str:
+    """Mirror of relational.events_cell_hourly: the full cellid recomputed in
+    SQL from the derived user point (dggsray.oracle.cellid_sql), crossed with
+    hour-of-day."""
+    lon, lat = lonlat_sql("user_id")
+    cell = cellid_sql(lon, lat, res)
+    return (f"SELECT {cell} AS cell, CAST(hour(ts) AS INTEGER) AS hour, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents, COUNT(*) AS n_events FROM events GROUP BY 1, 2")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -431,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
             "AS value_cents, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2",
+        "events_cell_hourly": _cell_hourly_sql(),
         "events_median_value":
             "WITH ranked AS (SELECT event_type, value, "
             "row_number() OVER (PARTITION BY event_type "

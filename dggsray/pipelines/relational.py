@@ -1092,6 +1092,33 @@ def events_hourly(sf_dir: str):
                            Sum("_n", alias_name="n_events"))
 
 
+def events_cell_hourly(sf_dir: str, res: int = 2):
+    """Spatiotemporal cube: events per (DGGS cell, hour-of-day) with exact
+    cent sums — the ST-binning shape (H3/S2-style cell x time bucket) over
+    user-derived points.  One partial aggregate per batch, one keyed shuffle
+    of (cell x 24)-bounded partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("user_id").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = cells_from_lonlat(res, lon, lat, DEFAULT_GRID)
+        hours = pc.cast(pc.hour(b.column("ts")), pa.int32())
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"cell": pa.array(cells, pa.string()), "hour": hours,
+                      "cents": pa.array(cents)})
+        g = t.group_by(["cell", "hour"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["cell", "hour", "_s", "_n"])
+
+    return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["cell", "hour"],
+                           Sum("_s", alias_name="value_cents"),
+                           Sum("_n", alias_name="n_events"))
+
+
 def events_moving_window(sf_dir: str, window: int = 3):
     """Trailing moving window over per-type hourly aggregates: window sum of
     value-cents and event count over the current + (window-1) preceding
