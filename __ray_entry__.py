@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_corpus_pipeline": R.images_corpus_pipeline,
         "images_augment": R.images_augment,
         "events_cell_hourly": R.events_cell_hourly,
+        "events_geofence": R.events_geofence,
         "flagship_cell_join": _flagship,
     }
 
@@ -133,6 +134,22 @@ def _cell_hourly_sql(res: int = 2) -> str:
     return (f"SELECT {cell} AS cell, CAST(hour(ts) AS INTEGER) AS hour, "
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
             "AS value_cents, COUNT(*) AS n_events FROM events GROUP BY 1, 2")
+
+
+def _geofence_sql(res: int = 3) -> str:
+    """Mirror of relational.events_geofence: recompute each event's cellid in
+    SQL, test membership against the SAME rasterized cover literal (shared
+    via relational.geofence_cover — the cover is pinned by the rasterizer's
+    golden tests; the join/aggregate is what this oracle verifies)."""
+    from dggsray.pipelines.relational import geofence_cover
+
+    cover = ", ".join(f"'{c}'" for c in geofence_cover(res))
+    lon, lat = lonlat_sql("user_id")
+    cell = cellid_sql(lon, lat, res)
+    return (f"SELECT event_type, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents, COUNT(*) AS n_events FROM events "
+            f"WHERE {cell} IN ({cover}) GROUP BY 1")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -444,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2",
         "events_cell_hourly": _cell_hourly_sql(),
+        "events_geofence": _geofence_sql(),
         "events_median_value":
             "WITH ranked AS (SELECT event_type, value, "
             "row_number() OVER (PARTITION BY event_type "

@@ -1119,6 +1119,51 @@ def events_cell_hourly(sf_dir: str, res: int = 2):
                            Sum("_n", alias_name="n_events"))
 
 
+def events_geofence(sf_dir: str, res: int = 3):
+    """Geofence aggregate — the broadcast spatial semi-join chain: a
+    deterministic lon/lat polygon is rasterized to its res-{res} cell cover
+    (ops.vector2dggs.burn_polygons_to_cells — the same even-odd scanline the
+    vector pipelines use), the cover is broadcast, and events whose derived
+    point falls in a covered cell aggregate per type.  The oracle recomputes
+    every event's cellid in closed-form SQL and tests membership against the
+    SAME cover literal — the cover itself is pinned by the rasterizer's own
+    golden tests, the join/aggregate is verified independently."""
+    from ray.data.aggregate import Sum
+
+    cover = geofence_cover(res)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("user_id").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = cells_from_lonlat(res, lon, lat, DEFAULT_GRID)
+        inside = np.isin(cells, cover)
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type").filter(
+                          pa.array(inside)),
+                      "cents": pa.array(cents[inside])})
+        g = t.group_by("event_type").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "_s", "_n"])
+
+    return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           "event_type", Sum("_s", alias_name="value_cents"),
+                           Sum("_n", alias_name="n_events"))
+
+
+def geofence_cover(res: int = 3) -> np.ndarray:
+    """Sorted cell cover of the fixed geofence triangle (lon/lat), shared by
+    the engine query and the oracle generator so they can never drift."""
+    from ..ops.vector2dggs import burn_polygons_to_cells
+
+    tri = np.array([[-20.0, -10.0], [45.0, 5.0], [10.0, 40.0],
+                    [-20.0, -10.0]])
+    t = burn_polygons_to_cells([{"feature_id": 1, "value": 1,
+                                 "rings": [tri]}], res)
+    return np.sort(t.column("cellid").to_numpy(zero_copy_only=False))
+
+
 def events_moving_window(sf_dir: str, window: int = 3):
     """Trailing moving window over per-type hourly aggregates: window sum of
     value-cents and event count over the current + (window-1) preceding
