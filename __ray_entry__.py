@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_dedup": R.images_phash_dedup,
         "docs_vocab_topk": R.docs_vocab_topk,
         "events_props_extract": R.events_props_extract,
+        "docs_token_commonness": R.docs_token_commonness,
         "video_scene_cuts": R.video_scene_cuts,
         "embed_ivf_multiquery": R.embed_ivf_multiquery,
         "docs_decontaminate": R.docs_decontaminate,
@@ -364,6 +365,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": _ann_sql(),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_decontaminate": _decontaminate_sql(),
+        "docs_token_commonness":
+            "WITH l0 AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(l) AS token FROM l0), "
+            "vocab AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1), "
+            "per AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(v.n) AS s "
+            "FROM tok t JOIN vocab v USING(token) GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, "
+            "CAST(COALESCE(p.s, 0) AS BIGINT) AS sum_commonness, "
+            "CAST(COALESCE(p.s // GREATEST(p.n_tokens, 1), 0) AS BIGINT) "
+            "AS mean_commonness "
+            "FROM documents d LEFT JOIN per p USING (doc_id)",
         "docs_vocab_topk":
             "WITH t AS (SELECT unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "

@@ -1291,6 +1291,63 @@ def docs_vocab_topk(sf_dir: str, k: int = 50):
     return partial_topk(tot, ["n", "token"], [True, False], k)
 
 
+def docs_token_commonness(sf_dir: str):
+    """Corpus-statistics scoring — the two-pass broadcast-stats shape every
+    frequency-based quality filter (TF weighting, unigram-LM surprisal)
+    follows: pass 1 aggregates global token counts (combiner-first, same
+    machinery as docs_vocab_topk), the small vocab table is broadcast via
+    ray.put, pass 2 streams the corpus scoring each doc.  Integer outputs
+    (sum and floor-mean of per-token global counts) keep the oracle
+    hash-exact where a float log-prob would not be."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import sized_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(b.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    vocab = sized_groupby(ds.map_batches(counts, batch_format="pyarrow"),
+                          "token", Sum("n", alias_name="n")).to_pandas()
+    # vocabulary-sized, not corpus-sized — sorted arrays for searchsorted
+    vt = np.sort(vocab["token"].to_numpy())
+    vn = vocab.set_index("token").loc[vt, "n"].to_numpy().astype(np.int64)
+    ref = ray.put((vt, vn))
+
+    def score(b: pa.Table) -> pa.Table:
+        T, N = ray.get(ref)
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy()
+        off = (off - off[0]).astype(np.int64)
+        lens = off[1:] - off[:-1]
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        fv = flat.to_numpy(zero_copy_only=False)
+        keep = fv != ""
+        seg, fv = seg[keep], fv[keep]
+        idx = np.searchsorted(T, fv)
+        cnt = N[np.minimum(idx, len(T) - 1)]
+        tot = np.bincount(seg, weights=cnt, minlength=len(lens)) \
+            .astype(np.int64)
+        ntok = np.bincount(seg, minlength=len(lens)).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(ntok),
+            "sum_commonness": pa.array(tot),
+            "mean_commonness": pa.array(tot // np.maximum(ntok, 1))})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def events_props_extract(sf_dir: str):
     """Semi-structured parsing: pull the integer field `k` out of the JSON
     `props` column with ONE vectorized Arrow regex per batch (extract_regex —
