@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_topk": R.docs_vocab_topk,
         "events_props_extract": R.events_props_extract,
         "docs_token_commonness": R.docs_token_commonness,
+        "docs_sample_n_per_group": R.docs_sample_n_per_group,
         "video_scene_cuts": R.video_scene_cuts,
         "embed_ivf_multiquery": R.embed_ivf_multiquery,
         "docs_decontaminate": R.docs_decontaminate,
@@ -365,6 +366,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": _ann_sql(),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_decontaminate": _decontaminate_sql(),
+        "docs_sample_n_per_group":
+            "SELECT lang, doc_id, "
+            "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS hash_key "
+            "FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY hash_key ASC, doc_id ASC) <= 5",
         "docs_token_commonness":
             "WITH l0 AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "

@@ -522,6 +522,41 @@ def events_top_users(sf_dir: str, k: int = 3):
         .repartition(1).map_batches(block_topk, batch_format="pyarrow")
 
 
+def docs_sample_n_per_group(sf_dir: str, n: int = 5):
+    """Exactly-min(n, |group|) docs per language, deterministically: rank by
+    the Knuth multiplicative hash of doc_id (the same integer keep-rule
+    family as hash_sample, so resumes pick identical rows and SQL can rank
+    identically) and keep the n smallest keys per group.  Grouped top-k
+    machinery: per-block partial, one tiny coalesced merge, no global sort —
+    the 'take a fixed-size per-stratum sample' step between dedup and
+    training."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def with_key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        key = (ids * 2654435761) % (1 << 32)
+        return pa.table({"lang": b.column("lang"),
+                         "doc_id": b.column("doc_id"),
+                         "hash_key": pa.array(key.astype(np.int64))})
+
+    def block_topn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        idx = pc.sort_indices(b, sort_keys=[("lang", "ascending"),
+                                            ("hash_key", "ascending"),
+                                            ("doc_id", "ascending")])
+        b = b.take(idx)
+        lg = b.column("lang").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+        sizes = np.diff(np.r_[starts, len(lg)])
+        ranks = np.arange(len(lg)) - np.repeat(starts, sizes)
+        return b.filter(pa.array(ranks < n))
+
+    return ds.map_batches(with_key, batch_format="pyarrow") \
+        .map_batches(block_topn, batch_format="pyarrow") \
+        .repartition(1).map_batches(block_topn, batch_format="pyarrow")
+
+
 def events_p90_value(sf_dir: str):
     """Exact per-type 90th-percentile order statistics (same two-pass
     histogram machinery as the median, ranks floor/ceil((n-1)*0.9))."""
