@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": R.events_props_extract,
         "docs_token_commonness": R.docs_token_commonness,
         "docs_sample_n_per_group": R.docs_sample_n_per_group,
+        "events_view_attribution": R.events_view_attribution,
         "video_scene_cuts": R.video_scene_cuts,
         "embed_ivf_multiquery": R.embed_ivf_multiquery,
         "docs_decontaminate": R.docs_decontaminate,
@@ -366,6 +367,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": _ann_sql(),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_decontaminate": _decontaminate_sql(),
+        "events_view_attribution":
+            "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "
+            "CAST(COUNT(v.event_id) AS BIGINT) AS n_matches "
+            "FROM events c LEFT JOIN events v "
+            "ON c.user_id = v.user_id AND v.event_type = 'view' "
+            "AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts "
+            "WHERE c.event_type = 'click' GROUP BY 1, 2, 3",
         "docs_sample_n_per_group":
             "SELECT lang, doc_id, "
             "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS hash_key "

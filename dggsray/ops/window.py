@@ -151,3 +151,61 @@ def asof_join_self(ds, left_type: str, right_type: str,
 
     return _with_part(ds, user_col, n_parts) \
         .groupby("_part").map_groups(kernel, batch_format="pyarrow")
+
+
+def range_join_count(ds, left_type: str, right_type: str, window_us: int,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type", id_col: str = "event_id",
+                     n_parts: int = 64):
+    """Range self join (attribution window): for every `left_type` event,
+    COUNT the same user's `right_type` events with ts in
+    [l.ts - window_us, l.ts] — SQL `r.ts BETWEEN l.ts - w AND l.ts`,
+    inclusive both ends.
+
+    Same partition-by-user-hash shape as asof_join_self; inside a partition
+    the kernel is fully vectorized with no per-user loop: after one global
+    (user, ts, id) sort, each user run gets a run index, (run, ts-offset)
+    packs into ONE monotone int64 key, and the window count is a pair of
+    np.searchsorted calls over the right rows' keys.  The pack is safe while
+    runs_per_partition x timespan_us < 2^62 — raise n_parts for corpora that
+    ever approach it (guarded with an explicit error, not silent wraparound)."""
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          user_col: pa.array([], pa.int64()),
+                          "ts_us": pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[(user_col, "ascending"),
+                                              (ts_col, "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        u = g.column(user_col).to_numpy()
+        ts = _ts_us(g.column(ts_col))
+        et = g.column(type_col).to_numpy(zero_copy_only=False)
+        ev = g.column(id_col).to_numpy()
+        li = np.flatnonzero(et == left_type)
+        ri = np.flatnonzero(et == right_type)
+        if li.size == 0:
+            return empty
+        run_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + window_us + 2
+        n_runs = int(run_id[-1]) + 1
+        if n_runs * span >= (1 << 62):
+            raise ValueError(
+                f"range_join_count key pack overflow ({n_runs} user runs x "
+                f"{span} us span) — raise n_parts")
+        off = ts - t0
+        key_r = run_id[ri] * span + off[ri]
+        lo = run_id[li] * span + np.maximum(off[li] - window_us, 0)
+        hi = run_id[li] * span + off[li]
+        cnt = (np.searchsorted(key_r, hi, side="right")
+               - np.searchsorted(key_r, lo, side="left"))
+        return pa.table({"event_id": pa.array(ev[li].astype(np.int64)),
+                         user_col: pa.array(u[li].astype(np.int64)),
+                         "ts_us": pa.array(ts[li].astype(np.int64)),
+                         "n_matches": pa.array(cnt.astype(np.int64))})
+
+    return _with_part(ds, user_col, n_parts) \
+        .groupby("_part").map_groups(kernel, batch_format="pyarrow")

@@ -1097,6 +1097,17 @@ def events_sessions(sf_dir: str, gap_s: float = 1800.0):
     return sessionize(ds, gap_s=gap_s)
 
 
+def events_view_attribution(sf_dir: str, window_min: int = 30):
+    """Range self join: views attributed to each click — for every click,
+    the count of the same user's view events within the preceding
+    {window_min}-minute window, inclusive (ops.window.range_join_count,
+    one user-hash shuffle + vectorized searchsorted window counts)."""
+    from ..ops.window import range_join_count
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    return range_join_count(ds, "click", "view", window_min * 60_000_000)
+
+
 def events_asof_click_error(sf_dir: str):
     """As-of self join: every click event matched to the user's most recent
     error event at or before it (`ops/window.asof_join_self`)."""

@@ -153,3 +153,37 @@ class TestTimestampUnits:
             assert len(out) == 1
             assert out[0]["n_sessions"] == 2, unit
             assert out[0]["n_events"] == 3
+
+
+class TestRangeJoinCount:
+    def test_window_boundaries_inclusive(self, ray_session):
+        """BETWEEN semantics: a view exactly at l.ts or exactly at
+        l.ts - window counts; one microsecond outside does not."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from dggsray.ops.window import range_join_count
+
+        w = 1_000_000      # 1s window
+        base = pd.Timestamp("2024-01-01 12:00:00")
+        us = pd.Timedelta(microseconds=1)
+        rows = [
+            # (event_id, user, ts, type)
+            (1, 7, base, "click"),
+            (2, 7, base, "view"),                 # at l.ts -> counts
+            (3, 7, base - pd.Timedelta(seconds=1), "view"),   # at l.ts-w -> counts
+            (4, 7, base - pd.Timedelta(seconds=1) - us, "view"),  # outside
+            (5, 7, base + us, "view"),            # after l.ts -> outside
+            (6, 8, base, "view"),                 # other user
+            (7, 9, base, "click"),                # click with zero views
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string())})
+        out = range_join_count(rd.from_arrow(t), "click", "view", w) \
+            .to_pandas().set_index("event_id")
+        assert out.loc[1, "n_matches"] == 2
+        assert out.loc[7, "n_matches"] == 0
+        assert len(out) == 2
