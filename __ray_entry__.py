@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_commonness": R.docs_token_commonness,
         "docs_sample_n_per_group": R.docs_sample_n_per_group,
         "events_view_attribution": R.events_view_attribution,
+        "images_caption_filter": R.images_caption_filter,
         "video_scene_cuts": R.video_scene_cuts,
         "embed_ivf_multiquery": R.embed_ivf_multiquery,
         "docs_decontaminate": R.docs_decontaminate,
@@ -565,6 +566,6 @@ def oracle_sql() -> dict[str, str]:
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
         # images_phash_dedup / images_corpus_pipeline / images_augment /
-        # audio_features / video_frames / video_scene_cuts
-        # (engine-synthesized multimodal tables)
+        # images_caption_filter / audio_features / video_frames /
+        # video_scene_cuts (engine-synthesized multimodal tables)
     }

@@ -764,6 +764,57 @@ def images_augment(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def images_caption_filter(sf_dir: str, min_tokens: int = 4):
+    """Caption-quality gate over the image+caption table (the text half of a
+    LAION-style multimodal filter): the SAME vectorized quality kernels the
+    documents pipeline uses (ops.text.quality_metrics_batch — Arrow regex
+    counters, no per-row Python) run on the caption column, and images whose
+    caption is too short or digit-heavy are dropped.  Returns per-format
+    kept/dropped counts plus integer caption-length stats; bytes are never
+    read (column pruning at the parquet scan)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..io.imagetable import ensure_image_table
+    from ..ops.text import quality_metrics_batch
+
+    ds = rd.read_parquet(ensure_image_table(_sf_of(sf_dir)),
+                         columns=["image_id", "fmt", "caption"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = quality_metrics_batch(b, text_col="caption")
+        ntok = q.column("n_tokens").to_numpy()
+        ndig = q.column("n_digits").to_numpy()
+        nch = q.column("n_chars").to_numpy()
+        # digit-heavy captions (39%+ of characters) read as coordinates-only
+        # noise; integer-exact ratio rule, threshold set where the synthetic
+        # caption population actually splits
+        keep = (ntok >= min_tokens) & (ndig * 1000 <= nch * 390)
+        t = pa.table({"fmt": b.column("fmt"),
+                      "_k": pa.array(keep.astype(np.int64)),
+                      "_d": pa.array((~keep).astype(np.int64)),
+                      "_c": pa.array(np.where(keep, nch, 0))})
+        g = t.group_by("fmt").aggregate(
+            [("_k", "sum"), ("_d", "sum"), ("_c", "sum")])
+        return g.rename_columns(["fmt", "_k", "_d", "_c"])
+
+    agg = lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                          "fmt", Sum("_k", alias_name="n_kept"),
+                          Sum("_d", alias_name="n_dropped"),
+                          Sum("_c", alias_name="_c"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = np.maximum(b.column("n_kept").to_numpy(), 1)
+        return pa.table({
+            "fmt": b.column("fmt"),
+            "n_kept": b.column("n_kept"),
+            "n_dropped": b.column("n_dropped"),
+            "avg_caption_chars_milli": pa.array(
+                b.column("_c").to_numpy() * 1000 // n)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def images_corpus_pipeline(sf_dir: str, bright_max_milli: int = 127_000):
     """End-to-end IMAGE corpus preparation, the multimodal analogue of
     docs_corpus_pipeline: one fused decode pass (ops.multimodal.ImagePrep —

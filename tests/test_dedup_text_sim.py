@@ -536,3 +536,29 @@ class TestImageAugmentAndResample:
             peak = f[np.argmax(np.abs(np.fft.rfft(y)))]
             assert abs(peak - 440) < 2
         assert resample_audio(np.zeros(0), 8000, 4000).size == 0
+
+
+class TestImagesCaptionFilter:
+    def test_counts_match_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from dggsray.io.imagetable import ensure_image_table
+        from dggsray.pipelines.relational import images_caption_filter
+
+        out = images_caption_filter("/root/testdata/sf0.001") \
+            .to_pandas().set_index("fmt")
+        t = pq.read_table(ensure_image_table(0.001),
+                          columns=["fmt", "caption"]).to_pandas()
+        t["ntok"] = t.caption.str.split().str.len()
+        t["ndig"] = t.caption.str.count(r"[0-9]")
+        t["nch"] = t.caption.str.len()
+        t["keep"] = (t.ntok >= 4) & (t.ndig * 1000 <= t.nch * 390)
+        exp = t.groupby("fmt").agg(k=("keep", "sum"),
+                                   n=("keep", "size"))
+        for f in exp.index:
+            assert out.loc[f, "n_kept"] == exp.loc[f, "k"]
+            assert out.loc[f, "n_dropped"] == exp.loc[f, "n"] - exp.loc[f, "k"]
+        kept = t[t.keep]
+        for f in exp.index:
+            s = kept[kept.fmt == f].nch.sum()
+            assert out.loc[f, "avg_caption_chars_milli"] == \
+                s * 1000 // max(out.loc[f, "n_kept"], 1)
