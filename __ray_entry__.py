@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_n_per_group": R.docs_sample_n_per_group,
         "events_view_attribution": R.events_view_attribution,
         "images_caption_filter": R.images_caption_filter,
+        "embed_quantized_top10": R.embed_quantized_top10,
         "video_scene_cuts": R.video_scene_cuts,
         "embed_ivf_multiquery": R.embed_ivf_multiquery,
         "docs_decontaminate": R.docs_decontaminate,
@@ -563,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         # docs_fingerprint_overlap (winnowing rolling-hash contract),
         # embed_lsh_top20 / embed_ivf_top10 / embed_ivf_multiquery (recall
         # genuinely partial: measured 15/20 resp. <10/10 at sf0.01),
+        # embed_quantized_top10 (int8 cosines differ in low micro digits),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
         # images_phash_dedup / images_corpus_pipeline / images_augment /

@@ -930,6 +930,22 @@ def embed_ivf_multiquery(sf_dir: str, n_queries: int = 4, k: int = 5,
     return pd.concat(outs, ignore_index=True)
 
 
+def embed_quantized_top10(sf_dir: str, k: int = 10):
+    """ANN over an int8-quantized corpus: quantize (4-8x storage cut),
+    dequantize per batch, exact rerank with the unchanged brute_topk kernel.
+    Recall vs the float index is bounded by the scale/2 per-component error
+    (tested); rows-only because quantized cosines legitimately differ in the
+    low micro digits from the float oracle."""
+    from ..ops.similarity import (brute_topk, dequantize_batch,
+                                  quantize_embeddings)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.sin(np.arange(64, dtype=np.float64) * 0.1) + 0.5
+    deq = quantize_embeddings(ds).map_batches(dequantize_batch,
+                                              batch_format="pyarrow")
+    return brute_topk(deq, q[None, :], k)
+
+
 def images_jpeg_psnr(sf_dir: str, n: int = 500):
     """Lossy-codec per-row invariant (input_hint: "decoded-pixel allclose,
     PSNR >= 40 dB for lossy"): the JPEG-encoded variant table decodes through

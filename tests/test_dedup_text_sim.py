@@ -562,3 +562,36 @@ class TestImagesCaptionFilter:
             s = kept[kept.fmt == f].nch.sum()
             assert out.loc[f, "avg_caption_chars_milli"] == \
                 s * 1000 // max(out.loc[f, "n_kept"], 1)
+
+
+class TestQuantizedEmbeddings:
+    def test_error_bound_and_recall(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.similarity import (brute_topk, dequantize_batch,
+                                            quantize_embeddings)
+
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((400, 32))
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(400), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64()))}))
+        qt = quantize_embeddings(ds).to_pandas().set_index("vec_id")
+        # per-component reconstruction error bounded by scale/2
+        for vid in (0, 17, 399):
+            row = qt.loc[vid]
+            deq = np.frombuffer(row.codes, np.int8).astype(np.float64) \
+                * row.scale
+            assert np.abs(deq - emb[vid]).max() <= row.scale / 2 + 1e-12
+        # zero vector: scale fallback, codes all zero
+        z = rd.from_arrow(pa.table({
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([np.zeros(8)], pa.list_(pa.float64()))}))
+        zq = quantize_embeddings(z).to_pandas()
+        assert np.frombuffer(zq.codes[0], np.int8).sum() == 0
+        # top-10 over dequantized index overlaps the exact float top-10
+        q = emb[7] + rng.standard_normal(32) * 0.05
+        deq_ds = quantize_embeddings(ds).map_batches(dequantize_batch,
+                                                     batch_format="pyarrow")
+        a = set(brute_topk(deq_ds, q[None, :], 10).to_pandas().vec_id)
+        b = set(brute_topk(ds, q[None, :], 10).to_pandas().vec_id)
+        assert len(a & b) >= 8
