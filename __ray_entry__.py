@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_topk": R.docs_vocab_topk,
         "events_props_extract": R.events_props_extract,
         "docs_token_commonness": R.docs_token_commonness,
+        "docs_chunk_windows": R.docs_chunk_windows,
         "docs_sample_n_per_group": R.docs_sample_n_per_group,
         "events_view_attribution": R.events_view_attribution,
         "images_caption_filter": R.images_caption_filter,
@@ -382,6 +383,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY hash_key ASC, doc_id ASC) <= 5",
+        "docs_chunk_windows":
+            "WITH l0 AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '\\s+') AS l FROM documents), "
+            "c AS (SELECT doc_id, l, "
+            "unnest(range(0, CAST(ceil(len(l) / 24.0) AS BIGINT))) AS j "
+            "FROM l0 WHERE len(l) > 0) "
+            "SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx, "
+            "CAST(least(len(l) - j * 24, 32) AS BIGINT) AS n_tokens, "
+            "array_to_string(list_slice(l, j * 24 + 1, "
+            "least(j * 24 + 32, len(l))), ' ') AS chunk_text FROM c",
         "docs_token_commonness":
             "WITH l0 AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "

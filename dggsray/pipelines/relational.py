@@ -1404,6 +1404,47 @@ def docs_vocab_topk(sf_dir: str, k: int = 50):
     return partial_topk(tot, ["n", "token"], [True, False], k)
 
 
+def docs_chunk_windows(sf_dir: str, chunk: int = 32, stride: int = 24):
+    """Context-window chunking — split every document into overlapping
+    token windows (size `chunk`, step `stride`), the prep step that turns a
+    variable-length corpus into training rows.  Fully vectorized flat-map:
+    chunk j of every doc comes from ONE Arrow list_slice + binary_join over
+    the whole batch, looping only over the (small, bounded) max chunk count
+    — never over rows.  Emits (doc_id, chunk_idx, n_tokens, chunk_text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        nchunks = np.where(n > 0, (n + stride - 1) // stride, 0)
+        out_id, out_j, out_n, out_t = [], [], [], []
+        for j in range(int(nchunks.max()) if nchunks.size else 0):
+            m = nchunks > j
+            off = j * stride
+            sl = pc.list_slice(toks.filter(pa.array(m)), off, off + chunk)
+            out_t.append(pc.binary_join(sl, " "))
+            out_id.append(ids[m])
+            out_j.append(np.full(int(m.sum()), j, dtype=np.int64))
+            out_n.append(np.minimum(n[m] - off, chunk))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "chunk_idx": pa.array(np.concatenate(out_j)),
+            "n_tokens": pa.array(np.concatenate(out_n)),
+            "chunk_text": pa.concat_arrays(
+                [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+                 for t in out_t])})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def docs_token_commonness(sf_dir: str):
     """Corpus-statistics scoring — the two-pass broadcast-stats shape every
     frequency-based quality filter (TF weighting, unigram-LM surprisal)
