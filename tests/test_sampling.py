@@ -285,3 +285,36 @@ class TestVideoSceneCuts:
         assert out.loc[out.frame_idx == 1, "diff_milli"].iloc[0] == 200_000
         assert bool(out.loc[out.frame_idx == 1, "is_cut"].iloc[0])
         assert not bool(out.loc[out.frame_idx == 2, "is_cut"].iloc[0])
+
+
+class TestChunkWindows:
+    def test_overlap_structure_and_edges(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from dggsray.pipelines.relational import docs_chunk_windows
+
+        out = docs_chunk_windows("/root/testdata/sf0.001").to_pandas()
+        # chunk j holds exactly min(n_doc - j*stride, chunk) tokens, and when
+        # a chunk is full, the next one overlaps it by chunk - stride tokens
+        for did, g in out.groupby("doc_id"):
+            g = g.sort_values("chunk_idx")
+            assert list(g.chunk_idx) == list(range(len(g)))
+            n_doc = max(g.n_tokens + g.chunk_idx * 24)
+            exp = np.minimum(n_doc - g.chunk_idx * 24, 32)
+            assert (g.n_tokens.to_numpy() == exp.to_numpy()).all()
+            if len(g) >= 2 and g.n_tokens.iloc[0] == 32:
+                a = g.chunk_text.iloc[0].split()
+                b = g.chunk_text.iloc[1].split()
+                assert a[24:] == b[:8]      # stride-24 overlap of 8 tokens
+        # reconstruction: stride-aligned concatenation restores the doc
+        import pyarrow.parquet as pq
+        texts = dict(zip(*[pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"]).column(c).to_pylist()
+            for c in ("doc_id", "text")]))
+        did = int(out.doc_id.iloc[0])
+        g = out[out.doc_id == did].sort_values("chunk_idx")
+        toks = []
+        for _, r in g.iterrows():
+            toks.extend(r.chunk_text.split()[len(toks) - 24 * r.chunk_idx:])
+        assert toks == texts[did].split()
