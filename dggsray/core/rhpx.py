@@ -259,8 +259,13 @@ def _combine_inv(x, y, grid: GridConfig):
         xm, ym = x[south], y[south]
         L1 = xm + 3.0 * PI / 4.0 - (ss + 1) * PI / 2.0
         L2 = -xm - 3.0 * PI / 4.0 + (ss - 1) * PI / 2.0
+        # tie-breaks give every quadrant the diagonal ray its cap's LEFT edge
+        # maps onto (forward floor-assigns seam longitudes to the cap on their
+        # +x side): right owns v=u/u>0, bottom v=-u/u>0 (hence <= on L2 —
+        # strict < mis-decoded exact seam points, caught by the property
+        # tests), left v=u/u<0, top v=-u/u<0.
         c = np.where((ym <= L1) & (ym > L2), (ss + 1) % 4,
-             np.where((ym < L1) & (ym < L2), (ss + 2) % 4,
+             np.where((ym < L1) & (ym <= L2), (ss + 2) % 4,
               np.where((ym >= L1) & (ym < L2), (ss + 3) % 4, ss)))
         k = (c - ss) % 4
         dx = xm - (-3.0 * PI / 4.0 + ss * PI / 2.0)

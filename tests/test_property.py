@@ -110,3 +110,31 @@ class TestOptimizeCuids:
             return out
 
         assert expand(opt) == expand(cuids)
+
+
+class TestProjectionProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(lon=_lon, lat=_lat)
+    def test_forward_inverse_roundtrip(self, lon, lat):
+        """project_inv(project_fwd(p)) == p to sub-meter angular tolerance
+        everywhere off the exact cap seams."""
+        x, y = __import__("dggsray.core.rhpx", fromlist=["project_fwd"]) \
+            .project_fwd(np.array([lon]), np.array([lat]))
+        from dggsray.core.rhpx import project_inv
+        lo, la = project_inv(x, y)
+        # wrap-safe longitude compare (degenerate at the poles)
+        dlon = (lo[0] - lon + 180.0) % 360.0 - 180.0
+        assert abs(la[0] - lat) < 1e-5
+        if abs(lat) < 89.0:
+            assert abs(dlon) < 1e-5
+
+    @settings(max_examples=100, deadline=None)
+    @given(lon1=_lon, lat1=_lat, lon2=_lon, lat2=_lat)
+    def test_geodesic_distance_symmetric_and_bounded(self, lon1, lat1,
+                                                     lon2, lat2):
+        from dggsray.core.geodesy import geodesic_distance
+        d1 = geodesic_distance(lon1, lat1, lon2, lat2)
+        d2 = geodesic_distance(lon2, lat2, lon1, lat1)
+        assert d1 >= 0
+        assert abs(d1 - d2) <= max(1e-6 * max(d1, 1.0), 1e-6)
+        assert d1 < 20_100_000        # no geodesic exceeds half meridian + slack
