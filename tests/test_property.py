@@ -138,3 +138,36 @@ class TestProjectionProperties:
         assert d1 >= 0
         assert abs(d1 - d2) <= max(1e-6 * max(d1, 1.0), 1e-6)
         assert d1 < 20_100_000        # no geodesic exceeds half meridian + slack
+
+
+class TestCellGeometryProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(lon=_lon, lat=_lat, res=st.integers(min_value=0, max_value=7))
+    def test_point_inside_its_cell_box(self, lon, lat, res):
+        """Ownership convention: a point's cell has upper-left vertex with
+        ul_x <= x < ul_x + w and ul_y - w < y <= ul_y (left/top edges owned,
+        right/bottom belong to the neighbor) — what the pixel explode and
+        cells2raster scatter both rely on."""
+        from dggsray.core.rhpx import (cell_from_point, cell_ul_vertex,
+                                       project_fwd)
+        x, y = project_fwd(np.array([lon]), np.array([lat]))
+        c = cell_from_point(res, x, y)[0]
+        ulx, uly = cell_ul_vertex([c])
+        w = DEFAULT_GRID.cell_width(res)
+        eps = w * 1e-9
+        assert ulx[0] - eps <= x[0] < ulx[0] + w + eps
+        assert uly[0] - w - eps < y[0] <= uly[0] + eps
+
+    @settings(max_examples=200, deadline=None)
+    @given(lon=_lon, lat=_lat, res=st.integers(min_value=0, max_value=7))
+    def test_align_point_idempotent_and_near(self, lon, lat, res):
+        """align_point snaps to the res lattice: idempotent, and never moves
+        a point more than half a cell width per axis."""
+        from dggsray.core.rhpx import align_point, project_fwd
+        x, y = project_fwd(np.array([lon]), np.array([lat]))
+        ax, ay = align_point(float(x[0]), float(y[0]), res)
+        w = DEFAULT_GRID.cell_width(res)
+        assert abs(ax - x[0]) <= w / 2 + 1e-6
+        assert abs(ay - y[0]) <= w / 2 + 1e-6
+        ax2, ay2 = align_point(ax, ay, res)
+        assert abs(ax2 - ax) < 1e-6 and abs(ay2 - ay) < 1e-6
