@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_commonness": R.docs_token_commonness,
         "docs_chunk_windows": R.docs_chunk_windows,
         "docs_sample_n_per_group": R.docs_sample_n_per_group,
+        "docs_split_counts": R.docs_split_counts,
         "events_view_attribution": R.events_view_attribution,
         "images_caption_filter": R.images_caption_filter,
         "embed_quantized_top10": R.embed_quantized_top10,
@@ -377,6 +378,16 @@ def oracle_sql() -> dict[str, str]:
             "ON c.user_id = v.user_id AND v.event_type = 'view' "
             "AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts "
             "WHERE c.event_type = 'click' GROUP BY 1, 2, 3",
+        "docs_split_counts":
+            "WITH s AS (SELECT lang, text, "
+            "(doc_id * 2654435761) % 4294967296 % 1000 AS key, "
+            "CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900 "
+            "THEN 'train' WHEN (doc_id * 2654435761) % 4294967296 % 1000 "
+            "< 950 THEN 'val' ELSE 'test' END AS split FROM documents) "
+            "SELECT lang, split, "
+            "CAST(SUM(CAST(length(regexp_split_to_array(text, '\\s+')) "
+            "AS BIGINT)) AS BIGINT) AS n_tokens, "
+            "COUNT(*) AS n_docs FROM s GROUP BY 1, 2",
         "docs_sample_n_per_group":
             "SELECT lang, doc_id, "
             "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS hash_key "

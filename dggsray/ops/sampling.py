@@ -133,3 +133,20 @@ def pack_token_batches(ds, budget: int, id_col: str = "doc_id",
                                               pa.int64())})
 
     return ranged.groupby("_rg").map_groups(assign, batch_format="pyarrow")
+
+
+def with_split(ds, id_col: str, per_mille: tuple[int, int] = (900, 950)):
+    """Deterministic train/val/test split assignment: key = Knuth hash of the
+    id mod 1000; key < per_mille[0] -> 'train', < per_mille[1] -> 'val',
+    else 'test'.  A pure per-batch labeler (no shuffle, no RNG state), so a
+    resumed run assigns every row the same split and SQL can recompute the
+    label exactly — the standard corpus split rule, as an operator."""
+    lo, hi = per_mille
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        key = (ids * _KNUTH) % _MOD % 1000
+        lab = np.where(key < lo, "train", np.where(key < hi, "val", "test"))
+        return b.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -522,6 +522,31 @@ def events_top_users(sf_dir: str, k: int = 3):
         .repartition(1).map_batches(block_topk, batch_format="pyarrow")
 
 
+def docs_split_counts(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split over the corpus
+    (ops.sampling.with_split — pure per-batch hash labeler, no shuffle in
+    the assignment), summarized per (lang, split) with exact token sums.
+    The oracle recomputes the label with the same integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.sampling import _token_counts, with_split
+
+    ds = with_split(_read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+                    "doc_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"), "split": b.column("split"),
+                      "_n": _token_counts(b, "text")})
+        g = t.group_by(["lang", "split"]).aggregate(
+            [("_n", "sum"), ([], "count_all")])
+        return g.rename_columns(["lang", "split", "_s", "_c"])
+
+    return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["lang", "split"],
+                           Sum("_s", alias_name="n_tokens"),
+                           Sum("_c", alias_name="n_docs"))
+
+
 def docs_sample_n_per_group(sf_dir: str, n: int = 5):
     """Exactly-min(n, |group|) docs per language, deterministically: rank by
     the Knuth multiplicative hash of doc_id (the same integer keep-rule
