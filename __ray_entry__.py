@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_topk": R.docs_vocab_topk,
         "events_props_extract": R.events_props_extract,
         "docs_token_commonness": R.docs_token_commonness,
+        "docs_dup_components": R.docs_dup_components,
         "docs_chunk_windows": R.docs_chunk_windows,
         "docs_sample_n_per_group": R.docs_sample_n_per_group,
         "docs_split_counts": R.docs_split_counts,
@@ -130,6 +131,21 @@ def _decontaminate_sql(k: int = 5, mod: int = 10) -> str:
         "SELECT tr.doc_id, CAST(len(list_intersect(tr.kg, ev.ekg)) AS BIGINT) "
         "AS n_shared_kgrams FROM tr, ev "
         "WHERE len(list_intersect(tr.kg, ev.ekg)) > 0")
+
+
+def _cc_sql(threshold: float = 0.5, k: int = 3) -> str:
+    """Mirror of relational.docs_dup_components: the minhash pair SQL as the
+    edge list, transitive closure via a recursive CTE (every node collects
+    all reachable seed labels; MIN per node = the component's min doc id —
+    exactly the engine's min-label-propagation fixpoint)."""
+    return (
+        "WITH RECURSIVE p AS (" + _minhash_sql(threshold, k) + "), "
+        "e AS (SELECT id_a AS a, id_b AS b FROM p "
+        "UNION ALL SELECT id_b, id_a FROM p), "
+        "r AS (SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM e) "
+        "UNION SELECT e.b, r.label FROM r JOIN e ON r.node = e.a) "
+        "SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component "
+        "FROM r GROUP BY 1")
 
 
 def _cell_hourly_sql(res: int = 2) -> str:
@@ -370,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_docs FROM documents GROUP BY 1",
         "ann_cosine_top10": _ann_sql(),
         "docs_minhash_dedup": _minhash_sql(),
+        "docs_dup_components": _cc_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "events_view_attribution":
             "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "

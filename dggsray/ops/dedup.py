@@ -870,3 +870,64 @@ def embedding_neardup_lsh(ds, threshold: float, id_col: str = "vec_id",
     return sized_groupby(cand, ["id_a", "id_b"],
                          Max("cos_micro", alias_name="cos_micro"),
                          Max("truncated", alias_name="truncated"))
+
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_rounds: int = 64):
+    """Distributed connected components over a pair list — the transitive
+    closure step real dedup needs after candidate verification (A~B and B~C
+    put all three in ONE cluster even though (A,C) was never emitted).
+
+    Min-label propagation: every node starts labeled with itself; each round
+    routes labels across the (symmetric, materialized once) edge list with a
+    hash join, folds them into the per-node minimum with one sized_groupby,
+    and a scalar aggregate tells the driver whether any label still moved.
+    Rounds are bounded by the cluster diameter — near-dup clusters are
+    shallow stars/cliques, so 2-3 rounds in practice — and every round's
+    shuffle is bounded by the EDGE list, never the corpus.  Returns
+    (node, label) where label = the component's minimum node id."""
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join, join_partitions, sized_groupby
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column(id_a), pa.int64()).combine_chunks()
+        c = pc.cast(b.column(id_b), pa.int64()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, c]),
+                         "dst": pa.concat_arrays([c, a])})
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow") \
+        .materialize()                      # reused every round
+
+    labels = sized_groupby(
+        edges.map_batches(lambda b: pa.table({"node": b.column("src")}),
+                          batch_format="pyarrow"),
+        "node", Min("node", alias_name="label")).materialize()
+
+    for _ in range(max_rounds):
+        lab_as_src = labels.map_batches(
+            lambda b: pa.table({"src": b.column("node"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        msgs = hash_join(edges, lab_as_src, on="src",
+                         num_partitions=join_partitions()) \
+            .map_batches(lambda b: pa.table({"node": b.column("dst"),
+                                             "label": b.column("label")}),
+                         batch_format="pyarrow")
+        new = sized_groupby(msgs.union(labels), "node",
+                            Min("label", alias_name="label")).materialize()
+        # did any label move?  join old/new and count strict decreases
+        old_r = labels.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "_o": b.column("label")}),
+            batch_format="pyarrow")
+        moved = hash_join(new, old_r, on="node",
+                          num_partitions=join_partitions()) \
+            .map_batches(lambda b: pa.table({"c": pa.array([int(np.sum(
+                b.column("label").to_numpy() < b.column("_o").to_numpy()))],
+                pa.int64())}), batch_format="pyarrow") \
+            .aggregate(Sum("c", alias_name="c"))
+        labels = new
+        if not moved or not moved.get("c"):
+            break
+    return labels

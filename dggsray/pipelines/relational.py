@@ -333,6 +333,25 @@ def docs_minhash_dedup(sf_dir: str, threshold: float = 0.5):
     return minhash_dedup(ds, threshold=threshold)
 
 
+def docs_dup_components(sf_dir: str, threshold: float = 0.5):
+    """Transitive dedup clusters: the verified minhash near-dup PAIRS closed
+    under connectivity (ops.dedup.connected_components — distributed
+    min-label propagation, shuffles bounded by the edge list).  One row per
+    clustered doc: (doc_id, component = min doc_id of its cluster) — the
+    table a dedup pass keeps exactly one representative per component of."""
+    from ..ops.dedup import connected_components, minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    import ray.data as rd
+    pairs_tbl = minhash_dedup(ds, threshold=threshold)
+    cc = connected_components(rd.from_arrow(pairs_tbl))
+    return cc.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b.column("node"), pa.int64()),
+                            "component": pc.cast(b.column("label"),
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+
+
 def docs_simhash_clusters(sf_dir: str):
     """SimHash exact-collision clusters: (simhash value, n_docs, min doc_id).
     A same-topic corpus collapses to few clusters — O(n) output, unlike the

@@ -595,3 +595,21 @@ class TestQuantizedEmbeddings:
         a = set(brute_topk(deq_ds, q[None, :], 10).to_pandas().vec_id)
         b = set(brute_topk(ds, q[None, :], 10).to_pandas().vec_id)
         assert len(a & b) >= 8
+
+
+class TestConnectedComponents:
+    def test_chains_cliques_and_diameter(self, ray_session):
+        """Min-label propagation closes chains (diameter > 1), cliques and
+        isolated pairs to the component's min id."""
+        import ray.data as rd
+        from dggsray.ops.dedup import connected_components
+
+        pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21),
+                 (30, 31), (31, 32), (32, 33), (33, 34)]
+        t = pa.table({"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                      "id_b": pa.array([b for _, b in pairs], pa.int64())})
+        out = connected_components(rd.from_arrow(t)).to_pandas() \
+            .set_index("node")["label"].to_dict()
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30,
+                       34: 30}
