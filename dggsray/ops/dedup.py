@@ -872,23 +872,61 @@ def embedding_neardup_lsh(ds, threshold: float, id_col: str = "vec_id",
                          Max("truncated", alias_name="truncated"))
 
 
-def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                         max_rounds: int = 64):
-    """Distributed connected components over a pair list — the transitive
-    closure step real dedup needs after candidate verification (A~B and B~C
-    put all three in ONE cluster even though (A,C) was never emitted).
+def _components_local(a: np.ndarray, b: np.ndarray):
+    """Vectorized min-label fixpoint over dense-indexed edges: alternate
+    edge-relaxation (np.minimum.at both ways) with pointer jumping
+    (lab = lab[lab]) until stable — O(log diameter) numpy rounds."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        before = lab.copy()
+        mn = np.minimum(lab[ai], lab[bi])
+        np.minimum.at(lab, ai, mn)
+        np.minimum.at(lab, bi, mn)
+        lab = lab[lab]
+        if np.array_equal(lab, before):
+            break
+    return nodes, nodes[lab]
 
-    Min-label propagation: every node starts labeled with itself; each round
-    routes labels across the (symmetric, materialized once) edge list with a
-    hash join, folds them into the per-node minimum with one sized_groupby,
-    and a scalar aggregate tells the driver whether any label still moved.
-    Rounds are bounded by the cluster diameter — near-dup clusters are
-    shallow stars/cliques, so 2-3 rounds in practice — and every round's
-    shuffle is bounded by the EDGE list, never the corpus.  Returns
-    (node, label) where label = the component's minimum node id."""
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_rounds: int = 64,
+                         small_limit: int = 5_000_000):
+    """Connected components over a pair list — the transitive closure step
+    real dedup needs after candidate verification (A~B and B~C put all three
+    in ONE cluster even though (A,C) was never emitted).
+
+    Adaptive by MEASURED edge count (the sized_groupby pattern): at or below
+    `small_limit` pairs the edge list is collected (two int64 columns) and a
+    vectorized numpy min-label fixpoint finishes in milliseconds — LSH
+    candidate pairs are small by construction, and each distributed round
+    costs several Ray executions of pure overhead at that size.  Above the
+    limit (billions of pairs at corpus scale) it runs distributed min-label
+    propagation: every node starts labeled with itself; each round routes
+    labels across the (symmetric, materialized once) edge list with a hash
+    join, folds them into the per-node minimum with one sized_groupby, and a
+    scalar aggregate tells the driver whether any label still moved.  Rounds
+    are bounded by the cluster diameter — near-dup clusters are shallow
+    stars/cliques, so 2-3 rounds in practice — and every round's shuffle is
+    bounded by the EDGE list, never the corpus.  Returns (node, label) with
+    label = the component's minimum node id."""
+    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
     from .joins import hash_join, join_partitions, sized_groupby
+
+    if pairs.count() <= small_limit:
+        pdf = pairs.select_columns([id_a, id_b]).to_pandas()
+        a = pdf[id_a].to_numpy().astype(np.int64)
+        b = pdf[id_b].to_numpy().astype(np.int64)
+        if a.size == 0:
+            return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                           "label": pa.array([], pa.int64())}))
+        nodes, labels = _components_local(a, b)
+        return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                       "label": pa.array(labels)}))
 
     def symmetrize(b: pa.Table) -> pa.Table:
         a = pc.cast(b.column(id_a), pa.int64()).combine_chunks()

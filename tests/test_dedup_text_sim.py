@@ -608,8 +608,12 @@ class TestConnectedComponents:
                  (30, 31), (31, 32), (32, 33), (33, 34)]
         t = pa.table({"id_a": pa.array([a for a, _ in pairs], pa.int64()),
                       "id_b": pa.array([b for _, b in pairs], pa.int64())})
-        out = connected_components(rd.from_arrow(t)).to_pandas() \
-            .set_index("node")["label"].to_dict()
-        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
-                       20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30,
-                       34: 30}
+        exp = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+               20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30, 34: 30}
+        # driver fast path (measured-size default) and the distributed
+        # min-label propagation (forced via small_limit=0) must agree
+        for limit in (5_000_000, 0):
+            out = connected_components(rd.from_arrow(t),
+                                       small_limit=limit).to_pandas() \
+                .set_index("node")["label"].to_dict()
+            assert out == exp, f"small_limit={limit}"
