@@ -173,7 +173,16 @@ def read_geotiff(path: str) -> GeoTiff:
         if typ == 2:
             tags[tag] = raw.rstrip(b"\x00").decode("latin1")
         elif typ in TYPES and typ != 2:
-            tags[tag] = struct.unpack(bo + fmt * cnt, raw)
+            # a corrupt count field can claim billions of values: validate
+            # against the bytes actually present (the slice above is bounded
+            # by the file) BEFORE building the unpack format — `fmt * cnt`
+            # with a bogus cnt allocated gigabytes and stalled for minutes
+            # (caught by the codec fuzz tests)
+            if len(raw) != total:
+                raise ValueError(
+                    f"TIFF tag {tag}: value claims {total} bytes but only "
+                    f"{len(raw)} present — corrupt or truncated file")
+            tags[tag] = struct.unpack(f"{bo}{cnt}{fmt}", raw)
         else:
             tags[tag] = raw
     w, h = tags[256][0], tags[257][0]
