@@ -130,3 +130,65 @@ class TestCodecFuzz:
         _assert_decodes_or_raises(decode, _roundtrip_cases(blob, rng), "gpkg")
         with pytest.raises(Exception):
             decode(blob[:50])
+
+    def test_netcdf(self, tmp_path):
+        from dggsray.core.netcdfio import NetCDFClassic
+        from tests.test_netcdf import _write_classic
+        rng = np.random.default_rng(6)
+        p = str(tmp_path / "f.nc")
+        _write_classic(p)
+        blob = open(p, "rb").read()
+
+        def decode(b):
+            q = str(tmp_path / "q.nc")
+            with open(q, "wb") as f:
+                f.write(b)
+            nc = NetCDFClassic(q)
+            for v in nc.variables:
+                nc.read(v)
+
+        _assert_decodes_or_raises(decode, _roundtrip_cases(blob, rng), "nc")
+        with pytest.raises(Exception):
+            decode(blob[:3])
+
+    def test_shapefile(self, tmp_path):
+        from dggsray.io.shapefile import read_shapefile
+        rng = np.random.default_rng(7)
+        src = "/root/reference/tests/test_data/Aragón_ETRS89_30N"
+        blob = open(src + ".shp", "rb").read()
+
+        def decode(b):
+            q = str(tmp_path / "q.shp")
+            with open(q, "wb") as f:
+                f.write(b)
+            # .dbf/.prj stay valid — the fuzz targets the geometry parser
+            import shutil
+            shutil.copy(src + ".dbf", str(tmp_path / "q.dbf"))
+            shutil.copy(src + ".prj", str(tmp_path / "q.prj"))
+            return read_shapefile(q)
+
+        _assert_decodes_or_raises(decode,
+                                  _roundtrip_cases(blob, rng, n_flips=12),
+                                  "shp")
+
+    def test_hfa(self, tmp_path):
+        from dggsray.core.hfaio import read_img
+        rng = np.random.default_rng(8)
+        blob = open("/root/reference/tests/test_data/NAIP_30.img", "rb").read()
+        # large fixture: truncations + a handful of header-area flips only
+        cases = [blob[:c] for c in (0, 7, 16, 200, 5000, len(blob) // 2)]
+        for _ in range(6):
+            i = int(rng.integers(0, 20000))
+            b = bytearray(blob)
+            b[i] ^= int(rng.integers(1, 256))
+            cases.append(bytes(b))
+
+        def decode(b):
+            q = str(tmp_path / "q.img")
+            with open(q, "wb") as f:
+                f.write(b)
+            return read_img(q)
+
+        _assert_decodes_or_raises(decode, cases, "hfa")
+        with pytest.raises(Exception):
+            decode(blob[:7])
