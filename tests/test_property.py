@@ -171,3 +171,41 @@ class TestCellGeometryProperties:
         assert abs(ay - y[0]) <= w / 2 + 1e-6
         ax2, ay2 = align_point(ax, ay, res)
         assert abs(ax2 - ax) < 1e-6 and abs(ay2 - ay) < 1e-6
+
+
+class TestTextKernelRobustness:
+    """Arbitrary unicode through the batch text kernels: no exceptions, sane
+    integer invariants.  Surrogates are excluded (not encodable to utf-8 —
+    Arrow string columns cannot carry them either)."""
+
+    _text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=400)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts=st.lists(_text, min_size=1, max_size=8))
+    def test_quality_metrics_never_raise(self, texts):
+        import pyarrow as pa
+        from dggsray.ops.text import quality_metrics_batch
+        b = pa.table({"text": pa.array(texts, pa.string())})
+        out = quality_metrics_batch(b)
+        n_tok = out.column("n_tokens").to_numpy()
+        n_ch = out.column("n_chars").to_numpy()
+        assert (n_tok >= 1).all()          # split of "" yields [""] = 1 token
+        assert (out.column("n_punct").to_numpy() <= n_ch).all()
+        assert (out.column("n_digits").to_numpy() <= n_ch).all()
+        assert (out.column("max_token_len").to_numpy() >= 0).all()
+
+    @settings(max_examples=150, deadline=None)
+    @given(text=_text)
+    def test_lang_shingles_winnowing_never_raise(self, text):
+        from dggsray.ops.dedup import shingle_set
+        from dggsray.ops.text import detect_language, winnowing_fingerprint
+        lang, conf = detect_language(text)
+        assert isinstance(lang, str) and 0.0 <= conf <= 1.0
+        raw = text.encode("utf-8", "ignore")
+        for unit in ("word", "char"):
+            h = shingle_set(raw, 3, unit)
+            assert h.dtype == np.uint64 and h.size >= 0
+        fp = winnowing_fingerprint(raw)
+        assert fp.dtype == np.uint64
