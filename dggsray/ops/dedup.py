@@ -907,9 +907,11 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     propagation: every node starts labeled with itself; each round routes
     labels across the (symmetric, materialized once) edge list with a hash
     join, folds them into the per-node minimum with one sized_groupby, and a
-    scalar aggregate tells the driver whether any label still moved.  Rounds
-    are bounded by the cluster diameter — near-dup clusters are shallow
-    stars/cliques, so 2-3 rounds in practice — and every round's shuffle is
+    scalar aggregate tells the driver whether any label still moved.  Each
+    round then POINTER-JUMPS (label <- label[label], the classic parallel
+    union-find shortcut), so convergence is O(log diameter) rounds even on
+    chain/ring graphs — near-dup clusters are shallow stars/cliques and
+    finish in 2-3 rounds — and every round's shuffle is
     bounded by the EDGE list, never the corpus.  Returns (node, label) with
     label = the component's minimum node id."""
     import ray.data as rd
@@ -954,6 +956,19 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
                          batch_format="pyarrow")
         new = sized_groupby(msgs.union(labels), "node",
                             Min("label", alias_name="label")).materialize()
+        # pointer jump: label <- label[label].  Every label value is itself a
+        # node id (the running minimum of some node set), so it has a row in
+        # `new`; routing each node's label through that row shortcuts chains,
+        # halving the remaining distance to the component minimum each round.
+        lut = new.map_batches(
+            lambda b: pa.table({"label": b.column("node"),
+                                "_l2": b.column("label")}),
+            batch_format="pyarrow")
+        new = hash_join(new, lut, on="label",
+                        num_partitions=join_partitions()) \
+            .map_batches(lambda b: pa.table({"node": b.column("node"),
+                                             "label": b.column("_l2")}),
+                         batch_format="pyarrow").materialize()
         # did any label move?  join old/new and count strict decreases
         old_r = labels.map_batches(
             lambda b: pa.table({"node": b.column("node"),

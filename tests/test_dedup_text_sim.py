@@ -617,3 +617,19 @@ class TestConnectedComponents:
                                        small_limit=limit).to_pandas() \
                 .set_index("node")["label"].to_dict()
             assert out == exp, f"small_limit={limit}"
+
+    def test_distributed_path_equals_local_at_scale(self, ray_session):
+        """20k random edges over 6k nodes: the distributed min-label
+        propagation (forced) and the driver union-find agree exactly."""
+        import ray.data as rd
+        from dggsray.ops.dedup import connected_components
+
+        rng = np.random.default_rng(17)
+        a = rng.integers(0, 6000, 20_000).astype(np.int64)
+        b = (a + rng.integers(1, 40, 20_000)) % 6000   # local-ish edges
+        t = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+        loc = connected_components(rd.from_arrow(t)).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        dist = connected_components(rd.from_arrow(t), small_limit=0) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        assert loc.equals(dist)
