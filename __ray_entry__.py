@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_augment": R.images_augment,
         "events_cell_hourly": R.events_cell_hourly,
         "events_geofence": R.events_geofence,
+        "docs_tfidf_topk": R.docs_tfidf_topk,
+        "events_funnel": R.events_funnel,
         "flagship_cell_join": _flagship,
     }
 
@@ -435,6 +437,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(p.s // GREATEST(p.n_tokens, 1), 0) AS BIGINT) "
             "AS mean_commonness "
             "FROM documents d LEFT JOIN per p USING (doc_id)",
+        "docs_tfidf_topk":
+            "WITH t AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, "
+            "tf.tf * 1000000 // df.df AS score FROM tf JOIN df "
+            "USING (token)), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, token ASC) AS rn FROM s) "
+            "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, "
+            "CAST(score AS BIGINT) AS score FROM r WHERE rn <= 5",
+        "events_funnel":
+            "WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS first_view_us "
+            "FROM events WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_click_us "
+            "FROM events e JOIN v USING (user_id) "
+            "WHERE e.event_type = 'click' "
+            "AND epoch_us(e.ts) > v.first_view_us GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) "
+            "AS first_purchase_us FROM events e JOIN c USING (user_id) "
+            "WHERE e.event_type = 'purchase' "
+            "AND epoch_us(e.ts) > c.first_click_us GROUP BY 1) "
+            "SELECT v.user_id, CAST(v.first_view_us AS BIGINT) "
+            "AS first_view_us, CAST(c.first_click_us AS BIGINT) "
+            "AS first_click_us, CAST(p.first_purchase_us AS BIGINT) "
+            "AS first_purchase_us FROM v JOIN c USING (user_id) "
+            "JOIN p USING (user_id)",
         "docs_vocab_topk":
             "WITH t AS (SELECT unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "

@@ -74,6 +74,28 @@ def broadcast_lookup_join(ds, lookup: pa.Table, key_col: str = "cellid",
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def adaptive_join(left, right, on: str, broadcast_limit: int = 2_000_000,
+                  num_partitions: int | None = None):
+    """Inner join picking the strategy by the MEASURED size of `right`:
+    at or below `broadcast_limit` rows the right side is collected once,
+    ray.put, and probed per batch (broadcast_lookup_join — zero shuffle,
+    probe-side block layout preserved); above it, the native hash-shuffle
+    join.  Besides the shuffle saved, the broadcast path also sidesteps
+    Ray's hash-join aggregator failing on partitions that received no
+    blocks (tiny inputs spread over per-CPU partitions leave most empty)."""
+    if right.count() <= broadcast_limit:
+        sch = right.schema()
+        pa_sch = pa.schema(list(zip(sch.names, sch.types)))
+        tabs = [b.select(pa_sch.names) for b in
+                right.iter_batches(batch_format="pyarrow", batch_size=None)
+                if b.num_rows]
+        tbl = pa.concat_tables(tabs).cast(pa_sch) if tabs \
+            else pa_sch.empty_table()
+        return broadcast_lookup_join(left, tbl, key_col=on)
+    return hash_join(left, right, on=on,
+                     num_partitions=num_partitions or join_partitions())
+
+
 def hash_join(left, right, on: str = "cellid", join_type: str = "inner",
               num_partitions: int = 16):
     """Large-large hash join on a key column (native Ray Data shuffle join)."""

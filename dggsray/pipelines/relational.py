@@ -1570,3 +1570,139 @@ def events_props_extract(sf_dir: str):
                            "event_type", Sum("_s", alias_name="sum_k"),
                            Max("_m", alias_name="max_k"),
                            Sum("_n", alias_name="n_events"))
+
+
+def docs_tfidf_topk(sf_dir: str, k: int = 5,
+                    broadcast_limit: int = 2_000_000):
+    """Per-document distinctive terms: the k tokens with the highest
+    integer-exact tf/df score (tf * 1e6 // df — monotone in tf-idf for the
+    comparisons that matter, and bit-reproducible in SQL, unlike a float
+    log).  Three stages, each bounded:
+
+    1. tf — one vectorized Arrow pass (split + list_parent_indices +
+       batch-local group_by; every doc lives in exactly one batch, so the
+       batch-local count IS the final tf).  No shuffle.
+    2. df — per-block token value_counts (distinct per doc already) summed
+       by sized_groupby: the exchange moves (vocab x blocks) partial rows,
+       never token instances.
+    3. score + per-doc top-k — vocabularies are bounded (~1e7 terms at web
+       scale, ~100 MB), so the df table is ray.put once and probed per batch
+       (broadcast_lookup_join); doc locality is preserved, making the
+       per-batch grouped top-k exact with ZERO additional shuffle.  Above
+       `broadcast_limit` distinct tokens it falls back to a token-hash join
+       + per-doc map_groups (documented per-group cost).
+
+    Emits (doc_id, token, tf, score) — the corpus recomputes once per
+    consuming pass instead of materializing the doc x token matrix."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import (broadcast_lookup_join, hash_join,
+                             join_partitions, sized_groupby)
+
+    def tf_kernel(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = b.column("doc_id").take(pc.list_parent_indices(toks))
+        t = pa.table({"doc_id": ids, "token": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                         "token": g.column("token"),
+                         "tf": pc.cast(g.column("count_all"), pa.int64())})
+
+    def tf_ds():
+        return _read(sf_dir, "documents", ["doc_id", "text"]) \
+            .map_batches(tf_kernel, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("token").value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "df": pc.cast(vc.field("counts"), pa.int64())})
+
+    df = sized_groupby(tf_ds().map_batches(df_partial,
+                                           batch_format="pyarrow"),
+                       "token", Sum("df", alias_name="df"))
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        tf = b.column("tf").to_numpy().astype(np.int64)
+        dfv = b.column("df").to_numpy().astype(np.int64)
+        b = b.append_column("score", pa.array(tf * 1_000_000 // dfv))
+        idx = pc.sort_indices(b, sort_keys=[("doc_id", "ascending"),
+                                            ("score", "descending"),
+                                            ("token", "ascending")])
+        b = b.take(idx)
+        d = b.column("doc_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        ranks = np.arange(len(d)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(d)]))
+        return b.filter(pa.array(ranks < k)) \
+            .select(["doc_id", "token", "tf", "score"])
+
+    if df.count() <= broadcast_limit:
+        from ..ops.dedup import collect_typed
+        df_tbl = collect_typed(df, pa.schema([("token", pa.string()),
+                                              ("df", pa.int64())]))
+        scored = broadcast_lookup_join(tf_ds(), df_tbl, key_col="token")
+        return scored.map_batches(score_topk, batch_format="pyarrow")
+    scored = hash_join(tf_ds(), df, on="token",
+                       num_partitions=join_partitions())
+    return scored.groupby("doc_id").map_groups(
+        score_topk, batch_format="pyarrow")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered conversion funnel: users whose first 'view' is followed by a
+    'click' strictly after it and a 'purchase' strictly after that click —
+    one row per converted user with the three stage timestamps (epoch
+    micros, BIGINT).  Sequential semantics a plain groupby cannot express:
+    each stage is a per-user Min AFTER an inequality join against the
+    previous stage's timestamp.  Stage tables join adaptively (broadcast
+    when measured small, hash-shuffle at user-cardinality scale), every
+    groupby is partial-aggregated per block
+    first, and the per-user stage tables carry prior timestamps as extra
+    group keys (functionally dependent on user_id) so no re-join is needed
+    to assemble the final row."""
+    from ray.data.aggregate import Min
+
+    from ..ops.joins import adaptive_join, sized_groupby
+
+    def typed(event_type: str, out: str):
+        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def kernel(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("event_type"), event_type)
+            b = b.filter(m)
+            return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                                pa.int64()),
+                             out: pc.cast(b.column("ts"), pa.int64())})
+
+        return ds.map_batches(kernel, batch_format="pyarrow")
+
+    v = sized_groupby(typed("view", "first_view_us"), "user_id",
+                      Min("first_view_us", alias_name="first_view_us"))
+
+    clicks = adaptive_join(typed("click", "_ts"), v, on="user_id")
+    clicks = clicks.map_batches(
+        lambda b: b.filter(pc.greater(b.column("_ts"),
+                                      b.column("first_view_us"))),
+        batch_format="pyarrow")
+    c = sized_groupby(clicks, ["user_id", "first_view_us"],
+                      Min("_ts", alias_name="first_click_us"))
+
+    purch = adaptive_join(typed("purchase", "_ts"), c, on="user_id")
+    purch = purch.map_batches(
+        lambda b: b.filter(pc.greater(b.column("_ts"),
+                                      b.column("first_click_us"))),
+        batch_format="pyarrow")
+    p = sized_groupby(purch, ["user_id", "first_view_us", "first_click_us"],
+                      Min("_ts", alias_name="first_purchase_us"))
+    return p.map_batches(
+        lambda b: b.select(["user_id", "first_view_us", "first_click_us",
+                            "first_purchase_us"]),
+        batch_format="pyarrow")
