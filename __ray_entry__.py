@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_geofence": R.events_geofence,
         "docs_tfidf_topk": R.docs_tfidf_topk,
         "events_funnel": R.events_funnel,
+        "docs_heavy_hitters": R.docs_heavy_hitters,
+        "events_distinct_users": R.events_distinct_users,
+        "events_distinct_users_hll": R.events_distinct_users_hll,
         "flagship_cell_join": _flagship,
     }
 
@@ -451,6 +454,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, token ASC) AS rn FROM s) "
             "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, "
             "CAST(score AS BIGINT) AS score FROM r WHERE rn <= 5",
+        "docs_heavy_hitters":
+            "WITH t AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "
+            "FROM documents), tot AS (SELECT COUNT(*) AS n FROM t) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST((SELECT n FROM tot) AS BIGINT) AS n_total "
+            "FROM t GROUP BY 1 "
+            "HAVING COUNT(*) * 1000000 >= 34000 * (SELECT n FROM tot)",
+        "events_distinct_users":
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY 1",
+        # events_distinct_users_hll is rows-only by design: the HLL estimate
+        # is deterministic (splitmix64 registers) but not SQL-reproducible.
         "events_funnel":
             "WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS first_view_us "
             "FROM events WHERE event_type = 'view' GROUP BY 1), "

@@ -1706,3 +1706,101 @@ def events_funnel(sf_dir: str):
         lambda b: b.select(["user_id", "first_view_us", "first_click_us",
                             "first_purchase_us"]),
         batch_format="pyarrow")
+
+
+def docs_heavy_hitters(sf_dir: str, phi_ppm: int = 34_000):
+    """EXACT frequency-threshold tokens (count >= phi_ppm/1e6 of all token
+    occurrences) in two bounded passes — `ops.sketch.heavy_hitters`: pass 1
+    keeps each block's locally phi-heavy tokens (the averaging lemma makes
+    their union a provable superset of every global heavy hitter, <= 1e6/phi
+    rows per block — no vocabulary shuffle); pass 2 recounts ONLY those
+    candidates and applies the exact global threshold.  Sketch-bounded
+    state, SQL-exact answer."""
+    from ..ops.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(b.column("text"), r"\s+"))
+        return pa.table({"token": toks.filter(pc.not_equal(toks, ""))})
+
+    return heavy_hitters(ds, tok, phi_ppm)
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type: per-block pair dedup
+    (Arrow group_by — the block's duplicate users collapse before anything
+    moves), a keyed pair-dedup groupby bounded by |type x user|, then a
+    low-cardinality count.  The classic two-level distinct that never ships
+    raw events."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby, sized_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([([],
+                                                              "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "user_id": pc.cast(g.column("user_id"), pa.int64()),
+                         "_one": pa.array(np.ones(g.num_rows, np.int64))})
+
+    from ray.data.aggregate import Min
+    dedup = sized_groupby(ds.map_batches(pairs, batch_format="pyarrow"),
+                          ["event_type", "user_id"],
+                          Min("_one", alias_name="_one"))
+
+    def per_type(b: pa.Table) -> pa.Table:
+        vc = b.column("event_type").value_counts()
+        return pa.table({"event_type": vc.field("values"),
+                         "n_users": pc.cast(vc.field("counts"), pa.int64())})
+
+    return lowcard_groupby(dedup.map_batches(per_type,
+                                             batch_format="pyarrow"),
+                           "event_type", Sum("n_users",
+                                             alias_name="n_users"))
+
+
+def events_distinct_users_hll(sf_dir: str, p: int = 14):
+    """Exact vs HyperLogLog distinct users per event type, side by side:
+    each block reduces to one 2^p-byte register blob per type (mergeable by
+    elementwise max — the shuffle is blocks x types blobs, independent of
+    event count), the driver max-merges and estimates.  Rows-only by design:
+    the estimate is deterministic (splitmix64 registers) but no SQL engine
+    reproduces it."""
+    import ray.data  # noqa: F401
+
+    from ..ops.sketch import hll_estimate, hll_merge, hll_registers_batch
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        types, blobs = [], []
+        tb = pa.table({"t": b.column("event_type"),
+                       "u": pc.cast(b.column("user_id"), pa.int64())})
+        for t in pc.unique(tb.column("t")).to_pylist():
+            sub = tb.filter(pc.equal(tb.column("t"), t))
+            regs = hll_registers_batch(sub.column("u").to_numpy(), p)
+            types.append(t)
+            blobs.append(regs.tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "regs": pa.array(blobs, pa.large_binary())})
+
+    merged: dict[str, np.ndarray] = {}
+    exact = {r["event_type"]: r["n_users"]
+             for r in events_distinct_users(sf_dir).take_all()}
+    for bt in ds.map_batches(kernel, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for t, blob in zip(bt.column("event_type").to_pylist(),
+                           bt.column("regs").to_pylist()):
+            prev = merged.get(t)
+            cur = np.frombuffer(blob, np.uint8)
+            merged[t] = cur if prev is None else hll_merge(prev, cur)
+    ts = sorted(merged)
+    return pa.table({
+        "event_type": pa.array(ts, pa.string()),
+        "n_users_exact": pa.array([int(exact[t]) for t in ts], pa.int64()),
+        "n_users_hll": pa.array([int(round(hll_estimate(merged[t])))
+                                 for t in ts], pa.int64())})

@@ -1,0 +1,129 @@
+"""Mergeable sketches (`dggsray/ops/sketch.py`): HyperLogLog distinct
+counting and the exact two-pass heavy-hitter operator."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class TestHLL:
+    def test_error_bound_ints(self):
+        from dggsray.ops.sketch import hll_estimate, hll_registers_batch
+        rng = np.random.default_rng(3)
+        for n in (1_000, 50_000):
+            vals = rng.choice(10 * n, n, replace=False).astype(np.int64)
+            est = hll_estimate(hll_registers_batch(vals, p=14))
+            # standard error at p=14 is ~0.8%; allow 4 sigma
+            assert abs(est - n) / n < 0.033, (n, est)
+
+    def test_duplicates_dont_inflate(self):
+        from dggsray.ops.sketch import hll_estimate, hll_registers_batch
+        vals = np.arange(2_000, dtype=np.int64)
+        one = hll_estimate(hll_registers_batch(vals, p=14))
+        rep = hll_estimate(hll_registers_batch(np.tile(vals, 50), p=14))
+        assert one == rep
+
+    def test_merge_equals_single_pass(self):
+        from dggsray.ops.sketch import hll_merge, hll_registers_batch
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 1 << 40, 30_000).astype(np.int64)
+        whole = hll_registers_batch(vals, p=12)
+        parts = [hll_registers_batch(c, p=12)
+                 for c in np.array_split(vals, 7)]
+        merged = parts[0]
+        for q in parts[1:]:
+            merged = hll_merge(merged, q)
+        assert np.array_equal(whole, merged)
+
+    def test_string_hash_stable_and_small_range(self):
+        from dggsray.ops.sketch import hll_estimate, hll_registers_batch
+        vals = pa.array([f"user-{i}" for i in range(300)] * 3)
+        est = hll_estimate(hll_registers_batch(vals, p=14))
+        # linear-counting regime: near-exact for n << 2^p
+        assert abs(est - 300) < 6
+        est2 = hll_estimate(hll_registers_batch(vals, p=14))
+        assert est == est2
+
+    def test_hll_distinct_dataset(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.sketch import hll_distinct
+        t = pa.table({"u": pa.array(np.arange(5_000, dtype=np.int64))})
+        est = hll_distinct(rd.from_arrow(t).repartition(8), "u", p=14)
+        assert abs(est - 5_000) / 5_000 < 0.033
+
+
+def _tok_kernel():
+    """Nested so cloudpickle ships it by value (test modules are not
+    importable inside Ray workers)."""
+    def tok(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(b.column("text"), r"\s+"))
+        return pa.table({"token": toks.filter(pc.not_equal(toks, ""))})
+    return tok
+
+
+class TestHeavyHitters:
+    def test_exact_vs_bruteforce(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.sketch import heavy_hitters
+        rng = np.random.default_rng(9)
+        # zipf-ish corpus: token w{i} with weight 1/(i+1)
+        words = [f"w{i}" for i in range(200)]
+        wts = 1.0 / np.arange(1, 201)
+        wts /= wts.sum()
+        texts = [" ".join(rng.choice(words, 40, p=wts)) for _ in range(300)]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)})) \
+            .repartition(6)
+        phi = 15_000  # 1.5%
+        out = heavy_hitters(ds, _tok_kernel(), phi).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        # brute force
+        from collections import Counter
+        c = Counter(w for t in texts for w in t.split())
+        total = sum(c.values())
+        exp = sorted([(w, n) for w, n in c.items()
+                      if n * 1_000_000 >= phi * total])
+        assert list(zip(out.token, out.n)) == exp
+        assert (out.n_total == total).all()
+
+    def test_empty_when_uniform_below_threshold(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.sketch import heavy_hitters
+        texts = [" ".join(f"t{i}-{j}" for j in range(20))
+                 for i in range(50)]  # every token unique
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+        out = heavy_hitters(ds, _tok_kernel(), 10_000).to_pandas()
+        assert len(out) == 0
+        assert list(out.columns) == ["token", "n", "n_total"]
+
+
+class TestNewQueriesOracle:
+    def test_match_duckdb_sf0001(self, ray_session):
+        import sys
+        import duckdb
+        import pandas as pd
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        for t in ("documents", "events"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        for q in ("docs_heavy_hitters", "events_distinct_users"):
+            res = E.queries()[q](sf)
+            eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            exp = con.sql(E.oracle_sql()[q]).df()
+            cols = sorted(exp.columns)
+            eng = eng[cols].sort_values(cols).reset_index(drop=True)
+            exp = exp[cols].sort_values(cols).reset_index(drop=True)
+            assert eng.equals(exp), q
+
+    def test_hll_query_sane(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        t = E.queries()["events_distinct_users_hll"]("/root/testdata/sf0.001")
+        df = t.to_pandas()
+        assert len(df) == 5
+        # small-range regime: HLL should be near-exact here
+        assert (abs(df.n_users_hll - df.n_users_exact)
+                <= np.maximum(2, df.n_users_exact * 0.05)).all()
