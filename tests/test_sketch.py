@@ -127,3 +127,60 @@ class TestNewQueriesOracle:
         # small-range regime: HLL should be near-exact here
         assert (abs(df.n_users_hll - df.n_users_exact)
                 <= np.maximum(2, df.n_users_exact * 0.05)).all()
+
+
+class TestSketchProperties:
+    """Hypothesis invariants for the sketch kernels (no Ray needed)."""
+
+    def test_hll_merge_commutative_associative_idempotent(self):
+        from hypothesis import given, settings, strategies as st
+        from dggsray.ops.sketch import hll_merge, hll_registers_batch
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.integers(-2**62, 2**62), max_size=200),
+               st.lists(st.integers(-2**62, 2**62), max_size=200),
+               st.lists(st.integers(-2**62, 2**62), max_size=200))
+        def run(a, b, c):
+            ra, rb, rc = (hll_registers_batch(
+                np.array(x, dtype=np.int64), p=8) for x in (a, b, c))
+            assert np.array_equal(hll_merge(ra, rb), hll_merge(rb, ra))
+            assert np.array_equal(
+                hll_merge(hll_merge(ra, rb), rc),
+                hll_merge(ra, hll_merge(rb, rc)))
+            assert np.array_equal(hll_merge(ra, ra), ra)
+            # union bound: merged registers dominate both inputs
+            assert (hll_merge(ra, rb) >= ra).all()
+
+        run()
+
+    def test_hll_estimate_monotone_under_merge(self):
+        from hypothesis import given, settings, strategies as st
+        from dggsray.ops.sketch import (hll_estimate, hll_merge,
+                                        hll_registers_batch)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.integers(0, 2**40), min_size=1, max_size=300),
+               st.lists(st.integers(0, 2**40), min_size=1, max_size=300))
+        def run(a, b):
+            ra = hll_registers_batch(np.array(a, np.int64), p=10)
+            rb = hll_registers_batch(np.array(b, np.int64), p=10)
+            assert hll_estimate(hll_merge(ra, rb)) >= \
+                hll_estimate(ra) - 1e-9
+
+        run()
+
+    def test_string_hash_no_exceptions_and_stable(self):
+        from hypothesis import given, settings, strategies as st
+        from dggsray.ops.sketch import _hash64
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.lists(st.text(max_size=40), max_size=60))
+        def run(texts):
+            h1 = _hash64(pa.array(texts, pa.string()))
+            h2 = _hash64(pa.array(texts, pa.string()))
+            assert np.array_equal(h1, h2)
+            # distinct strings should not collide in tiny samples
+            uniq = len(set(texts))
+            assert len(np.unique(h1)) >= max(uniq - 1, 0)
+
+        run()
