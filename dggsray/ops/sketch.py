@@ -40,24 +40,27 @@ def _hash64(values: pa.Array) -> np.ndarray:
     stable, unlike Python hash())."""
     s = pc.cast(values, pa.large_string())
     arr = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
-    py = arr.to_pylist()
-    out = np.empty(len(py), dtype=np.uint64)
-    # byte-fold in numpy per unique length bucket to stay vectorized
-    lens = np.array([len(x.encode("utf-8")) if x is not None else 0
-                     for x in py])
-    data = [x.encode("utf-8") if x is not None else b"" for x in py]
-    out[:] = _FNV_OFFSET
-    if len(py):
-        maxlen = int(lens.max(initial=0))
-        if maxlen:
-            mat = np.zeros((len(py), maxlen), dtype=np.uint8)
-            for i, b in enumerate(data):        # fill loop only; fold is
-                mat[i, :len(b)] = np.frombuffer(b, np.uint8)   # vectorized
-            with np.errstate(over="ignore"):
-                for j in range(maxlen):
-                    col = mat[:, j].astype(np.uint64)
-                    live = lens > j
-                    out[live] = (out[live] ^ col[live]) * _FNV_PRIME
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    # zero-copy over the Arrow buffers: offsets give each row's byte span,
+    # one gather builds the (rows x maxlen) byte matrix with no row loop
+    off = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
+                        offset=arr.offset * 8)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = np.diff(off)
+    maxlen = int(lens.max(initial=0))
+    if maxlen:
+        pos = off[:-1, None] + np.arange(maxlen)
+        live = pos < off[1:, None]
+        mat = data[np.minimum(pos, data.size - 1)] * live
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                col = mat[:, j].astype(np.uint64)
+                lv = live[:, j]
+                out[lv] = (out[lv] ^ col[lv]) * _FNV_PRIME
     # FNV diffuses tail-byte differences into low bits only; the register
     # index needs the TOP bits, so finish with an avalanche mix
     return _hash64_ints(out.astype(np.int64))
