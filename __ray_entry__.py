@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": R.docs_heavy_hitters,
         "events_distinct_users": R.events_distinct_users,
         "events_distinct_users_hll": R.events_distinct_users_hll,
+        "images_neardup_components": R.images_neardup_components,
         "flagship_cell_join": _flagship,
     }
 

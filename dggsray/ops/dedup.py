@@ -697,18 +697,30 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         return pa.table({id_col: bt.column(id_col),
                          "simhash": pa.array(simhash_batch(texts), pa.uint64())})
 
-    sigs = ds.map_batches(sig, batch_format="pyarrow")
+    return hamming_near_pairs(ds.map_batches(sig, batch_format="pyarrow"),
+                              max_hamming=max_hamming, id_col=id_col)
+
+
+def hamming_near_pairs(sigs, max_hamming: int = 3, id_col: str = "doc_id",
+                       sig_col: str = "simhash"):
+    """Verified pairs within `max_hamming` over ANY 64-bit signature column
+    (simhash of text, perceptual phash of images...).  4x16-bit band buckets
+    — by pigeonhole a pair within hamming<=3 agrees exactly on at least one
+    band, so the bucket groupby finds every qualifying pair; above 3 recall
+    is best-effort (a pair may differ in all four bands).  Candidates are
+    verified by popcount of the xor.  The shuffle moves (band, key, id,
+    sig) rows — 4 small rows per item — never the payloads."""
 
     def bandify(bt: pa.Table) -> pa.Table:
-        h = bt.column("simhash").to_numpy()
+        h = bt.column(sig_col).to_numpy()
         ids = bt.column(id_col).to_numpy()
-        out = {"band": [], "key": [], id_col: [], "simhash": []}
+        out = {"band": [], "key": [], id_col: [], sig_col: []}
         for b in range(4):
             out["band"].append(np.full(h.size, b, dtype=np.int32))
             out["key"].append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
                               .astype(np.int64))
             out[id_col].append(ids)
-            out["simhash"].append(h)
+            out[sig_col].append(h)
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
     def part_key(bt: pa.Table) -> pa.Table:
@@ -728,7 +740,7 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         band = g.column("band").to_numpy()
         key = g.column("key").to_numpy()
         ids = g.column(id_col).to_numpy()
-        hs = g.column("simhash").to_numpy()
+        hs = g.column(sig_col).to_numpy()
         new = np.ones(ids.size, dtype=bool)
         new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
         ia, ib, trunc = _run_pairs(new, max_bucket=100_000)

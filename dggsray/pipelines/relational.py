@@ -1804,3 +1804,73 @@ def events_distinct_users_hll(sf_dir: str, p: int = 14):
         "n_users_exact": pa.array([int(exact[t]) for t in ts], pa.int64()),
         "n_users_hll": pa.array([int(round(hll_estimate(merged[t])))
                                  for t in ts], pa.int64())})
+
+
+def images_neardup_components(sf_dir: str, max_hamming: int = 3):
+    """Perceptual near-dup image CLUSTERS across encodings, collapse-first:
+    identical phashes are grouped ONCE (synthetic corpora and real ones both
+    carry huge exact-duplicate buckets — banding raw rows would emit
+    quadratically many identical pairs), then the banded hamming operator
+    (ops.dedup.hamming_near_pairs) runs over the DISTINCT signatures only,
+    connected_components closes the near-links transitively, and the
+    per-signature member stats are mapped back with one broadcast lookup
+    (the distinct-signature table is vocabulary-sized).  One row per
+    near-dup cluster: (component, n_phashes, n_members, n_jpeg).
+    Rows-only by design (phash is a byte contract)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..io.imagetable import ensure_image_table, ensure_jpeg_table
+    from ..ops.dedup import connected_components, hamming_near_pairs
+    from ..ops.joins import sized_groupby
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    cols = ["image_id", "phash"]
+
+    def prep(is_jpeg: int):
+        def kernel(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "phash": pc.cast(b.column("phash"), pa.uint64()),
+                "_jpeg": pa.array(np.full(b.num_rows, is_jpeg, np.int64))})
+        return kernel
+
+    ds = rd.read_parquet(ensure_image_table(sf), columns=cols) \
+        .map_batches(prep(0), batch_format="pyarrow") \
+        .union(rd.read_parquet(ensure_jpeg_table(), columns=cols)
+               .map_batches(prep(1), batch_format="pyarrow"))
+    distinct = sized_groupby(ds, "phash",
+                             Count(alias_name="n_members"),
+                             Sum("_jpeg", alias_name="n_jpeg")) \
+        .materialize()                      # vocabulary-sized; reused twice
+
+    def as_sig(b: pa.Table) -> pa.Table:
+        h = pc.cast(b.column("phash"), pa.uint64())
+        return pa.table({"node_id": pc.cast(h, pa.int64()), "sig": h})
+
+    pairs = hamming_near_pairs(distinct.map_batches(as_sig,
+                                                    batch_format="pyarrow"),
+                               max_hamming=max_hamming,
+                               id_col="node_id", sig_col="sig")
+    cc = connected_components(pairs)        # nodes = distinct phash values
+    lab = {r["node"]: r["label"] for r in cc.take_all()}
+    lab_ref = ray.put(lab)
+
+    def flag(b: pa.Table) -> pa.Table:
+        m = ray.get(lab_ref)
+        h = pc.cast(b.column("phash"), pa.uint64()).to_numpy() \
+            .astype(np.int64)
+        comp = np.array([m.get(int(x), -1) for x in h], dtype=np.int64)
+        keep = comp >= 0
+        kept = b.filter(pa.array(keep))
+        return pa.table({
+            "component": pa.array(comp[keep]),
+            "n_phashes": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "n_members": kept.column("n_members"),
+            "n_jpeg": kept.column("n_jpeg")})
+
+    return sized_groupby(distinct.map_batches(flag, batch_format="pyarrow"),
+                         "component",
+                         Sum("n_phashes", alias_name="n_phashes"),
+                         Sum("n_members", alias_name="n_members"),
+                         Sum("n_jpeg", alias_name="n_jpeg"))

@@ -184,3 +184,48 @@ class TestSketchProperties:
             assert len(np.unique(h1)) >= max(uniq - 1, 0)
 
         run()
+
+
+class TestHammingNearPairs:
+    def test_banded_recall_and_transitive_clusters(self, ray_session):
+        """A planted hamming chain a~b~c (a-c at distance 4 — NEVER a direct
+        pair at max_hamming=3) still lands in ONE component via transitive
+        closure, while a far-away signature stays out."""
+        import ray.data as rd
+        from dggsray.ops.dedup import (connected_components,
+                                       hamming_near_pairs)
+        h0 = np.uint64(0x0123456789ABCDEF)
+        sigs = np.array([
+            h0,                                    # 0
+            h0 ^ np.uint64(1 << 5),                # 1: d(0,1)=1
+            h0 ^ np.uint64((1 << 5) | (1 << 20) | (1 << 40)
+                           | (1 << 60)),           # 2: d(1,2)=3, d(0,2)=4
+            np.uint64(0xFFFF0000FFFF0000),         # 3: far from all
+            np.uint64(0xFFFF0000FFFF0001),         # 4: d(3,4)=1
+        ], dtype=np.uint64)
+        t = pa.table({"node_id": pa.array(np.arange(5, dtype=np.int64)),
+                      "phash": pa.array(sigs)})
+        pairs = hamming_near_pairs(rd.from_arrow(t), max_hamming=3,
+                                   id_col="node_id", sig_col="phash")
+        pdf = pairs.to_pandas()
+        got = {tuple(sorted(p)) for p in zip(pdf.id_a, pdf.id_b)}
+        assert (0, 1) in got and (1, 2) in got and (3, 4) in got
+        assert (0, 2) not in got  # distance 4 > max_hamming
+        cc = connected_components(pairs).to_pandas() \
+            .set_index("node")["label"].to_dict()
+        assert cc[0] == cc[1] == cc[2] == 0
+        assert cc[3] == cc[4] == 3
+
+    def test_images_neardup_query(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["images_neardup_components"](
+            "/root/testdata/sf0.001").to_pandas()
+        # every near-dup cluster links >= 2 DISTINCT signatures (CC only
+        # holds paired nodes); members bound phash count; the JPEG
+        # re-encodes ride their originals' signatures into the clusters
+        assert (df.n_phashes >= 2).all()
+        assert (df.n_members >= df.n_phashes).all()
+        assert df.n_jpeg.sum() > 0
+        assert (df.n_jpeg <= df.n_members).all()
