@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": R.events_distinct_users,
         "events_distinct_users_hll": R.events_distinct_users_hll,
         "images_neardup_components": R.images_neardup_components,
+        "docs_retained_after_dedup": R.docs_retained_after_dedup,
         "flagship_cell_join": _flagship,
     }
 
@@ -139,19 +140,33 @@ def _decontaminate_sql(k: int = 5, mod: int = 10) -> str:
         "WHERE len(list_intersect(tr.kg, ev.ekg)) > 0")
 
 
-def _cc_sql(threshold: float = 0.5, k: int = 3) -> str:
-    """Mirror of relational.docs_dup_components: the minhash pair SQL as the
-    edge list, transitive closure via a recursive CTE (every node collects
-    all reachable seed labels; MIN per node = the component's min doc id —
-    exactly the engine's min-label-propagation fixpoint)."""
+def _cc_body(threshold: float = 0.5, k: int = 3) -> str:
+    """Shared CTE chain: minhash pairs -> symmetric edges -> recursive
+    closure -> cc(doc_id, component)."""
     return (
         "WITH RECURSIVE p AS (" + _minhash_sql(threshold, k) + "), "
         "e AS (SELECT id_a AS a, id_b AS b FROM p "
         "UNION ALL SELECT id_b, id_a FROM p), "
         "r AS (SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM e) "
-        "UNION SELECT e.b, r.label FROM r JOIN e ON r.node = e.a) "
-        "SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component "
-        "FROM r GROUP BY 1")
+        "UNION SELECT e.b, r.label FROM r JOIN e ON r.node = e.a), "
+        "cc AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) "
+        "AS component FROM r GROUP BY 1) ")
+
+
+def _cc_sql(threshold: float = 0.5, k: int = 3) -> str:
+    """Mirror of relational.docs_dup_components: the minhash pair SQL as the
+    edge list, transitive closure via a recursive CTE (every node collects
+    all reachable seed labels; MIN per node = the component's min doc id —
+    exactly the engine's min-label-propagation fixpoint)."""
+    return _cc_body(threshold, k) + "SELECT doc_id, component FROM cc"
+
+
+def _retained_sql(threshold: float = 0.5, k: int = 3) -> str:
+    """Mirror of relational.docs_retained_after_dedup: every doc except the
+    non-representative members of near-dup components (keep-one dedup)."""
+    return (_cc_body(threshold, k) +
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN "
+            "(SELECT doc_id FROM cc WHERE doc_id != component)")
 
 
 def _cell_hourly_sql(res: int = 2) -> str:
@@ -393,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": _ann_sql(),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_dup_components": _cc_sql(),
+        "docs_retained_after_dedup": _retained_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "events_view_attribution":
             "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "

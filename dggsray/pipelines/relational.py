@@ -1874,3 +1874,49 @@ def images_neardup_components(sf_dir: str, max_hamming: int = 3):
                          Sum("n_phashes", alias_name="n_phashes"),
                          Sum("n_members", alias_name="n_members"),
                          Sum("n_jpeg", alias_name="n_jpeg"))
+
+
+def docs_retained_after_dedup(sf_dir: str, threshold: float = 0.5,
+                              broadcast_limit: int = 2_000_000):
+    """The KEPT corpus after near-dedup — the table every dedup pass is
+    actually run to produce: all doc_ids except the non-representative
+    members of each near-dup component (minhash pairs -> pointer-jumped
+    connected components -> keep the component-minimum doc).  The drop set
+    is bounded by the duplicate count: broadcast anti-join when it measures
+    small, Ray's native left_anti hash join when a duplicate-ridden corpus
+    makes it large."""
+    import ray
+    import ray.data as rd
+
+    from ..ops.dedup import connected_components, minhash_dedup
+    from ..ops.joins import join_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    pairs_tbl = minhash_dedup(_read(sf_dir, "documents",
+                                    ["doc_id", "text"]),
+                              threshold=threshold)
+    cc = connected_components(rd.from_arrow(pairs_tbl))
+    drop = cc.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(
+            b.filter(pc.not_equal(b.column("node"),
+                                  b.column("label"))).column("node"),
+            pa.int64())}),
+        batch_format="pyarrow")
+
+    if drop.count() <= broadcast_limit:
+        ids = [bt.column("doc_id").to_numpy() for bt in
+               drop.iter_batches(batch_format="pyarrow", batch_size=None)
+               if bt.num_rows]
+        drop_ref = ray.put(np.sort(np.concatenate(ids)) if ids
+                           else np.array([], np.int64))
+
+        def anti(b: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = b.column("doc_id").to_numpy()
+            pos = np.searchsorted(d, ids)
+            hit = (pos < d.size) & (d[np.minimum(pos, d.size - 1)] == ids)
+            return pa.table({"doc_id": pa.array(
+                ids[~hit].astype(np.int64))})
+
+        return docs.map_batches(anti, batch_format="pyarrow")
+    return docs.join(drop, "left_anti", join_partitions(), on=("doc_id",))
