@@ -1673,11 +1673,15 @@ def events_funnel(sf_dir: str):
     from ..ops.joins import adaptive_join, sized_groupby
 
     def typed(event_type: str, out: str):
-        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        # row filter pushed into the parquet scan: non-matching row groups
+        # are pruned by statistics and non-matching rows never leave the read
+        import pyarrow.dataset as pads
+        import ray.data as rd
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"],
+                             filter=pads.field("event_type") == event_type)
 
         def kernel(b: pa.Table) -> pa.Table:
-            m = pc.equal(b.column("event_type"), event_type)
-            b = b.filter(m)
             return pa.table({"user_id": pc.cast(b.column("user_id"),
                                                 pa.int64()),
                              out: pc.cast(b.column("ts"), pa.int64())})
