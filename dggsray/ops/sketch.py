@@ -1,6 +1,6 @@
 """Mergeable sketches for corpus-scale statistics.
 
-Two operators a 100 TB pipeline needs where exact state would not fit:
+Operators a 100 TB pipeline needs where exact state would not fit:
 
 - `hll_distinct` — HyperLogLog distinct counting.  Every block reduces to a
   fixed 2^p-byte register array (16 KiB at p=14, standard error
@@ -14,6 +14,9 @@ Two operators a 100 TB pipeline needs where exact state would not fit:
   exactly recounts ONLY those candidates (broadcast set, per-block partial
   counts) and applies the global threshold.  The result is provably exact
   — a sketch for the scan, SQL semantics for the answer.
+- `quantile_sketch` — mergeable weighted quantile summary (Munro-Paterson /
+  MRL rank subsampling): <= k weighted points per block, re-compacting
+  merge, end-to-end rank error O(N/k).
 
 Everything is integer-exact (thresholds in parts-per-million) so a DuckDB
 oracle can reproduce the output bit-for-bit.
@@ -25,7 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["hll_registers_batch", "hll_merge", "hll_estimate",
-           "hll_distinct", "heavy_hitters"]
+           "hll_distinct", "heavy_hitters", "qsketch_batch", "qsketch_merge",
+           "qsketch_quantile", "quantile_sketch"]
 
 
 # ---------------------------------------------------------------- HyperLogLog
@@ -219,3 +223,68 @@ def heavy_hitters(ds, list_col_kernel, phi_ppm: int,
     from .dedup import collect_typed
     return collect_typed(exact.map_batches(final, batch_format="pyarrow"),
                          out_schema)
+
+
+# ----------------------------------------------------- quantile sketch (MRL)
+
+def qsketch_batch(values: np.ndarray, k: int = 4096):
+    """One block -> weighted quantile summary (points, weights), <= k points.
+    Equal-weight rank subsampling (the Munro-Paterson / MRL compaction
+    primitive): the sorted block is sampled at ranks (i+0.5)*n/k, each kept
+    point standing for n/k originals.  Rank error of one compaction is
+    <= n/(2k); summaries from different blocks merge by weighted
+    re-compaction, so the end-to-end rank error is O(N/k) — choose k for
+    the rank resolution, independent of stream length."""
+    v = np.sort(values[~np.isnan(values)].astype(np.float64))
+    n = v.size
+    if n <= k:
+        return v, np.ones(n, dtype=np.float64)
+    ranks = ((np.arange(k) + 0.5) * n / k).astype(np.int64)
+    return v[np.minimum(ranks, n - 1)], np.full(k, n / k)
+
+
+def qsketch_merge(a, b, k: int = 4096):
+    """Merge two (points, weights) summaries, re-compacting above k points."""
+    pts = np.concatenate([a[0], b[0]])
+    wts = np.concatenate([a[1], b[1]])
+    order = np.argsort(pts, kind="stable")
+    pts, wts = pts[order], wts[order]
+    if pts.size <= k:
+        return pts, wts
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    targets = (np.arange(k) + 0.5) * total / k
+    idx = np.searchsorted(cum, targets, side="left")
+    return pts[np.minimum(idx, pts.size - 1)], np.full(k, total / k)
+
+
+def qsketch_quantile(sk, q: float) -> float:
+    """Weighted order statistic at quantile q in [0, 1]."""
+    pts, wts = sk
+    if pts.size == 0:
+        return float("nan")
+    cum = np.cumsum(wts)
+    target = q * cum[-1]
+    return float(pts[np.minimum(np.searchsorted(cum, target, side="left"),
+                                pts.size - 1)])
+
+
+def quantile_sketch(ds, col: str, k: int = 4096):
+    """Mergeable quantile summary of a Dataset column: one <= k-point
+    weighted blob per block leaves each task, merged on the driver.
+    Returns the (points, weights) summary — ask it any quantile after."""
+    def kernel(b: pa.Table) -> pa.Table:
+        pts, wts = qsketch_batch(
+            b.column(col).to_numpy(zero_copy_only=False), k)
+        return pa.table({"pts": pa.array([pts.tobytes()], pa.large_binary()),
+                         "wts": pa.array([wts.tobytes()],
+                                         pa.large_binary())})
+
+    sk = (np.zeros(0, np.float64), np.zeros(0, np.float64))
+    for bt in ds.map_batches(kernel, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for pb, wb in zip(bt.column("pts").to_pylist(),
+                          bt.column("wts").to_pylist()):
+            sk = qsketch_merge(sk, (np.frombuffer(pb, np.float64),
+                                    np.frombuffer(wb, np.float64)), k)
+    return sk

@@ -229,3 +229,47 @@ class TestHammingNearPairs:
         assert (df.n_members >= df.n_phashes).all()
         assert df.n_jpeg.sum() > 0
         assert (df.n_jpeg <= df.n_members).all()
+
+
+class TestQuantileSketch:
+    def test_rank_error_bound_and_merge_order(self, ray_session):
+        from dggsray.ops.sketch import (qsketch_batch, qsketch_merge,
+                                        qsketch_quantile)
+        rng = np.random.default_rng(21)
+        data = np.concatenate([rng.normal(0, 1, 60_000),
+                               rng.exponential(5, 40_000)])
+        n = data.size
+        k = 2048
+        chunks = np.array_split(data, 13)
+        sks = [qsketch_batch(c, k) for c in chunks]
+        s = np.sort(data)
+        for order in (range(13), reversed(range(13))):
+            sk = (np.zeros(0), np.zeros(0))
+            for i in order:
+                sk = qsketch_merge(sk, sks[i], k)
+            for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+                est = qsketch_quantile(sk, q)
+                # rank of the estimate vs target rank: O(N/k) bound with a
+                # generous constant (13 block compactions + 12 merges)
+                rank = np.searchsorted(s, est)
+                assert abs(rank - q * n) <= 30 * n / k, (q, rank)
+
+    def test_small_input_exact(self):
+        from dggsray.ops.sketch import qsketch_batch, qsketch_quantile
+        v = np.array([5.0, 1.0, 3.0])
+        sk = qsketch_batch(v, 10)
+        assert qsketch_quantile(sk, 0.0) == 1.0
+        assert qsketch_quantile(sk, 1.0) == 5.0
+
+    def test_dataset_sketch_vs_exact(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.sketch import quantile_sketch, qsketch_quantile
+        rng = np.random.default_rng(4)
+        vals = rng.uniform(0, 1000, 80_000)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(9)
+        sk = quantile_sketch(ds, "v", k=2048)
+        s = np.sort(vals)
+        for q in (0.1, 0.5, 0.95):
+            est = qsketch_quantile(sk, q)
+            rank = np.searchsorted(s, est)
+            assert abs(rank - q * vals.size) <= 30 * vals.size / 2048
