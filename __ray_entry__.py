@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": R.events_distinct_users_hll,
         "images_neardup_components": R.images_neardup_components,
         "docs_retained_after_dedup": R.docs_retained_after_dedup,
+        "events_value_quantiles_sketch": R.events_value_quantiles_sketch,
         "flagship_cell_join": _flagship,
     }
 
@@ -482,8 +483,9 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users":
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY 1",
-        # events_distinct_users_hll is rows-only by design: the HLL estimate
-        # is deterministic (splitmix64 registers) but not SQL-reproducible.
+        # events_distinct_users_hll and events_value_quantiles_sketch are
+        # rows-only by design: the HLL estimate / MRL compaction are
+        # deterministic but not SQL-reproducible.
         "events_funnel":
             "WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS first_view_us "
             "FROM events WHERE event_type = 'view' GROUP BY 1), "

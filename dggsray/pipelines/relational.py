@@ -1924,3 +1924,61 @@ def docs_retained_after_dedup(sf_dir: str, threshold: float = 0.5,
 
         return docs.map_batches(anti, batch_format="pyarrow")
     return docs.join(drop, "left_anti", join_partitions(), on=("doc_id",))
+
+
+def events_value_quantiles_sketch(sf_dir: str, k: int = 2048):
+    """Exact vs sketch order statistics per event type, side by side: the
+    two-pass exact histogram (ops.quantile) next to the one-pass mergeable
+    MRL summary (ops.sketch.quantile_sketch — one <= k-point weighted blob
+    per (block, type) leaves each task).  One row per type with p50/p90
+    exact and sketch values in micros.  Rows-only by design: the sketch is
+    deterministic but its compaction is not SQL-reproducible."""
+    from ..ops.quantile import exact_group_quantile
+    from ..ops.sketch import qsketch_batch, qsketch_merge, qsketch_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        types, pts, wts = [], [], []
+        for t in pc.unique(b.column("event_type")).to_pylist():
+            v = b.filter(pc.equal(b.column("event_type"), t)) \
+                .column("value").to_numpy(zero_copy_only=False)
+            p, w = qsketch_batch(v, k)
+            types.append(t)
+            pts.append(p.tobytes())
+            wts.append(w.tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "pts": pa.array(pts, pa.large_binary()),
+                         "wts": pa.array(wts, pa.large_binary())})
+
+    sks: dict[str, tuple] = {}
+    for bt in ds.map_batches(kernel, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for t, pb, wb in zip(bt.column("event_type").to_pylist(),
+                             bt.column("pts").to_pylist(),
+                             bt.column("wts").to_pylist()):
+            cur = (np.frombuffer(pb, np.float64),
+                   np.frombuffer(wb, np.float64))
+            sks[t] = cur if t not in sks else qsketch_merge(sks[t], cur, k)
+
+    p50 = exact_group_quantile(_read(sf_dir, "events",
+                                     ["event_type", "value"]),
+                               "value", "event_type", 1, 2)
+    p90 = exact_group_quantile(_read(sf_dir, "events",
+                                     ["event_type", "value"]),
+                               "value", "event_type", 9, 10)
+    ex50 = {r["event_type"]: r["med_lo"] for r in p50.to_pylist()}
+    ex90 = {r["event_type"]: r["med_lo"] for r in p90.to_pylist()}
+
+    def micro(x: float) -> int:
+        return int(np.floor(x * 1e6 + 0.5))
+
+    ts = sorted(sks)
+    return pa.table({
+        "event_type": pa.array(ts, pa.string()),
+        "p50_exact_micro": pa.array([micro(ex50[t]) for t in ts], pa.int64()),
+        "p50_sketch_micro": pa.array(
+            [micro(qsketch_quantile(sks[t], 0.5)) for t in ts], pa.int64()),
+        "p90_exact_micro": pa.array([micro(ex90[t]) for t in ts], pa.int64()),
+        "p90_sketch_micro": pa.array(
+            [micro(qsketch_quantile(sks[t], 0.9)) for t in ts], pa.int64())})

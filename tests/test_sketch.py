@@ -273,3 +273,18 @@ class TestQuantileSketch:
             est = qsketch_quantile(sk, q)
             rank = np.searchsorted(s, est)
             assert abs(rank - q * vals.size) <= 30 * vals.size / 2048
+
+
+class TestQuantileSketchQuery:
+    def test_sketch_tracks_exact(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["events_value_quantiles_sketch"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 5
+        # sketch within a small relative band of the exact order statistic
+        for p in ("p50", "p90"):
+            ex = df[f"{p}_exact_micro"].to_numpy().astype(float)
+            sk = df[f"{p}_sketch_micro"].to_numpy().astype(float)
+            assert (abs(sk - ex) <= np.maximum(0.08 * abs(ex), 2e6)).all()
