@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_neardup_components": R.images_neardup_components,
         "docs_retained_after_dedup": R.docs_retained_after_dedup,
         "events_value_quantiles_sketch": R.events_value_quantiles_sketch,
+        "docs_decontaminate_bloom": R.docs_decontaminate_bloom,
         "flagship_cell_join": _flagship,
     }
 
@@ -411,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_components": _cc_sql(),
         "docs_retained_after_dedup": _retained_sql(),
         "docs_decontaminate": _decontaminate_sql(),
+        # same exact semantics, Bloom-prefiltered execution
+        "docs_decontaminate_bloom": _decontaminate_sql(),
         "events_view_attribution":
             "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "
             "CAST(COUNT(v.event_id) AS BIGINT) AS n_matches "

@@ -996,3 +996,108 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         if not moved or not moved.get("c"):
             break
     return labels
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, j: int) -> np.ndarray:
+    """(j, n) bit positions per hash — splitmix64 re-mixes with distinct
+    additive constants (no Python hash(), process-stable)."""
+    from .sketch import _hash64_ints
+    pos = np.empty((j, h.size), dtype=np.int64)
+    x = h.astype(np.uint64)
+    for i in range(j):
+        with np.errstate(over="ignore"):
+            c = np.uint64(((i + 1) * 0x9E3779B97F4A7C15)
+                          & 0xFFFFFFFFFFFFFFFF)
+            x = _hash64_ints((x + c).astype(np.int64))
+        pos[i] = (x % np.uint64(m_bits)).astype(np.int64)
+    return pos
+
+
+def bloom_build(hashes: np.ndarray, m_bits: int = 1 << 23,
+                j: int = 4) -> np.ndarray:
+    """Bloom filter words (uint64[m_bits/64]) over 64-bit hashes.  Mergeable
+    by bitwise OR."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    if hashes.size:
+        idx = _bloom_positions(hashes, m_bits, j)
+        w = (idx >> 6).ravel()
+        b = (idx & 63).ravel().astype(np.uint64)
+        np.bitwise_or.at(words, w, np.uint64(1) << b)
+    return words
+
+
+def bloom_test(words: np.ndarray, hashes: np.ndarray,
+               j: int = 4) -> np.ndarray:
+    """Membership mask; false negatives impossible, false-positive rate
+    ~(1 - e^{-jn/m})^j."""
+    if hashes.size == 0:
+        return np.zeros(0, dtype=bool)
+    m_bits = words.size * 64
+    idx = _bloom_positions(hashes, m_bits, j)
+    ok = np.ones(hashes.size, dtype=bool)
+    for i in range(j):
+        w = idx[i] >> 6
+        b = idx[i].astype(np.uint64) & np.uint64(63)
+        ok &= ((words[w] >> b) & np.uint64(1)).astype(bool)
+    return ok
+
+
+def decontaminate_bloom(train_ds, eval_ds, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        m_bits: int = 1 << 23, j: int = 4):
+    """Test-set decontamination with NO exact eval broadcast — the 100 TB
+    shape of `decontaminate`, producing the IDENTICAL exact answer:
+
+    1. the eval corpus reduces to per-block distinct k-gram hashes
+       (materialized once — bounded by eval k-gram count), from which the
+       driver ORs per-block Bloom words (the only broadcast: m_bits/8 bytes
+       regardless of eval size);
+    2. the training corpus streams to distinct (doc_id, kgram_hash) pairs
+       PRE-FILTERED by the Bloom mask — non-shared k-grams (the
+       overwhelming majority) die locally, false negatives are impossible;
+    3. an adaptive join of the survivors against the exact eval-hash table
+       kills the Bloom false positives, and a per-doc count yields exactly
+       `decontaminate`'s (doc_id, n_shared_kgrams).
+
+    The shuffle is bounded by true matches + the Bloom FP rate times the
+    train k-gram count — tunable via m_bits/j — never the corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .joins import adaptive_join, sized_groupby
+
+    def ev_kernel(bt: pa.Table) -> pa.Table:
+        h, _ = _kgram_hash_sets(bt.column(text_col), k)
+        u = np.unique(h)
+        return pa.table({"kh": pa.array(u.astype(np.int64))})
+
+    ev = eval_ds.map_batches(ev_kernel, batch_format="pyarrow") \
+        .materialize()                       # bounded by eval k-gram count
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for bt in ev.iter_batches(batch_format="pyarrow", batch_size=None):
+        words |= bloom_build(
+            bt.column("kh").to_numpy().astype(np.uint64), m_bits, j)
+    import ray
+    words_ref = ray.put(words)
+
+    # the eval hash table may carry cross-block duplicates — dedup before
+    # the join so the per-doc count stays exact
+    ev_distinct = sized_groupby(ev, "kh",
+                                Count(alias_name="_c")) \
+        .map_batches(lambda b: b.select(["kh"]), batch_format="pyarrow")
+
+    def tr_kernel(bt: pa.Table) -> pa.Table:
+        h, o = _kgram_hash_sets(bt.column(text_col), k)
+        ids = bt.column(id_col).to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(ids.size), np.diff(o))
+        mask = bloom_test(ray.get(words_ref), h, j)
+        return pa.table({id_col: pa.array(ids[doc_of[mask]]),
+                         "kh": pa.array(h[mask].astype(np.int64))})
+
+    cand = train_ds.map_batches(tr_kernel, batch_format="pyarrow")
+    joined = adaptive_join(cand, ev_distinct, on="kh")
+    out = sized_groupby(joined, id_col,
+                        Count(alias_name="n_shared_kgrams"))
+    schema = pa.schema([(id_col, pa.int64()),
+                        ("n_shared_kgrams", pa.int64())])
+    return collect_typed(out, schema)

@@ -1982,3 +1982,27 @@ def events_value_quantiles_sketch(sf_dir: str, k: int = 2048):
         "p90_exact_micro": pa.array([micro(ex90[t]) for t in ts], pa.int64()),
         "p90_sketch_micro": pa.array(
             [micro(qsketch_quantile(sks[t], 0.9)) for t in ts], pa.int64())})
+
+
+def docs_decontaminate_bloom(sf_dir: str, k: int = 5, mod: int = 10):
+    """Bloom-prefiltered decontamination — identical exact answer to
+    docs_decontaminate (same oracle SQL), but the only broadcast is the
+    Bloom bit array (ops.dedup.decontaminate_bloom): at 100 TB the exact
+    eval k-gram union no longer fits a broadcast, while Bloom bits stay
+    ~1 MB; false positives die in the adaptive join against the exact eval
+    hash table, false negatives are impossible."""
+    from ..ops.dedup import decontaminate_bloom
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(want_eval: bool):
+        def kernel(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            m = (ids % mod == 0) if want_eval else (ids % mod != 0)
+            return b.filter(pa.array(m))
+        return kernel
+
+    ev = ds.map_batches(split(True), batch_format="pyarrow")
+    train = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(split(False), batch_format="pyarrow")
+    return decontaminate_bloom(train, ev, k=k)

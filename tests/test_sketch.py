@@ -288,3 +288,35 @@ class TestQuantileSketchQuery:
             ex = df[f"{p}_exact_micro"].to_numpy().astype(float)
             sk = df[f"{p}_sketch_micro"].to_numpy().astype(float)
             assert (abs(sk - ex) <= np.maximum(0.08 * abs(ex), 2e6)).all()
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_rate(self):
+        from dggsray.ops.dedup import bloom_build, bloom_test
+        rng = np.random.default_rng(33)
+        members = rng.integers(0, 1 << 62, 50_000).astype(np.uint64)
+        others = rng.integers(0, 1 << 62, 50_000).astype(np.uint64)
+        others = others[~np.isin(others, members)]
+        words = bloom_build(members, m_bits=1 << 20, j=4)
+        assert bloom_test(words, members, j=4).all()
+        fp = bloom_test(words, others, j=4).mean()
+        # n/m ~ 0.048, j=4 -> theoretical FP ~(1-e^-0.19)^4 ~ 1e-3
+        assert fp < 0.01, fp
+
+    def test_or_merge(self):
+        from dggsray.ops.dedup import bloom_build, bloom_test
+        a = np.array([1, 2, 3], np.uint64)
+        b = np.array([100, 200], np.uint64)
+        w = bloom_build(a, 1 << 12, 3) | bloom_build(b, 1 << 12, 3)
+        assert bloom_test(w, np.concatenate([a, b]), 3).all()
+
+    def test_bloom_decontaminate_equals_exact(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        exact = E.queries()["docs_decontaminate"]("/root/testdata/sf0.001")
+        bloom = E.queries()["docs_decontaminate_bloom"](
+            "/root/testdata/sf0.001")
+        a = exact.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = bloom.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
