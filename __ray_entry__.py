@@ -99,6 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_geofence": R.events_geofence,
         "docs_tfidf_topk": R.docs_tfidf_topk,
         "events_funnel": R.events_funnel,
+        "docs_normalize_text":
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', "
+            "'g')) AS norm_text, CAST(length(trim(regexp_replace(lower("
+            "text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+            "FROM documents",
         "docs_heavy_hitters": R.docs_heavy_hitters,
         "events_distinct_users": R.events_distinct_users,
         "events_distinct_users_hll": R.events_distinct_users_hll,
@@ -106,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_retained_after_dedup": R.docs_retained_after_dedup,
         "events_value_quantiles_sketch": R.events_value_quantiles_sketch,
         "docs_decontaminate_bloom": R.docs_decontaminate_bloom,
+        "docs_normalize_text": R.docs_normalize_text,
         "flagship_cell_join": _flagship,
     }
 
@@ -475,6 +481,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, token ASC) AS rn FROM s) "
             "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, "
             "CAST(score AS BIGINT) AS score FROM r WHERE rn <= 5",
+        "docs_normalize_text":
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', "
+            "'g')) AS norm_text, CAST(length(trim(regexp_replace(lower("
+            "text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+            "FROM documents",
         "docs_heavy_hitters":
             "WITH t AS (SELECT unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "

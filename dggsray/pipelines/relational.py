@@ -2006,3 +2006,23 @@ def docs_decontaminate_bloom(sf_dir: str, k: int = 5, mod: int = 10):
     train = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(split(False), batch_format="pyarrow")
     return decontaminate_bloom(train, ev, k=k)
+
+
+def docs_normalize_text(sf_dir: str):
+    """Text normalization — the cleaning map every training pipeline runs
+    before dedup/tokenization: unicode-aware lowercase, whitespace runs
+    collapsed to single spaces, edges trimmed.  Three Arrow kernels per
+    batch (utf8_lower / replace_substring_regex / utf8_trim_whitespace),
+    zero shuffle, bit-reproducible in SQL (lower + regexp_replace + trim).
+    Emits (doc_id, norm_text, n_chars_norm)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(b.column("text")), r"\s+", " "))
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "norm_text": t,
+                         "n_chars_norm": pc.cast(pc.utf8_length(t),
+                                                 pa.int64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
