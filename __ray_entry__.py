@@ -104,6 +104,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "'g')) AS norm_text, CAST(length(trim(regexp_replace(lower("
             "text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
             "FROM documents",
+        "revenue_by_region":
+            "SELECT r.r_name, CAST(SUM(CAST(round(l.l_extendedprice * 100) "
+            "AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_e4, "
+            "CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1",
         "docs_heavy_hitters": R.docs_heavy_hitters,
         "events_distinct_users": R.events_distinct_users,
         "events_distinct_users_hll": R.events_distinct_users_hll,
@@ -112,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_sketch": R.events_value_quantiles_sketch,
         "docs_decontaminate_bloom": R.docs_decontaminate_bloom,
         "docs_normalize_text": R.docs_normalize_text,
+        "revenue_by_region": R.revenue_by_region,
         "flagship_cell_join": _flagship,
     }
 
@@ -486,6 +496,15 @@ def oracle_sql() -> dict[str, str]:
             "'g')) AS norm_text, CAST(length(trim(regexp_replace(lower("
             "text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
             "FROM documents",
+        "revenue_by_region":
+            "SELECT r.r_name, CAST(SUM(CAST(round(l.l_extendedprice * 100) "
+            "AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_e4, "
+            "CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1",
         "docs_heavy_hitters":
             "WITH t AS (SELECT unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "

@@ -2026,3 +2026,87 @@ def docs_normalize_text(sf_dir: str):
                                                  pa.int64())})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def revenue_by_region(sf_dir: str):
+    """TPC-H Q5-flavoured star join — revenue per REGION through the full
+    dimension chain lineitem -> orders -> customer -> nation -> region.
+    The fact table collapses FIRST (per-order revenue partials inside each
+    block, then one keyed sum), each hash join therefore moves one row per
+    order / per customer — never line items — and the two tiny dimensions
+    (25 nations, 5 regions) are driver-mapped, not joined.  Exact integer
+    cents*cents arithmetic (revenue_e4) as in orders_lineitem_revenue."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) \
+            * np.rint((1 - disc) * 100).astype(np.int64)
+        t = pa.table({"o_orderkey": pc.cast(b.column("l_orderkey"),
+                                            pa.int64()),
+                      "rev": pa.array(rev)})
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "_r"])
+
+    rev = sized_groupby(li.map_batches(li_partial, batch_format="pyarrow"),
+                        "o_orderkey", Sum("_r", alias_name="_rev"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "c_custkey": pc.cast(b.column("o_custkey"), pa.int64())}),
+            batch_format="pyarrow")
+    per_order = adaptive_join(orders, rev, on="o_orderkey")
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": b.column("c_custkey"),
+                      "_rev": b.column("_rev"),
+                      "_n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("c_custkey").aggregate([("_rev", "sum"),
+                                               ("_n", "sum")])
+        return g.rename_columns(["c_custkey", "_rev", "_n"])
+
+    cust_rev = sized_groupby(per_order.map_batches(cust_partial,
+                                                   batch_format="pyarrow"),
+                             "c_custkey", Sum("_rev", alias_name="_rev"),
+                             Sum("_n", alias_name="_n"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "n_nationkey": pc.cast(b.column("c_nationkey"), pa.int64())}),
+            batch_format="pyarrow")
+    per_cust = adaptive_join(cust, cust_rev, on="c_custkey")
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"n_nationkey": b.column("n_nationkey"),
+                      "_rev": b.column("_rev"), "_n": b.column("_n")}) \
+            .group_by("n_nationkey").aggregate([("_rev", "sum"),
+                                                ("_n", "sum")])
+        return g.rename_columns(["n_nationkey", "_rev", "_n"])
+
+    per_nation = lowcard_groupby(
+        per_cust.map_batches(nation_partial, batch_format="pyarrow"),
+        "n_nationkey", Sum("_rev", alias_name="revenue_e4"),
+        Sum("_n", alias_name="n_orders")).to_pandas()
+
+    # 25-nation / 5-region dims: driver maps, no join machinery
+    import pandas as pd
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    m = per_nation.merge(nat, on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    out = m.groupby("r_name", as_index=False).agg(
+        revenue_e4=("revenue_e4", "sum"), n_orders=("n_orders", "sum"))
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
