@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate_bloom": R.docs_decontaminate_bloom,
         "docs_normalize_text": R.docs_normalize_text,
         "revenue_by_region": R.revenue_by_region,
+        "embed_kmeans_clusters": R.embed_kmeans_clusters,
         "flagship_cell_join": _flagship,
     }
 

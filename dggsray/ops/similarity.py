@@ -277,3 +277,61 @@ def dequantize_batch(b: pa.Table, emb_col: str = "embedding") -> pa.Table:
     out = b.select(keep)
     return out.append_column(emb_col, pa.array(list(M),
                                                pa.list_(pa.float64())))
+
+
+def kmeans_fit_distributed(ds, n_centroids: int, iters: int = 5,
+                           emb_col: str = "embedding", seed: int = 41):
+    """Distributed Lloyd's k-means over the FULL corpus — the iterative-
+    algorithm pattern: each round is one streaming pass where every block
+    assigns its vectors to the broadcast centroids (GEMM distance form) and
+    emits k partial rows (per-centroid vector sum + count); the driver sums
+    the k x blocks partials, updates centroids, and re-broadcasts.  Shuffle
+    per round = k rows per block regardless of corpus size; empty clusters
+    re-seed deterministically from the previous centroid.  Init = driver
+    sample through kmeans_centroids (same seed convention as the IVF
+    quantizer).  Returns (centroids, per-centroid counts, total inertia)."""
+    import ray
+
+    sample = ds.limit(2048).to_pandas()
+    X0 = np.stack(sample[emb_col].to_numpy())
+    C = kmeans_centroids(X0, n_centroids, seed=seed)
+    k, dim = C.shape
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def kernel(b: pa.Table) -> pa.Table:
+            Cb = ray.get(c_ref)
+            X = np.stack(b.column(emb_col).to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            d2 = (X ** 2).sum(1)[:, None] - 2 * X @ Cb.T \
+                + (Cb ** 2).sum(1)[None, :]
+            a = d2.argmin(axis=1)
+            sums = np.zeros((Cb.shape[0], X.shape[1]))
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=Cb.shape[0]).astype(np.int64)
+            inertia = float(d2[np.arange(X.shape[0]), a].sum())
+            return pa.table({
+                "cid": pa.array(np.arange(Cb.shape[0], dtype=np.int64)),
+                "vsum": pa.array([r.tobytes() for r in sums],
+                                 pa.large_binary()),
+                "cnt": pa.array(cnt),
+                "inertia": pa.array(
+                    np.r_[inertia, np.zeros(Cb.shape[0] - 1)])})
+
+        sums = np.zeros((k, dim))
+        cnt = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for bt in ds.map_batches(kernel, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            for i, (blob, c, q) in enumerate(zip(
+                    bt.column("vsum").to_pylist(),
+                    bt.column("cnt").to_pylist(),
+                    bt.column("inertia").to_pylist())):
+                sums[bt.column("cid")[i].as_py()] += \
+                    np.frombuffer(blob, np.float64)
+                cnt[bt.column("cid")[i].as_py()] += c
+                inertia += q
+        live = cnt > 0
+        C = np.where(live[:, None], sums / np.maximum(cnt, 1)[:, None], C)
+    return C, cnt, inertia

@@ -2110,3 +2110,25 @@ def revenue_by_region(sf_dir: str):
     out["revenue_e4"] = out["revenue_e4"].astype("int64")
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("r_name").reset_index(drop=True)
+
+
+def embed_kmeans_clusters(sf_dir: str, n_centroids: int = 16,
+                          iters: int = 5):
+    """Distributed Lloyd's k-means over the embeddings corpus
+    (ops.similarity.kmeans_fit_distributed — per-round shuffle is k partial
+    rows per block, corpus never leaves the stream).  One row per cluster:
+    (cluster_id, n_members, centroid_norm_micro) plus the shared total
+    inertia — deterministic (fixed sample seed) but not SQL-reproducible:
+    rows-only by design."""
+    from ..ops.similarity import kmeans_fit_distributed
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, cnt, inertia = kmeans_fit_distributed(ds, n_centroids, iters=iters)
+    norms = np.rint(np.linalg.norm(C, axis=1) * 1e6).astype(np.int64)
+    return pa.table({
+        "cluster_id": pa.array(np.arange(C.shape[0], dtype=np.int64)),
+        "n_members": pa.array(cnt.astype(np.int64)),
+        "centroid_norm_micro": pa.array(norms),
+        "inertia_milli": pa.array(np.full(C.shape[0],
+                                          int(np.rint(inertia * 1e3)),
+                                          np.int64))})

@@ -320,3 +320,44 @@ class TestBloom:
         a = exact.to_pandas().sort_values("doc_id").reset_index(drop=True)
         b = bloom.to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestDistributedKmeans:
+    def test_equals_driver_lloyd_same_init(self, ray_session):
+        """From the identical deterministic init, the distributed per-block
+        partial-sum rounds and a driver-side full Lloyd run converge to the
+        same centroids (fp summation order is the only difference)."""
+        import ray.data as rd
+        from dggsray.ops.similarity import (kmeans_centroids,
+                                            kmeans_fit_distributed)
+        rng = np.random.default_rng(12)
+        X = np.concatenate([rng.normal(m, 0.3, (400, 8))
+                            for m in (-3.0, 0.0, 3.0, 6.0)])
+        t = pa.table({"vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+                      "embedding": pa.array(list(X),
+                                            pa.list_(pa.float64()))})
+        ds = rd.from_arrow(t).repartition(7)
+        C_dist, cnt, inertia = kmeans_fit_distributed(ds, 4, iters=6,
+                                                      seed=41)
+        # driver reference: same init (sample = first 2048 rows = all here)
+        C = kmeans_centroids(X[:2048], 4, seed=41)
+        for _ in range(6):
+            d2 = (X ** 2).sum(1)[:, None] - 2 * X @ C.T \
+                + (C ** 2).sum(1)[None, :]
+            a = d2.argmin(axis=1)
+            for c in range(4):
+                if (a == c).any():
+                    C[c] = X[a == c].mean(axis=0)
+        assert np.allclose(np.sort(C_dist, axis=0), np.sort(C, axis=0),
+                           atol=1e-8)
+        assert cnt.sum() == len(X) and inertia > 0
+
+    def test_query_shape(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["embed_kmeans_clusters"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 16
+        assert df.n_members.sum() > 0
+        assert df.inertia_milli.nunique() == 1
