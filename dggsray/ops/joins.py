@@ -82,7 +82,11 @@ def adaptive_join(left, right, on: str, broadcast_limit: int = 2_000_000,
     probe-side block layout preserved); above it, the native hash-shuffle
     join.  Besides the shuffle saved, the broadcast path also sidesteps
     Ray's hash-join aggregator failing on partitions that received no
-    blocks (tiny inputs spread over per-CPU partitions leave most empty)."""
+    blocks (tiny inputs spread over per-CPU partitions leave most empty).
+    The right side is materialized once up front: count() would otherwise
+    execute its lineage a second time before the collect/join consumed it
+    again."""
+    right = right.materialize()
     if right.count() <= broadcast_limit:
         sch = right.schema()
         pa_sch = pa.schema(list(zip(sch.names, sch.types)))

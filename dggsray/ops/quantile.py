@@ -1,26 +1,20 @@
-"""Exact distributed order statistics (median / arbitrary rank) per group.
+"""Exact distributed order statistics (median / arbitrary ranks) per group.
 
-The classic two-pass histogram-narrowing algorithm, which is how exact
-quantiles are computed over data too large to sort globally:
+Three bounded passes, none of which ships raw values:
 
-  pass 0  per-group (count, min, max)           — tiny lowcard aggregate
-  pass 1  per-group fixed-width histogram       — one streaming pass; each
-          batch contributes a bincount blob, groups are few so the final
-          reduction is one small grouped sum
-  driver  locate the bucket(s) holding the target ranks from the cumulative
-          histogram — P*B integers, no data rows
-  pass 2  stream-filter ONLY the rows inside those buckets (expected
-          n/n_buckets per group) and take the exact order statistics
+- pass 0: per-group (count, min, max) — per-block Arrow partials + one
+  low-cardinality grouped aggregate.
+- pass 1: per-group fixed-width histograms — one `n_buckets` bincount blob
+  per (block, group), summed per group.  The driver reads the cumulative
+  histogram to locate, for EVERY requested quantile, the bucket(s) holding
+  ranks r0 = floor((n-1)q) and r1 = ceil((n-1)q).
+- pass 2: re-scan keeping only rows inside any requested bucket range
+  (tiny: ~n/n_buckets rows per (group, quantile)), sort them on the driver
+  and index the exact ranks.
 
-No global sort, no shuffle of data rows; the only driver-side collections are
-histograms and the final narrow bucket (caveat: a group whose values are all
-identical concentrates in one bucket — the filter then collects that group's
-full value list; detect via min==max and short-circuit, handled below).
-
-Returned ranks follow the exact-order-statistic convention (lo = value at
-rank floor((n-1)q), hi = at ceil((n-1)q)) so a SQL mirror via
-row_number() picks bit-identical doubles — no interpolation arithmetic to
-match across engines.
+Integer rational rank arithmetic throughout, so a SQL row_number mirror
+selects bit-identical doubles.  Multiple quantiles share all three passes
+(`exact_group_quantiles`); the single-quantile helpers wrap it.
 """
 from __future__ import annotations
 
@@ -37,12 +31,26 @@ def exact_group_median(ds, value_col: str, group_col: str,
 
 def exact_group_quantile(ds, value_col: str, group_col: str,
                          num: int, den: int, n_buckets: int = 1 << 14):
-    """Exact q = num/den order statistics per group: the ranks picked are
-    r0 = floor((n-1)*q) and r1 = ceil((n-1)*q) — integer rational arithmetic,
-    so a SQL row_number mirror selects bit-identical doubles."""
+    """Exact q = num/den order statistics per group (single-quantile wrapper
+    over exact_group_quantiles, keeping the historical output schema)."""
+    t = exact_group_quantiles(ds, value_col, group_col, [(num, den)],
+                              n_buckets)
+    return t.rename_columns([group_col, "med_lo", "med_hi", "n"])
+
+
+def exact_group_quantiles(ds, value_col: str, group_col: str,
+                          fracs: list[tuple[int, int]],
+                          n_buckets: int = 1 << 14):
+    """Exact order statistics per group for SEVERAL quantiles at once —
+    all fracs share the stat pass, the histogram pass and the narrow
+    re-scan (pass 2 keeps the union of the per-frac bucket ranges, each
+    still ~n/n_buckets rows).  Returns
+    (group, q0_lo, q0_hi, q1_lo, q1_hi, ..., n)."""
     from ray.data.aggregate import Max, Min, Sum
 
     from .joins import lowcard_groupby
+
+    nq = len(fracs)
 
     # pass 0: per-group count/min/max
     def stat_partial(b: pa.Table) -> pa.Table:
@@ -61,7 +69,8 @@ def exact_group_quantile(ds, value_col: str, group_col: str,
 
     # degenerate groups (all-equal values) resolve without passes 1-2
     todo = [g for g in groups if hi_of[g] > lo_of[g]]
-    results = {g: (lo_of[g], lo_of[g]) for g in groups if g not in todo}
+    results = {g: [(lo_of[g], lo_of[g])] * nq
+               for g in groups if g not in todo}
 
     if todo:
         gidx = {g: i for i, g in enumerate(todo)}
@@ -101,22 +110,25 @@ def exact_group_quantile(ds, value_col: str, group_col: str,
             .groupby(group_col).map_groups(hist_sum, batch_format="pyarrow") \
             .to_pandas()
 
-        # driver: locate the buckets holding ranks r0/r1 per group
-        want = {}
+        # driver: per group and per frac, the buckets holding ranks r0/r1
+        want: dict = {}
         for _, row in hists.iterrows():
             g = row[group_col]
             h = np.frombuffer(row["_h"], dtype=np.int64)
             cum = np.cumsum(h)
             n = n_of[g]
-            r0 = ((n - 1) * num) // den
-            r1 = -((-(n - 1) * num) // den)        # ceil
-            b0 = int(np.searchsorted(cum, r0 + 1))
-            b1 = int(np.searchsorted(cum, r1 + 1))
-            below = int(cum[b0 - 1]) if b0 > 0 else 0
-            want[g] = (b0, b1, below, r0, r1)
+            per_frac = []
+            for num, den in fracs:
+                r0 = ((n - 1) * num) // den
+                r1 = -((-(n - 1) * num) // den)        # ceil
+                b0 = int(np.searchsorted(cum, r0 + 1))
+                b1 = int(np.searchsorted(cum, r1 + 1))
+                below = int(cum[b0 - 1]) if b0 > 0 else 0
+                per_frac.append((b0, b1, below, r0, r1))
+            want[g] = per_frac
 
-        # pass 2: collect only the narrow bucket range per group (tiny);
-        # vectorized per group present in the batch, not per row
+        # pass 2: collect only rows inside ANY frac's bucket range (tiny),
+        # carrying the bucket index so each frac re-selects its own range
         def in_bucket(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             vv = b.column(value_col).to_numpy()
@@ -125,24 +137,40 @@ def exact_group_quantile(ds, value_col: str, group_col: str,
                             value_set=pa.array(todo, pa.string())), -1) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             keep = np.zeros(len(vv), dtype=bool)
-            for g, w in want.items():
+            bidx = np.zeros(len(vv), dtype=np.int64)
+            for g, per_frac in want.items():
                 gi = gidx[g]
                 m = gv_arr == gi
                 if not m.any():
                     continue
                 idx = np.clip(((vv[m] - glo[gi]) / gspan[gi] * n_buckets)
                               .astype(np.int64), 0, n_buckets - 1)
-                keep[m] = (idx >= w[0]) & (idx <= w[1])
-            return b.filter(pa.array(keep)).select([group_col, value_col])
+                k = np.zeros(idx.size, dtype=bool)
+                for b0, b1, _, _, _ in per_frac:
+                    k |= (idx >= b0) & (idx <= b1)
+                keep[m] = k
+                bidx[m] = idx
+            t = b.append_column("_bidx", pa.array(bidx))
+            return t.filter(pa.array(keep)) \
+                .select([group_col, value_col, "_bidx"])
 
         narrow = ds.map_batches(in_bucket, batch_format="pyarrow").to_pandas()
-        for g, (b0, b1, below, r0, r1) in want.items():
-            vals = np.sort(narrow.loc[narrow[group_col] == g,
-                                      value_col].to_numpy())
-            results[g] = (float(vals[r0 - below]), float(vals[r1 - below]))
+        for g, per_frac in want.items():
+            rows = narrow[narrow[group_col] == g]
+            vv = rows[value_col].to_numpy()
+            bb = rows["_bidx"].to_numpy()
+            res = []
+            for b0, b1, below, r0, r1 in per_frac:
+                vals = np.sort(vv[(bb >= b0) & (bb <= b1)])
+                res.append((float(vals[r0 - below]),
+                            float(vals[r1 - below])))
+            results[g] = res
 
-    return pa.table({
-        group_col: pa.array(groups, pa.string()),
-        "med_lo": pa.array([results[g][0] for g in groups], pa.float64()),
-        "med_hi": pa.array([results[g][1] for g in groups], pa.float64()),
-        "n": pa.array([int(n_of[g]) for g in groups], pa.int64())})
+    cols = {group_col: pa.array(groups, pa.string())}
+    for i in range(nq):
+        cols[f"q{i}_lo"] = pa.array([results[g][i][0] for g in groups],
+                                    pa.float64())
+        cols[f"q{i}_hi"] = pa.array([results[g][i][1] for g in groups],
+                                    pa.float64())
+    cols["n"] = pa.array([int(n_of[g]) for g in groups], pa.int64())
+    return pa.table(cols)

@@ -1933,7 +1933,7 @@ def events_value_quantiles_sketch(sf_dir: str, k: int = 2048):
     per (block, type) leaves each task).  One row per type with p50/p90
     exact and sketch values in micros.  Rows-only by design: the sketch is
     deterministic but its compaction is not SQL-reproducible."""
-    from ..ops.quantile import exact_group_quantile
+    from ..ops.quantile import exact_group_quantiles
     from ..ops.sketch import qsketch_batch, qsketch_merge, qsketch_quantile
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -1961,14 +1961,12 @@ def events_value_quantiles_sketch(sf_dir: str, k: int = 2048):
                    np.frombuffer(wb, np.float64))
             sks[t] = cur if t not in sks else qsketch_merge(sks[t], cur, k)
 
-    p50 = exact_group_quantile(_read(sf_dir, "events",
+    qq = exact_group_quantiles(_read(sf_dir, "events",
                                      ["event_type", "value"]),
-                               "value", "event_type", 1, 2)
-    p90 = exact_group_quantile(_read(sf_dir, "events",
-                                     ["event_type", "value"]),
-                               "value", "event_type", 9, 10)
-    ex50 = {r["event_type"]: r["med_lo"] for r in p50.to_pylist()}
-    ex90 = {r["event_type"]: r["med_lo"] for r in p90.to_pylist()}
+                               "value", "event_type",
+                               [(1, 2), (9, 10)])   # shared passes
+    ex50 = {r["event_type"]: r["q0_lo"] for r in qq.to_pylist()}
+    ex90 = {r["event_type"]: r["q1_lo"] for r in qq.to_pylist()}
 
     def micro(x: float) -> int:
         return int(np.floor(x * 1e6 + 0.5))
