@@ -142,7 +142,8 @@ def hll_distinct(ds, col: str, p: int = 14) -> float:
 # ------------------------------------------------------- exact heavy hitters
 
 def heavy_hitters(ds, list_col_kernel, phi_ppm: int,
-                  token_col: str = "token"):
+                  token_col: str = "token",
+                  broadcast_limit: int = 2_000_000):
     """All items with corpus frequency >= phi_ppm/1e6 of total items — EXACT.
 
     `list_col_kernel(batch) -> pa.Table[(token)]` flattens a batch into one
@@ -198,15 +199,25 @@ def heavy_hitters(ds, list_col_kernel, phi_ppm: int,
                             ("n_total", pa.int64())])
     if len(cand) == 0:
         return out_schema.empty_table()
-    cand_ref = ray.put(cand)
+    if len(cand) <= broadcast_limit:
+        cand_ref = ray.put(cand)
 
-    def cand_counts(b: pa.Table) -> pa.Table:
-        keep = pc.is_in(b.column(token_col), value_set=ray.get(cand_ref))
-        return b.filter(keep)
+        def cand_counts(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(b.column(token_col),
+                            value_set=ray.get(cand_ref))
+            return b.filter(keep)
 
-    exact = sized_groupby(
-        counts.map_batches(cand_counts, batch_format="pyarrow"),
-        token_col, Sum("n", alias_name="n"))
+        survivors = counts.map_batches(cand_counts, batch_format="pyarrow")
+    else:
+        # tiny phi at petabyte scale can push the candidate union past
+        # broadcast size: fall back to a key-hash semi join
+        import ray.data as rd
+
+        from .joins import hash_join, join_partitions
+        cand_ds = rd.from_arrow(pa.table({token_col: cand}))
+        survivors = hash_join(counts, cand_ds, on=token_col,
+                              num_partitions=join_partitions())
+    exact = sized_groupby(survivors, token_col, Sum("n", alias_name="n"))
 
     thr = phi_ppm * n_total
 

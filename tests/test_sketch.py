@@ -361,3 +361,22 @@ class TestDistributedKmeans:
         assert len(df) == 16
         assert df.n_members.sum() > 0
         assert df.inertia_milli.nunique() == 1
+
+
+class TestHeavyHittersJoinFallback:
+    def test_fallback_equals_broadcast(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.sketch import heavy_hitters
+        rng = np.random.default_rng(19)
+        words = [f"w{i}" for i in range(100)]
+        wts = 1.0 / np.arange(1, 101)
+        wts /= wts.sum()
+        texts = [" ".join(rng.choice(words, 30, p=wts)) for _ in range(200)]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)})) \
+            .repartition(5)
+        a = heavy_hitters(ds, _tok_kernel(), 20_000).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        b = heavy_hitters(ds, _tok_kernel(), 20_000,
+                          broadcast_limit=0).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
