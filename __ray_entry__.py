@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize_text": R.docs_normalize_text,
         "revenue_by_region": R.revenue_by_region,
         "embed_kmeans_clusters": R.embed_kmeans_clusters,
+        "docs_bpe_merges": R.docs_bpe_merges,
         "flagship_cell_join": _flagship,
     }
 

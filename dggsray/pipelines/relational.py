@@ -2130,3 +2130,17 @@ def embed_kmeans_clusters(sf_dir: str, n_centroids: int = 16,
         "inertia_milli": pa.array(np.full(C.shape[0],
                                           int(np.rint(inertia * 1e3)),
                                           np.int64))})
+
+
+def docs_bpe_merges(sf_dir: str, n_merges: int = 8):
+    """BPE merge-table learning over the documents corpus
+    (ops.bpe.learn_bpe): each round is one streaming pass that replays the
+    merges learned so far from raw bytes (stateless tasks), counts adjacent
+    token pairs vectorized, and picks the global winner from per-block
+    partials — the tokenizer-training step of an LLM data pipeline.
+    Deterministic (count desc, packed key asc tie-break); rows-only by
+    design (iterative, not SQL-expressible)."""
+    from ..ops.bpe import learn_bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return learn_bpe(ds, n_merges)
