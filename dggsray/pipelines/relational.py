@@ -1769,45 +1769,27 @@ def events_distinct_users(sf_dir: str):
 
 def events_distinct_users_hll(sf_dir: str, p: int = 14):
     """Exact vs HyperLogLog distinct users per event type, side by side:
-    each block reduces to one 2^p-byte register blob per type (mergeable by
-    elementwise max — the shuffle is blocks x types blobs, independent of
-    event count), the driver max-merges and estimates.  Rows-only by design:
-    the estimate is deterministic (splitmix64 registers) but no SQL engine
-    reproduces it."""
-    import ray.data  # noqa: F401
+    each block reduces to one 2^p-byte register blob per type, a grouped
+    map folds the blobs with elementwise max INSIDE the plan
+    (ops.sketch.hll_distinct_grouped), so the driver receives one blob per
+    TYPE — not blocks x types.  Rows-only by design: the estimate is
+    deterministic (splitmix64 registers) but no SQL engine reproduces it."""
+    from ..ops.sketch import hll_distinct_grouped
 
-    from ..ops.sketch import hll_estimate, hll_merge, hll_registers_batch
-
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
-
-    def kernel(b: pa.Table) -> pa.Table:
-        types, blobs = [], []
-        tb = pa.table({"t": b.column("event_type"),
-                       "u": pc.cast(b.column("user_id"), pa.int64())})
-        for t in pc.unique(tb.column("t")).to_pylist():
-            sub = tb.filter(pc.equal(tb.column("t"), t))
-            regs = hll_registers_batch(sub.column("u").to_numpy(), p)
-            types.append(t)
-            blobs.append(regs.tobytes())
-        return pa.table({"event_type": pa.array(types, pa.string()),
-                         "regs": pa.array(blobs, pa.large_binary())})
-
-    merged: dict[str, np.ndarray] = {}
+    ds = _read(sf_dir, "events", ["event_type", "user_id"]) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "user_id": pc.cast(b.column("user_id"), pa.int64())}),
+            batch_format="pyarrow")
+    hll = hll_distinct_grouped(ds, "user_id", "event_type", p)
+    est = {r["event_type"]: r["n_distinct_hll"] for r in hll.to_pylist()}
     exact = {r["event_type"]: r["n_users"]
              for r in events_distinct_users(sf_dir).take_all()}
-    for bt in ds.map_batches(kernel, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
-        for t, blob in zip(bt.column("event_type").to_pylist(),
-                           bt.column("regs").to_pylist()):
-            prev = merged.get(t)
-            cur = np.frombuffer(blob, np.uint8)
-            merged[t] = cur if prev is None else hll_merge(prev, cur)
-    ts = sorted(merged)
+    ts = sorted(est)
     return pa.table({
         "event_type": pa.array(ts, pa.string()),
         "n_users_exact": pa.array([int(exact[t]) for t in ts], pa.int64()),
-        "n_users_hll": pa.array([int(round(hll_estimate(merged[t])))
-                                 for t in ts], pa.int64())})
+        "n_users_hll": pa.array([int(est[t]) for t in ts], pa.int64())})
 
 
 def images_neardup_components(sf_dir: str, max_hamming: int = 3):
