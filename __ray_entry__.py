@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": R.revenue_by_region,
         "embed_kmeans_clusters": R.embed_kmeans_clusters,
         "docs_bpe_merges": R.docs_bpe_merges,
+        "cell_join_customer_orders_bucketed":
+            lambda d: R.cell_join_customer_orders_bucketed(d, _RES_JOIN),
         "flagship_cell_join": _flagship,
     }
 
@@ -388,6 +390,14 @@ def oracle_sql() -> dict[str, str]:
             f"AS bal_cents, "
             f"COUNT(*) AS n_customers FROM customer GROUP BY 1",
         "cell_join_customer_orders":
+            f"WITH cc AS (SELECT {cell_c_join} AS cellid, COUNT(*) AS nc "
+            f"FROM customer GROUP BY 1), "
+            f"oc AS (SELECT {cell_o_join} AS cellid, COUNT(*) AS no "
+            f"FROM orders GROUP BY 1) "
+            f"SELECT cc.cellid AS cellid, CAST(cc.nc * oc.no AS BIGINT) AS n_pairs "
+            f"FROM cc JOIN oc ON cc.cellid = oc.cellid",
+        # identical semantics, clustered-table physical plan
+        "cell_join_customer_orders_bucketed":
             f"WITH cc AS (SELECT {cell_c_join} AS cellid, COUNT(*) AS nc "
             f"FROM customer GROUP BY 1), "
             f"oc AS (SELECT {cell_o_join} AS cellid, COUNT(*) AS no "

@@ -2126,3 +2126,52 @@ def docs_bpe_merges(sf_dir: str, n_merges: int = 8):
 
     ds = _read(sf_dir, "documents", ["text"])
     return learn_bpe(ds, n_merges)
+
+
+def cell_join_customer_orders_bucketed(sf_dir: str, res: int = 3,
+                                       n_buckets: int = 8):
+    """The SAME cell join as cell_join_customer_orders, executed through the
+    clustered-table physical plan (ops.bucketed): both per-cell count tables
+    are written hive-bucketed by cellid hash ONCE (cached under /tmp like
+    the image tables), then joined bucket-by-bucket with ZERO shuffle —
+    each task reads one matching partition-directory pair and joins
+    locally.  Shares cell_join_customer_orders' oracle: identical values,
+    different physical plan — the pattern a 100 TB deployment uses when
+    many queries join on one cluster key."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from ..ops.bucketed import bucketed_join, write_bucketed
+    from ..ops.joins import sized_groupby
+
+    def counts(key_col, alias):
+        def kernel(b: pa.Table) -> pa.Table:
+            cells = _with_cells(b, key_col, res)
+            g = cells.select(["cellid"]).group_by("cellid") \
+                     .aggregate([([], "count_all")])
+            return g.rename_columns(["cellid", alias])
+        return kernel
+
+    sf = _sf_of(sf_dir)
+    root = f"/tmp/dggsray_cache/bucketed_sf{sf}_res{res}"
+    cc = sized_groupby(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(counts("c_custkey", "nc"), batch_format="pyarrow"),
+        "cellid", Sum("nc", alias_name="nc"))
+    oc = sized_groupby(
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(counts("o_orderkey", "no"), batch_format="pyarrow"),
+        "cellid", Sum("no", alias_name="no"))
+    pa_dir = write_bucketed(cc, "cellid", n_buckets,
+                            os.path.join(root, "cust"))
+    pb_dir = write_bucketed(oc, "cellid", n_buckets,
+                            os.path.join(root, "ord"))
+    joined = bucketed_join(pa_dir, pb_dir, on="cellid")
+
+    def mul(b: pa.Table) -> pa.Table:
+        pairs = pc.multiply(b.column("nc"), b.column("no"))
+        return pa.table({"cellid": b.column("cellid"),
+                         "n_pairs": pc.cast(pairs, pa.int64())})
+
+    return joined.map_batches(mul, batch_format="pyarrow")
