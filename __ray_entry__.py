@@ -718,7 +718,11 @@ def oracle_sql() -> dict[str, str]:
         # embed_quantized_top10 (int8 cosines differ in low micro digits),
         # auid_customer_region (zlib+b64+blake2b), flagship_cell_join,
         # images_features / images_verify_invariant / images_jpeg_psnr /
-        # images_phash_dedup / images_corpus_pipeline / images_augment /
+        # images_phash_dedup / images_neardup_components /
+        # images_corpus_pipeline / images_augment /
         # images_caption_filter / audio_features / video_frames /
-        # video_scene_cuts (engine-synthesized multimodal tables)
+        # video_scene_cuts (engine-synthesized multimodal tables),
+        # events_distinct_users_hll / events_value_quantiles_sketch
+        # (deterministic sketch estimates, not SQL-reproducible),
+        # embed_kmeans_clusters / docs_bpe_merges (iterative algorithms)
     }
