@@ -99,20 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_geofence": R.events_geofence,
         "docs_tfidf_topk": R.docs_tfidf_topk,
         "events_funnel": R.events_funnel,
-        "docs_normalize_text":
-            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', "
-            "'g')) AS norm_text, CAST(length(trim(regexp_replace(lower("
-            "text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
-            "FROM documents",
-        "revenue_by_region":
-            "SELECT r.r_name, CAST(SUM(CAST(round(l.l_extendedprice * 100) "
-            "AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) "
-            "AS BIGINT) AS revenue_e4, "
-            "CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders "
-            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-            "JOIN customer c ON o.o_custkey = c.c_custkey "
-            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
-            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1",
         "docs_heavy_hitters": R.docs_heavy_hitters,
         "events_distinct_users": R.events_distinct_users,
         "events_distinct_users_hll": R.events_distinct_users_hll,
@@ -124,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": R.revenue_by_region,
         "embed_kmeans_clusters": R.embed_kmeans_clusters,
         "docs_bpe_merges": R.docs_bpe_merges,
+        "docs_global_shuffle": R.docs_global_shuffle,
         "cell_join_customer_orders_bucketed":
             lambda d: R.cell_join_customer_orders_bucketed(d, _RES_JOIN),
         "flagship_cell_join": _flagship,
@@ -517,6 +504,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1",
+        "docs_global_shuffle":
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+            "(doc_id * 2654435761) % 4294967296, doc_id) - 1 AS BIGINT) "
+            "AS position FROM documents",
         "docs_heavy_hitters":
             "WITH t AS (SELECT unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "

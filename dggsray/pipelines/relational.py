@@ -2175,3 +2175,20 @@ def cell_join_customer_orders_bucketed(sf_dir: str, res: int = 3,
                          "n_pairs": pc.cast(pairs, pa.int64())})
 
     return joined.map_batches(mul, batch_format="pyarrow")
+
+
+def docs_global_shuffle(sf_dir: str):
+    """Reproducible pre-epoch corpus shuffle: every doc gets a global
+    position by Knuth-hash order (ops.indexing.deterministic_shuffle — one
+    global sort, then metadata-only zip_with_index).  Same order on every
+    run/resume/machine, and SQL-reproducible (ROW_NUMBER over the same
+    integer hash) so the driver hash-checks the full permutation."""
+    from ..ops.indexing import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = deterministic_shuffle(ds, "doc_id")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b.column("doc_id"),
+                                              pa.int64()),
+                            "position": b.column("position")}),
+        batch_format="pyarrow")

@@ -53,3 +53,34 @@ class TestBucketed:
             bucketed_join(pa_dir, pb_dir, on="k")
         with pytest.raises(ValueError):
             write_bucketed(rd.from_arrow(t), "k", 16, pa_dir)
+
+
+class TestZipWithIndex:
+    def test_positions_follow_sorted_order(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.indexing import deterministic_shuffle, zip_with_index
+        t = pa.table({"doc_id": pa.array(np.arange(1000, dtype=np.int64))})
+        out = deterministic_shuffle(rd.from_arrow(t).repartition(7),
+                                    "doc_id").to_pandas()
+        assert sorted(out.position) == list(range(1000))
+        # position order == Knuth-hash order
+        k = (out.doc_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        by_pos = out.sort_values("position")
+        kk = (by_pos.doc_id.to_numpy().astype(np.uint64)
+              * np.uint64(2654435761)) % np.uint64(1 << 32)
+        assert (np.diff(kk.astype(np.int64)) >= 0).all()
+        # reproducible across runs
+        out2 = deterministic_shuffle(rd.from_arrow(t).repartition(3),
+                                     "doc_id").to_pandas()
+        a = out.sort_values("doc_id").position.to_numpy()
+        b = out2.sort_values("doc_id").position.to_numpy()
+        assert (a == b).all()
+
+    def test_zip_with_index_block_order(self, ray_session):
+        import ray.data as rd
+        from dggsray.ops.indexing import zip_with_index
+        t = pa.table({"v": pa.array(np.arange(200, dtype=np.int64))})
+        out = zip_with_index(rd.from_arrow(t).repartition(5).sort("v")) \
+            .to_pandas().sort_values("position")
+        assert (out.v.to_numpy() == np.arange(200)).all()
