@@ -87,3 +87,65 @@ class TestLearnBpe:
         # counts are non-increasing is NOT guaranteed for BPE, but every
         # learned merge must have occurred at least twice
         assert (df.pair_count >= 2).all()
+
+
+class TestBpeProperties:
+    def test_apply_matches_sequential_on_random_bytes(self):
+        """Property: vectorized apply_merges == the sequential leftmost-first
+        scan, for random byte docs and random (possibly same-symbol) merges."""
+        from hypothesis import given, settings, strategies as st
+        from dggsray.ops.bpe import apply_merges, _flatten
+
+        def seq_apply(docs, merges):
+            out = []
+            for d in docs:
+                cur = list(d)
+                for a, b, new in merges:
+                    nd, i = [], 0
+                    while i < len(cur):
+                        if i + 1 < len(cur) and cur[i] == a \
+                                and cur[i + 1] == b:
+                            nd.append(new)
+                            i += 2
+                        else:
+                            nd.append(cur[i])
+                            i += 1
+                    cur = nd
+                out.append(cur)
+            return out
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(st.binary(max_size=24), max_size=6),
+               st.lists(st.tuples(st.integers(97, 99), st.integers(97, 99)),
+                        max_size=3))
+        def run(docs, raw_merges):
+            merges = [(a, b, 300 + i)
+                      for i, (a, b) in enumerate(raw_merges)]
+            tok, off = _flatten(docs)
+            got_tok, got_off = apply_merges(tok, off, merges)
+            exp = seq_apply([list(d) for d in docs], merges)
+            got = [got_tok[got_off[i]:got_off[i + 1]].tolist()
+                   for i in range(len(docs))]
+            assert got == exp
+
+        run()
+
+    def test_pair_counts_match_bruteforce(self):
+        from hypothesis import given, settings, strategies as st
+        from collections import Counter
+        from dggsray.ops.bpe import pair_counts, _flatten
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.lists(st.binary(max_size=20), max_size=5))
+        def run(docs):
+            tok, off = _flatten(docs)
+            u, c = pair_counts(tok, off)
+            exp = Counter()
+            for d in docs:
+                for i in range(len(d) - 1):
+                    exp[(d[i], d[i + 1])] += 1
+            got = {(int(k >> np.uint64(32)), int(k & np.uint64(0xFFFFFFFF))):
+                   int(n) for k, n in zip(u, c)}
+            assert got == dict(exp)
+
+        run()
