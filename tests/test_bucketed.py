@@ -84,3 +84,47 @@ class TestZipWithIndex:
         out = zip_with_index(rd.from_arrow(t).repartition(5).sort("v")) \
             .to_pandas().sort_values("position")
         assert (out.v.to_numpy() == np.arange(200)).all()
+
+
+class TestBucketProperties:
+    def test_bucket_hash_stable_and_spread(self):
+        from hypothesis import given, settings, strategies as st
+        from dggsray.ops.bucketed import _bucket_of
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.integers(-2**62, 2**62), min_size=1,
+                        max_size=300),
+               st.sampled_from([2, 4, 8, 32]))
+        def run(ids, n):
+            col = pa.array(np.array(ids, dtype=np.int64))
+            b1 = _bucket_of(col, n)
+            b2 = _bucket_of(col, n)
+            assert (b1 == b2).all()
+            assert ((b1 >= 0) & (b1 < n)).all()
+
+        run()
+
+    def test_bucket_uniformity_large_sample(self):
+        from dggsray.ops.bucketed import _bucket_of
+        ids = pa.array(np.arange(80_000, dtype=np.int64))
+        b = _bucket_of(ids, 16)
+        counts = np.bincount(b, minlength=16)
+        # splitmix64 spread: every bucket within 10% of the mean
+        assert (abs(counts - 5000) < 500).all(), counts
+
+    def test_qsketch_weight_conserved_under_merge(self):
+        from hypothesis import given, settings, strategies as st
+        from dggsray.ops.sketch import qsketch_batch, qsketch_merge
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400),
+               st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400))
+        def run(a, b):
+            sa = qsketch_batch(np.array(a), k=64)
+            sb = qsketch_batch(np.array(b), k=64)
+            m = qsketch_merge(sa, sb, k=64)
+            assert abs(m[1].sum() - (len(a) + len(b))) < 1e-6
+            # points stay sorted
+            assert (np.diff(m[0]) >= 0).all()
+
+        run()
