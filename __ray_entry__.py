@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans_clusters": R.embed_kmeans_clusters,
         "docs_bpe_merges": R.docs_bpe_merges,
         "docs_global_shuffle": R.docs_global_shuffle,
+        "events_running_total": R.events_running_total,
         "cell_join_customer_orders_bucketed":
             lambda d: R.cell_join_customer_orders_bucketed(d, _RES_JOIN),
         "flagship_cell_join": _flagship,
@@ -522,6 +523,12 @@ def oracle_sql() -> dict[str, str]:
         # events_distinct_users_hll and events_value_quantiles_sketch are
         # rows-only by design: the HLL estimate / MRL compaction are
         # deterministic but not SQL-reproducible.
+        "events_running_total":
+            "SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) "
+            "AS ts_us, CAST(SUM(CAST(round(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents "
+            "FROM events",
         "events_funnel":
             "WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS first_view_us "
             "FROM events WHERE event_type = 'view' GROUP BY 1), "

@@ -209,3 +209,36 @@ def range_join_count(ds, left_type: str, right_type: str, window_us: int,
 
     return _with_part(ds, user_col, n_parts) \
         .groupby("_part").map_groups(kernel, batch_format="pyarrow")
+
+
+def running_total(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value", id_col: str = "event_id",
+                  n_parts: int = 64):
+    """Per-user running cumulative sum ordered by (ts, id) — the
+    unbounded-preceding window frame (SQL: SUM() OVER (PARTITION BY user
+    ORDER BY ts, id)).  Same one-shuffle shape as sessionize: user-hash
+    partitions, one sort per partition, then a vectorized grouped cumsum
+    (global cumsum minus each user run's preceding total).  Values
+    accumulate as exact integer cents.  Emits
+    (event_id, user_id, ts_us, running_cents)."""
+    def kernel(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[(user_col, "ascending"),
+                                              (ts_col, "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        users = g.column(user_col).to_numpy()
+        cents = np.rint(g.column(value_col).to_numpy() * 100) \
+            .astype(np.int64)
+        cum = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        # subtract the cumulative total BEFORE each user's first row
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        run = cum - np.repeat(base, np.diff(np.r_[starts, len(users)]))
+        return pa.table({
+            "event_id": pc.cast(g.column(id_col), pa.int64()),
+            "user_id": pc.cast(g.column(user_col), pa.int64()),
+            "ts_us": pa.array(_ts_us(g.column(ts_col))),
+            "running_cents": pa.array(run)})
+
+    return _with_part(ds, user_col, n_parts) \
+        .groupby("_part").map_groups(kernel, batch_format="pyarrow")

@@ -2192,3 +2192,13 @@ def docs_global_shuffle(sf_dir: str):
                                               pa.int64()),
                             "position": b.column("position")}),
         batch_format="pyarrow")
+
+
+def events_running_total(sf_dir: str):
+    """Per-user running cumulative value (unbounded-preceding window frame —
+    ops.window.running_total): one user-hash shuffle, one sort per
+    partition, vectorized grouped cumsum in exact integer cents."""
+    from ..ops.window import running_total
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return running_total(ds)

@@ -187,3 +187,30 @@ class TestRangeJoinCount:
         assert out.loc[1, "n_matches"] == 2
         assert out.loc[7, "n_matches"] == 0
         assert len(out) == 2
+
+
+class TestRunningTotal:
+    def test_per_user_cumsum_with_ts_ties(self, ray_session):
+        from dggsray.ops.window import running_total
+        S = 1_000_000
+        rows = [
+            # user 1: tie on ts resolved by event_id
+            (0, 1, 5 * S, "view"),
+            (1, 1, 5 * S, "view"),
+            (2, 1, 9 * S, "view"),
+            # user 2: single event
+            (3, 2, 1 * S, "view"),
+        ]
+        import pyarrow as pa
+        import ray.data as rd
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.25, 2.50, 0.25, 7.00], pa.float64())})
+        df = running_total(rd.from_arrow(t)).to_pandas() \
+            .set_index("event_id").sort_index()
+        assert df.loc[0, "running_cents"] == 125
+        assert df.loc[1, "running_cents"] == 375   # tie ordered by event_id
+        assert df.loc[2, "running_cents"] == 400
+        assert df.loc[3, "running_cents"] == 700   # new user resets
