@@ -34,86 +34,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
         return flagship_pipeline(sf=sf)
 
+    # ORDERING CONTRACT: the driver's CORRECTNESS_rNN.json records only the
+    # FIRST 50 entries, so every oracle-checked query (a key of oracle_sql())
+    # comes first and rows-only queries come last.  tests/test_entry.py
+    # asserts the invariant — keep it green when adding queries.
     return {
+        # --- oracle-checked (DuckDB value-hash) ---
         "cell_encode_customer": lambda d: R.cell_encode_customer(d, _RES_ENC),
         "cell_count_by_face": lambda d: R.cell_count_by_face(d, _RES_ENC),
         "cell_agg_customer": lambda d: R.cell_agg_customer(d, _RES_AGG_FINE,
                                                            _RES_AGG_COARSE),
         "cell_join_customer_orders": lambda d: R.cell_join_customer_orders(d, _RES_JOIN),
+        "cell_join_customer_orders_bucketed":
+            lambda d: R.cell_join_customer_orders_bucketed(d, _RES_JOIN),
         "cell_majority_nation": lambda d: R.cell_majority_nation(d, _RES_MAJ),
-        "pricing_summary": R.pricing_summary,
-        "top_orders": R.top_orders,
-        "events_by_type": R.events_by_type,
-        "docs_dedup_exact": R.docs_dedup_exact,
-        "docs_token_stats": R.docs_token_stats,
-        "ann_cosine_top10": R.ann_cosine_top10,
-        "docs_charset_jaccard": R.docs_charset_jaccard,
-        "docs_quality": R.docs_quality,
-        "embed_neardup": R.embed_neardup,
-        "docs_minhash_dedup": R.docs_minhash_dedup,
-        "docs_simhash_clusters": R.docs_simhash_clusters,
-        "docs_lang_id": R.docs_lang_id,
-        "docs_stratified_sample": R.docs_stratified_sample,
-        "docs_repetition": R.docs_repetition,
-        "docs_ngram_jaccard": R.docs_ngram_jaccard,
-        "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
-        "docs_corpus_pipeline": R.docs_corpus_pipeline,
-        "docs_pack_batches": R.docs_pack_batches,
-        "embed_lsh_top20": R.embed_lsh_top20,
-        "embed_knn_join": R.embed_knn_join,
-        "embed_ivf_top10": R.embed_ivf_top10,
-        "images_jpeg_psnr": R.images_jpeg_psnr,
-        "auid_customer_region": R.auid_customer_region,
-        "knn_cells_customer": R.knn_cells_customer,
-        "images_features": R.images_features,
-        "audio_features": R.audio_features,
-        "video_frames": R.video_frames,
-        "images_verify_invariant": R.images_verify_invariant,
         "cell_setops_customer_orders": lambda d: R.cell_setops_customer_orders(d, _RES_JOIN),
         "cell_topk_densest": R.cell_topk_densest,
+        "knn_cells_customer": R.knn_cells_customer,
+        "pricing_summary": R.pricing_summary,
+        "top_orders": R.top_orders,
+        "orders_lineitem_revenue": R.orders_lineitem_revenue,
+        "revenue_by_region": R.revenue_by_region,
+        "events_by_type": R.events_by_type,
         "events_hourly": R.events_hourly,
+        "events_cell_hourly": R.events_cell_hourly,
+        "events_geofence": R.events_geofence,
         "events_median_value": R.events_median_value,
         "events_p90_value": R.events_p90_value,
         "events_top_users": R.events_top_users,
         "events_sessions": R.events_sessions,
         "events_moving_window": R.events_moving_window,
         "events_asof_click_error": R.events_asof_click_error,
-        "orders_lineitem_revenue": R.orders_lineitem_revenue,
-        "images_phash_dedup": R.images_phash_dedup,
-        "docs_vocab_topk": R.docs_vocab_topk,
+        "events_view_attribution": R.events_view_attribution,
         "events_props_extract": R.events_props_extract,
-        "docs_token_commonness": R.docs_token_commonness,
+        "events_funnel": R.events_funnel,
+        "events_distinct_users": R.events_distinct_users,
+        "events_running_total": R.events_running_total,
+        "docs_dedup_exact": R.docs_dedup_exact,
+        "docs_token_stats": R.docs_token_stats,
+        "docs_quality": R.docs_quality,
+        "docs_lang_id": R.docs_lang_id,
+        "docs_repetition": R.docs_repetition,
+        "docs_normalize_text": R.docs_normalize_text,
+        "docs_minhash_dedup": R.docs_minhash_dedup,
+        "docs_ngram_jaccard": R.docs_ngram_jaccard,
+        "docs_charset_jaccard": R.docs_charset_jaccard,
         "docs_dup_components": R.docs_dup_components,
-        "docs_chunk_windows": R.docs_chunk_windows,
+        "docs_retained_after_dedup": R.docs_retained_after_dedup,
+        "docs_decontaminate": R.docs_decontaminate,
+        "docs_decontaminate_bloom": R.docs_decontaminate_bloom,
+        "docs_stratified_sample": R.docs_stratified_sample,
         "docs_sample_n_per_group": R.docs_sample_n_per_group,
         "docs_split_counts": R.docs_split_counts,
-        "events_view_attribution": R.events_view_attribution,
-        "images_caption_filter": R.images_caption_filter,
-        "embed_quantized_top10": R.embed_quantized_top10,
-        "video_scene_cuts": R.video_scene_cuts,
-        "embed_ivf_multiquery": R.embed_ivf_multiquery,
-        "docs_decontaminate": R.docs_decontaminate,
-        "images_corpus_pipeline": R.images_corpus_pipeline,
-        "images_augment": R.images_augment,
-        "events_cell_hourly": R.events_cell_hourly,
-        "events_geofence": R.events_geofence,
+        "docs_chunk_windows": R.docs_chunk_windows,
+        "docs_pack_batches": R.docs_pack_batches,
+        "docs_token_commonness": R.docs_token_commonness,
+        "docs_vocab_topk": R.docs_vocab_topk,
         "docs_tfidf_topk": R.docs_tfidf_topk,
-        "events_funnel": R.events_funnel,
         "docs_heavy_hitters": R.docs_heavy_hitters,
-        "events_distinct_users": R.events_distinct_users,
-        "events_distinct_users_hll": R.events_distinct_users_hll,
-        "images_neardup_components": R.images_neardup_components,
-        "docs_retained_after_dedup": R.docs_retained_after_dedup,
-        "events_value_quantiles_sketch": R.events_value_quantiles_sketch,
-        "docs_decontaminate_bloom": R.docs_decontaminate_bloom,
-        "docs_normalize_text": R.docs_normalize_text,
-        "revenue_by_region": R.revenue_by_region,
+        "docs_corpus_pipeline": R.docs_corpus_pipeline,
+        "docs_global_shuffle": R.docs_global_shuffle,
+        "ann_cosine_top10": R.ann_cosine_top10,
+        "embed_knn_join": R.embed_knn_join,
+        "embed_neardup": R.embed_neardup,
+        # --- rows-only by design (see the note at the end of oracle_sql) ---
+        "docs_simhash_clusters": R.docs_simhash_clusters,
+        "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
+        "embed_lsh_top20": R.embed_lsh_top20,
+        "embed_ivf_top10": R.embed_ivf_top10,
+        "embed_ivf_multiquery": R.embed_ivf_multiquery,
+        "embed_quantized_top10": R.embed_quantized_top10,
         "embed_kmeans_clusters": R.embed_kmeans_clusters,
         "docs_bpe_merges": R.docs_bpe_merges,
-        "docs_global_shuffle": R.docs_global_shuffle,
-        "events_running_total": R.events_running_total,
-        "cell_join_customer_orders_bucketed":
-            lambda d: R.cell_join_customer_orders_bucketed(d, _RES_JOIN),
+        "auid_customer_region": R.auid_customer_region,
+        "images_features": R.images_features,
+        "images_verify_invariant": R.images_verify_invariant,
+        "images_jpeg_psnr": R.images_jpeg_psnr,
+        "images_phash_dedup": R.images_phash_dedup,
+        "images_neardup_components": R.images_neardup_components,
+        "images_corpus_pipeline": R.images_corpus_pipeline,
+        "images_augment": R.images_augment,
+        "images_caption_filter": R.images_caption_filter,
+        "audio_features": R.audio_features,
+        "video_frames": R.video_frames,
+        "video_scene_cuts": R.video_scene_cuts,
+        "events_distinct_users_hll": R.events_distinct_users_hll,
+        "events_value_quantiles_sketch": R.events_value_quantiles_sketch,
         "flagship_cell_join": _flagship,
     }
 

@@ -293,4 +293,17 @@ if __name__ == "__main__":
     elif "--one-flagship" in sys.argv:
         run_one_flagship()
     else:
-        print(json.dumps(run_suite(NUM_CPUS)))
+        out = run_suite(NUM_CPUS)
+        print(json.dumps(out))
+        # The driver tail-captures stdout, so the huge per-query line above can
+        # lose its head (BENCH_r02 recorded parsed:null).  Print a SHORT,
+        # complete summary line LAST so the tail always contains one valid
+        # machine-parsable JSON object.
+        print(json.dumps({
+            "metric": out["metric"], "value": out["value"], "unit": out["unit"],
+            "sf": out["sf"], "num_cpus": out["num_cpus"],
+            "n_images": out["n_images"], "images_per_sec": out["images_per_sec"],
+            "n_queries": len(out["queries"]),
+            "n_query_errors": len(out.get("query_errors", {})),
+            "suite_s": round(sum(out["queries"].values()), 3),
+        }))
