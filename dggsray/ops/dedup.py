@@ -268,61 +268,157 @@ def charset_bitmap_table(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def _unpack_bits(bm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, 4) uint64 packed charsets -> (0/1 float32 (n, 256) rows, popcounts).
+    Any consistent bit permutation preserves intersection counts, so the GEMM
+    inter = A @ B^T counts shared charset bits exactly (values < 2^24 are
+    float32-exact)."""
+    bits = np.unpackbits(np.ascontiguousarray(bm).view(np.uint8), axis=1) \
+        .astype(np.float32)
+    return bits, bits.sum(axis=1)
+
+
+def _jaccard_cross(bits_a, pop_a, ids_a, bits_b, pop_b, ids_b, threshold,
+                   chunk: int = 2048):
+    """Qualifying ordered pairs (id_a < id_b) between two unpacked bitmap
+    sets via chunked GEMM — no Python-per-row loop.  Works for the self case
+    (a is b) too: the id inequality drops the diagonal and mirror pairs."""
+    out_a, out_b, out_j = [], [], []
+    for s in range(0, bits_a.shape[0], chunk):
+        e = min(s + chunk, bits_a.shape[0])
+        inter = (bits_a[s:e] @ bits_b.T).astype(np.float64)
+        union = (pop_a[s:e, None] + pop_b[None, :]).astype(np.float64) - inter
+        # counts are float-exact integers (< 2^24); divide in float64 so
+        # jac_micro rounds identically to the oracle's double division
+        j = inter / np.maximum(union, 1.0)
+        hit = (j >= threshold) & (ids_b[None, :] > ids_a[s:e, None])
+        ri, ci = np.nonzero(hit)
+        out_a.append(ids_a[s:e][ri].astype(np.int64))
+        out_b.append(ids_b[ci].astype(np.int64))
+        out_j.append(j[ri, ci].astype(np.float64))
+    a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    jj = np.concatenate(out_j) if out_j else np.zeros(0)
+    return pa.table({
+        "id_a": pa.array(a, pa.int64()),
+        "id_b": pa.array(b, pa.int64()),
+        "jac_micro": pa.array(np.rint(jj * 1e6).astype(np.int64),
+                              pa.int64())})
+
+
+def _bm_of(bt: pa.Table) -> np.ndarray:
+    return np.stack([bt.column(c).to_numpy().astype(np.uint64)
+                     for c in ("b0", "b1", "b2", "b3")], axis=1)
+
+
+class _CharsetProbe:
+    """Actor-pool probe for the broadcast path: the PACKED bitmap matrix ships
+    once via ray.put and is unpacked ONCE per actor here (a 25x size blow-up
+    paid per actor, never per batch)."""
+
+    def __init__(self, bref, threshold: float, id_col: str):
+        import ray
+        bm_all, ids_all = ray.get(bref)
+        self.bits_all, self.pop_all = _unpack_bits(bm_all)
+        self.ids_all = ids_all
+        self.threshold = threshold
+        self.id_col = id_col
+
+    def __call__(self, bt: pa.Table) -> pa.Table:
+        bits, pop = _unpack_bits(_bm_of(bt))
+        ids = bt.column(self.id_col).to_numpy().astype(np.int64)
+        return _jaccard_cross(bits, pop, ids, self.bits_all, self.pop_all,
+                              self.ids_all, self.threshold)
+
+
 def charset_jaccard_pairs(ds, threshold: float, text_col: str = "text",
-                          id_col: str = "doc_id"):
+                          id_col: str = "doc_id",
+                          max_broadcast_docs: int = 2_000_000):
     """All pairs with character-set Jaccard >= threshold (the DuckDB jaccard()
     definition: |chars(a) n chars(b)| / |chars(a) u chars(b)|).  The oracle
-    semantics are inherently all-pairs, but the broadcast side is the DISTRIBUTED
-    bitmap aggregate (40 B/doc — 4 GB per 100 G docs), never the corpus text:
-    each task compares its block's bitmaps against the broadcast matrix with
-    popcount kernels."""
-    import ray
+    semantics are inherently all-pairs (O(n^2) comparisons — this is the
+    exact baseline; minhash/simhash are the bounded-recall scale paths), but
+    neither corpus text nor an unpacked matrix is ever moved:
 
-    bm_tbl = charset_bitmap_table(ds, text_col, id_col).to_pandas()
-    bitmaps = np.stack([bm_tbl[c].to_numpy() for c in
-                        ("b0", "b1", "b2", "b3")], axis=1)
-    all_ids = bm_tbl[id_col].to_numpy()
-    bref = ray.put((bitmaps, all_ids))
+    - build: the DISTRIBUTED bitmap aggregate, 40 B/doc packed (4 TB per
+      100 G docs — which is exactly why the broadcast is capped).
+    - probe, n <= max_broadcast_docs: packed bitmaps ray.put once; an actor
+      POOL unpacks them once per actor (__init__) and each batch is one
+      chunked bit-GEMM against the broadcast.
+    - probe, n > max_broadcast_docs: partition-pair banding — docs hash into
+      P = ceil(n / max_broadcast_docs) bands, every (i, j) band pair meets in
+      its own groupby bucket, so a task holds at most 2 bands of packed
+      bitmaps (<= 2 * max_broadcast_docs * 40 B) instead of the full corpus.
+      Replication cost is P rows per doc, the standard exact all-pairs
+      exchange bound."""
+    from .joins import join_partitions
 
-    def kernel(bt: pa.Table) -> pa.Table:
-        bm_all, ids_all = ray.get(bref)
-        texts = bt.column(text_col).to_pylist()
-        ids = bt.column(id_col).to_numpy()
-        bm = charset_bitmaps(texts)
-        # pairwise popcounts as ONE bit-matrix GEMM per row-chunk: unpack the
-        # 256-bit charsets to 0/1 float32 rows (any consistent bit permutation
-        # preserves intersection counts), inter = B_chunk @ B_all^T, union from
-        # per-doc popcounts — no Python-per-row loop
-        bits_all = np.unpackbits(bm_all.view(np.uint8), axis=1) \
-            .astype(np.float32)
-        pop_all = bits_all.sum(axis=1)
-        bits = np.unpackbits(bm.view(np.uint8), axis=1).astype(np.float32)
-        pop = bits.sum(axis=1)
-        out_a, out_b, out_j = [], [], []
-        chunk = 2048                      # bounds the (chunk, n_all) temp
-        for s in range(0, bits.shape[0], chunk):
-            e = min(s + chunk, bits.shape[0])
-            inter = (bits[s:e] @ bits_all.T).astype(np.float64)
-            union = (pop[s:e, None] + pop_all[None, :]).astype(np.float64) \
-                - inter
-            # counts are float-exact integers (< 2^24); divide in float64 so
-            # jac_micro rounds identically to the oracle's double division
-            j = inter / np.maximum(union, 1.0)
-            hit = (j >= threshold) & (ids_all[None, :] > ids[s:e, None])
-            ri, ci = np.nonzero(hit)
-            out_a.append(ids[s:e][ri].astype(np.int64))
-            out_b.append(ids_all[ci].astype(np.int64))
-            out_j.append(j[ri, ci].astype(np.float64))
-        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
-        jj = np.concatenate(out_j) if out_j else np.zeros(0)
-        return pa.table({
-            "id_a": pa.array(a, pa.int64()),
-            "id_b": pa.array(b, pa.int64()),
-            "jac_micro": pa.array(np.rint(jj * 1e6).astype(np.int64),
-                                  pa.int64())})
+    bm = charset_bitmap_table(ds, text_col, id_col).materialize()
+    n = bm.count()
+    if n <= max_broadcast_docs:
+        import ray
+        parts = [b for b in bm.iter_batches(batch_format="pyarrow",
+                                            batch_size=None) if b.num_rows]
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is None:
+            return bm.map_batches(lambda b: _jaccard_cross(
+                *_unpack_bits(_bm_of(b)),
+                b.column(id_col).to_numpy().astype(np.int64),
+                *_unpack_bits(_bm_of(b)),
+                b.column(id_col).to_numpy().astype(np.int64), threshold),
+                batch_format="pyarrow")
+        bitmaps = _bm_of(tbl)
+        all_ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        bref = ray.put((bitmaps, all_ids))
+        from .multimodal import _default_pool
+        return bm.map_batches(
+            _CharsetProbe, batch_format="pyarrow",
+            fn_constructor_args=(bref, threshold, id_col),
+            concurrency=_default_pool(), max_restarts=0)
 
-    return ds.map_batches(kernel, batch_format="pyarrow")
+    # over-cap: partition-pair banding
+    P = int(np.ceil(n / max_broadcast_docs))
+
+    def replicate(bt: pa.Table) -> pa.Table:
+        ids = bt.column(id_col).to_numpy().astype(np.int64)
+        part = ((ids.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(2**32)).astype(np.int64) % P
+        reps = []
+        for q in range(P):
+            lo = np.minimum(part, q)
+            hi = np.maximum(part, q)
+            reps.append(pa.table({
+                id_col: bt.column(id_col),
+                "b0": bt.column("b0"), "b1": bt.column("b1"),
+                "b2": bt.column("b2"), "b3": bt.column("b3"),
+                "_part": pa.array(part),
+                "_pk": pa.array(lo * P + hi)}))
+        return pa.concat_tables(reps).combine_chunks()
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        pk = int(g.column("_pk")[0].as_py())
+        i, j = pk // P, pk % P
+        part = g.column("_part").to_numpy()
+        ids = g.column(id_col).to_numpy().astype(np.int64)
+        bm_g = _bm_of(g)
+        if i == j:
+            # every row here is band i (replication sends (i, i) once)
+            bits, pop = _unpack_bits(bm_g)
+            return _jaccard_cross(bits, pop, ids, bits, pop, ids, threshold)
+        ma, mb = part == i, part == j
+        bits_a, pop_a = _unpack_bits(bm_g[ma])
+        bits_b, pop_b = _unpack_bits(bm_g[mb])
+        # cross pairs only — within-band pairs belong to their (i, i) bucket;
+        # both orderings are covered because _jaccard_cross enforces
+        # id_a < id_b and is run in both directions
+        t1 = _jaccard_cross(bits_a, pop_a, ids[ma], bits_b, pop_b, ids[mb],
+                            threshold)
+        t2 = _jaccard_cross(bits_b, pop_b, ids[mb], bits_a, pop_a, ids[ma],
+                            threshold)
+        return pa.concat_tables([t1, t2]).combine_chunks()
+
+    rep = bm.map_batches(replicate, batch_format="pyarrow")
+    return rep.groupby("_pk").map_groups(pair_kernel, batch_format="pyarrow")
 
 
 def _bigram_hash_sets(texts: pa.Array | pa.ChunkedArray):

@@ -1489,14 +1489,23 @@ def docs_chunk_windows(sf_dir: str, chunk: int = 32, stride: int = 24):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-def docs_token_commonness(sf_dir: str):
+def docs_token_commonness(sf_dir: str, broadcast_limit: int = 2_000_000):
     """Corpus-statistics scoring — the two-pass broadcast-stats shape every
     frequency-based quality filter (TF weighting, unigram-LM surprisal)
     follows: pass 1 aggregates global token counts (combiner-first, same
     machinery as docs_vocab_topk), the small vocab table is broadcast via
     ray.put, pass 2 streams the corpus scoring each doc.  Integer outputs
     (sum and floor-mean of per-token global counts) keep the oracle
-    hash-exact where a float log-prob would not be."""
+    hash-exact where a float log-prob would not be.
+
+    Above `broadcast_limit` distinct tokens (web-scale corpora reach billions
+    of distinct tokens — far past what one driver/worker heap holds) the
+    vocabulary is never collected: the corpus explodes to per-doc (token,
+    tf) rows (exact per batch — every doc lives in one batch), hash-joins the
+    vocabulary by token, partial-sums per doc inside each join partition,
+    and one doc-keyed sized_groupby finalizes.  Same outputs, bounded
+    memory everywhere (the tested over-cap path; same fallback shape as
+    docs_tfidf_topk)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1512,8 +1521,11 @@ def docs_token_commonness(sf_dir: str):
         return pa.table({"token": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    vocab = sized_groupby(ds.map_batches(counts, batch_format="pyarrow"),
-                          "token", Sum("n", alias_name="n")).to_pandas()
+    vocab_ds = sized_groupby(ds.map_batches(counts, batch_format="pyarrow"),
+                             "token", Sum("n", alias_name="n")).materialize()
+    if vocab_ds.count() > broadcast_limit:
+        return _token_commonness_joined(ds, vocab_ds)
+    vocab = vocab_ds.to_pandas()        # <= broadcast_limit rows by the gate
     # vocabulary-sized, not corpus-sized — sorted arrays for searchsorted
     vt = np.sort(vocab["token"].to_numpy())
     vn = vocab.set_index("token").loc[vt, "n"].to_numpy().astype(np.int64)
@@ -1544,6 +1556,70 @@ def docs_token_commonness(sf_dir: str):
             "mean_commonness": pa.array(tot // np.maximum(ntok, 1))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _token_commonness_joined(ds, vocab_ds):
+    """Over-cap path for docs_token_commonness: vocabulary too large to
+    broadcast, so the (doc, token, tf) rows meet the vocabulary in a
+    token-hash join instead.  Exchange is bounded by (distinct tokens per
+    doc) rows on the probe side and the vocabulary on the build side;
+    nothing corpus-sized or vocabulary-sized ever lands on one node.
+
+    Every doc also emits one sentinel row (token="", tf=0) and the
+    vocabulary gains a matching ("", 0) row, so zero-token docs survive the
+    inner join and come out with all-zero scores — no driver-side anti-join
+    needed."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import hash_join, join_partitions, sized_groupby
+
+    def tf_kernel(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = b.column("doc_id").take(pc.list_parent_indices(toks))
+        t = pa.table({"doc_id": pc.cast(ids, pa.int64()),
+                      "token": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        real = pa.table({"doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                         "token": g.column("token"),
+                         "tf": pc.cast(g.column("count_all"), pa.int64())})
+        sent = pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "token": pa.array([""] * b.num_rows, pa.string()),
+                         "tf": pa.array(np.zeros(b.num_rows, np.int64))})
+        return pa.concat_tables([real, sent]).combine_chunks()
+
+    tf = ds.map_batches(tf_kernel, batch_format="pyarrow")
+    sentinel = rd.from_arrow(pa.table({"token": pa.array([""], pa.string()),
+                                       "n": pa.array([0], pa.int64())}))
+    joined = hash_join(tf, vocab_ds.union(sentinel), on="token",
+                       num_partitions=join_partitions())
+
+    def partial_doc(b: pa.Table) -> pa.Table:
+        s = pc.multiply(pc.cast(b.column("tf"), pa.int64()),
+                        pc.cast(b.column("n"), pa.int64()))
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "_nt": b.column("tf"), "_s": s})
+        g = t.group_by("doc_id").aggregate([("_nt", "sum"), ("_s", "sum")])
+        return g.rename_columns(["doc_id", "_nt", "_s"])
+
+    per_doc = sized_groupby(joined.map_batches(partial_doc,
+                                               batch_format="pyarrow"),
+                            "doc_id", Sum("_nt", alias_name="_nt"),
+                            Sum("_s", alias_name="_s"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ntok = b.column("_nt").to_numpy().astype(np.int64)
+        tot = b.column("_s").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_tokens": pa.array(ntok),
+            "sum_commonness": pa.array(tot),
+            "mean_commonness": pa.array(tot // np.maximum(ntok, 1))})
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")
 
 
 def events_props_extract(sf_dir: str):

@@ -82,6 +82,27 @@ class TestCharsetJaccard:
         assert ours[["id_a", "id_b", "jac_micro"]].values.tolist() == \
             theirs.values.tolist()
 
+    def test_over_cap_banding_agrees(self, ray_session):
+        """n > max_broadcast_docs forces the partition-pair banding path; it
+        must produce exactly the broadcast path's pairs (no dup, no miss)."""
+        import ray.data as rd
+        from dggsray.ops.dedup import charset_jaccard_pairs
+        rng = np.random.default_rng(3)
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        texts = ["".join(rng.choice(list(alpha), rng.integers(3, 12)))
+                 for _ in range(80)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        cols = ["id_a", "id_b", "jac_micro"]
+        ref = charset_jaccard_pairs(ds, threshold=0.5).to_pandas() \
+            .sort_values(cols).reset_index(drop=True)
+        banded = charset_jaccard_pairs(ds, threshold=0.5,
+                                       max_broadcast_docs=16).to_pandas() \
+            .sort_values(cols).reset_index(drop=True)
+        assert len(ref) > 0
+        assert ref[cols].values.tolist() == banded[cols].values.tolist()
+
 
 class TestEmbeddingDedup:
     def test_planted_neighbor(self, ray_session):

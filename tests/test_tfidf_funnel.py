@@ -70,6 +70,28 @@ class TestTfidfTopk:
         assert a.equals(b)
 
 
+class TestTokenCommonnessFallback:
+    def test_hash_join_fallback_agrees(self, ray_session, tmp_path):
+        """Over-cap path (vocabulary too big to broadcast) must equal the
+        broadcast path, including a zero-token doc (sentinel-row survival)."""
+        from dggsray.pipelines.relational import docs_token_commonness
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(words, rng.integers(1, 25)))
+                 for _ in range(50)]
+        texts.append("")            # zero-token doc: must come out all-zero
+        sf = _write_docs(tmp_path, texts)
+        cols = ["doc_id", "n_tokens", "sum_commonness", "mean_commonness"]
+        a = docs_token_commonness(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)[cols]
+        b = docs_token_commonness(sf, broadcast_limit=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)[cols]
+        assert a[cols].astype("int64").equals(b[cols].astype("int64"))
+        z = b[b.doc_id == len(texts) - 1]
+        assert len(z) == 1 and int(z.n_tokens.iloc[0]) == 0 \
+            and int(z.sum_commonness.iloc[0]) == 0
+
+
 class TestEventsFunnel:
     def test_ordering_semantics(self, ray_session, tmp_path):
         from dggsray.pipelines.relational import events_funnel
