@@ -130,6 +130,20 @@ def average_phash(img: np.ndarray) -> int:
     return int(np.frombuffer(np.packbits(bits).tobytes(), dtype=">u8")[0].astype(np.uint64).view(np.int64))
 
 
+def average_phash_batch(stack: np.ndarray) -> np.ndarray:
+    """average_phash vectorized over an (n, h, w, 3) same-size stack — one
+    reshape+mean for the whole group instead of n Python calls (bit-identical
+    to the scalar form; the verify invariant compares against stored hashes)."""
+    n, h, w = stack.shape[:3]
+    gray = stack.astype(np.float64).mean(axis=3)
+    bh, bw = h // 8, w // 8
+    blocks = gray[:, : bh * 8, : bw * 8].reshape(n, 8, bh, 8, bw) \
+        .mean(axis=(2, 4))
+    bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
+    packed = np.packbits(bits.reshape(n, 64), axis=1)
+    return packed.view(">u8").ravel().astype(np.uint64).view(np.int64)
+
+
 def encode_png(img: np.ndarray) -> bytes:
     """Minimal valid 8-bit RGB PNG, filter 0, single IDAT."""
     h, w = img.shape[:2]

@@ -1,0 +1,51 @@
+"""Per-row image invariant (BASELINE.json input_hint) and its batched kernels."""
+import numpy as np
+import pytest
+
+
+class TestAveragePhashBatch:
+    def test_batch_equals_scalar(self):
+        from dggsray.io.imagetable import average_phash, average_phash_batch
+        rng = np.random.default_rng(0)
+        for (w, h) in [(64, 64), (48, 32), (17, 23)]:
+            st = rng.integers(0, 256, (20, h, w, 3), dtype=np.uint8)
+            assert average_phash_batch(st).tolist() == \
+                [average_phash(st[i]) for i in range(20)]
+
+
+class TestVerifyInvariantQuery:
+    def test_all_rows_green_and_detects_corruption(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["images_verify_invariant"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        assert df.pixels_ok.all() and df.caption_ok.all() \
+            and df.phash_ok.all()
+
+    def test_kernel_flags_corrupt_pixels(self):
+        """The batched compare must actually FAIL on a corrupted image —
+        guards against a vacuous all-true kernel."""
+        import pyarrow.parquet as pq
+        from dggsray.io.imagetable import (_pixels_batch, average_phash_batch,
+                                           ensure_image_table,
+                                           iter_verify_rows)
+        import pyarrow.compute as pc
+        t = pq.read_table(ensure_image_table(0.001))
+        w0 = t.column("w")[0].as_py()
+        h0 = t.column("h")[0].as_py()
+        b = t.filter(pc.and_(pc.equal(t.column("w"), w0),
+                             pc.equal(t.column("h"), h0))).slice(0, 8)
+        assert b.num_rows == 8
+        rows = list(iter_verify_rows(b))
+        imgs = [r[2].copy() for r in rows]
+        imgs[3][0, 0, 0] ^= 0xFF            # corrupt one pixel of row 3
+        nums = np.array([r[1] for r in rows], np.int64)
+        w, h = rows[0][3], rows[0][4]
+        ref = _pixels_batch(nums, w, h)
+        stack = np.stack(imgs)
+        pix_ok = (stack == ref).reshape(len(rows), -1).all(axis=1)
+        assert not pix_ok[3] and pix_ok[[0, 1, 2, 4, 5, 6, 7]].all()
+        ph = average_phash_batch(stack)
+        assert (ph == b.column("phash").to_numpy()).sum() >= 7
