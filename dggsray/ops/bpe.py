@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["apply_merges", "pair_counts", "learn_bpe"]
 
@@ -85,30 +86,61 @@ def pair_counts(tok: np.ndarray, off: np.ndarray):
     return u, c.astype(np.int64)
 
 
-def learn_bpe(ds, n_merges: int, text_col: str = "text"):
+def _seg_to_list(tok: np.ndarray, off: np.ndarray) -> pa.Table:
+    """Concatenated tokens + doc offsets -> one list<int32> row per doc."""
+    return pa.table({"tokens": pa.ListArray.from_arrays(
+        pa.array(off, pa.int32()), pa.array(tok, pa.int32()))})
+
+
+def _seg_from_list(bt: pa.Table):
+    """Inverse of _seg_to_list (zero-copy views of the Arrow buffers)."""
+    col = bt.column("tokens")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    return pc.list_flatten(arr).to_numpy().astype(np.int32), off
+
+
+def learn_bpe(ds, n_merges: int, text_col: str = "text",
+              checkpoint_every: int = 16):
     """Learn `n_merges` BPE merges over a Dataset's text column.  Returns a
     typed Arrow table (rank, left_id, right_id, new_id, pair_count) — the
-    merge table a tokenizer trainer persists."""
+    merge table a tokenizer trainer persists.
+
+    Each round is one streaming pass over the CHECKPOINTED segmentation (a
+    materialized list<int32>-per-doc Dataset, advanced through the learned
+    merges every `checkpoint_every` rounds), replaying only the merges since
+    the last checkpoint — so learn cost is O(n_merges * corpus *
+    checkpoint_every) token touches instead of the O(n_merges^2 * corpus) a
+    full from-raw-bytes replay costs at real (30k-merge) vocabulary sizes.
+    Tasks stay stateless between checkpoints (a dead worker re-derives its
+    block from the checkpoint + the tiny broadcast merge list), and the
+    checkpoint only ever SHRINKS below the tokenized corpus — the same
+    object-store residency class as the input."""
     from ray.data.aggregate import Sum
 
     from .joins import sized_groupby
     from .topk import partial_topk
 
-    merges: list[tuple[int, int, int]] = []
+    def tokenize(bt: pa.Table) -> pa.Table:
+        texts = [t.encode("utf-8", "ignore")
+                 for t in bt.column(text_col).to_pylist()]
+        return _seg_to_list(*_flatten(texts))
+
+    seg = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
+    since: list[tuple[int, int, int]] = []   # merges since last checkpoint
     out = []
     for r in range(n_merges):
-        cur = list(merges)  # captured by value: tiny
+        cur = list(since)  # captured by value: tiny
 
         def kernel(bt: pa.Table) -> pa.Table:
-            texts = [t.encode("utf-8", "ignore")
-                     for t in bt.column(text_col).to_pylist()]
-            tok, off = _flatten(texts)
+            tok, off = _seg_from_list(bt)
             tok, off = apply_merges(tok, off, cur)
             u, c = pair_counts(tok, off)
             return pa.table({"pair": pa.array(u.astype(np.int64)),
                              "n": pa.array(c)})
 
-        tot = sized_groupby(ds.map_batches(kernel, batch_format="pyarrow"),
+        tot = sized_groupby(seg.map_batches(kernel, batch_format="pyarrow"),
                             "pair", Sum("n", alias_name="n"))
         top = partial_topk(tot, ["n", "pair"], [True, False], 1).to_pandas()
         if top.empty or int(top["n"].iloc[0]) < 2:
@@ -117,8 +149,17 @@ def learn_bpe(ds, n_merges: int, text_col: str = "text"):
         a = int(key // _PACK)
         b = int(key % _PACK)
         new_id = 256 + r
-        merges.append((a, b, new_id))
+        since.append((a, b, new_id))
         out.append((r, a, b, new_id, int(top["n"].iloc[0])))
+        if len(since) >= checkpoint_every and r < n_merges - 1:
+            cp = list(since)
+
+            def advance(bt: pa.Table) -> pa.Table:
+                return _seg_to_list(*apply_merges(*_seg_from_list(bt), cp))
+
+            seg = seg.map_batches(advance,
+                                  batch_format="pyarrow").materialize()
+            since = []
 
     return pa.table({
         "rank": pa.array([o[0] for o in out], pa.int64()),

@@ -32,13 +32,46 @@ def zip_with_index(ds, col_name: str = "position"):
     import ray.data as rd
 
     m = ds.materialize()
-    bundles = list(m.iter_internal_ref_bundles())
     counts = []
     block_refs = []
-    for b in bundles:
-        for ref, meta in b.blocks:
-            counts.append(meta.num_rows)
-            block_refs.append(ref)
+    try:
+        # fast path: per-block row counts ride the ref-bundle METADATA, so
+        # offsets are free.  iter_internal_ref_bundles is a Ray developer
+        # API (present across 2.x but not stability-guaranteed), hence the
+        # guarded fallback below.
+        for b in m.iter_internal_ref_bundles():
+            for ref, meta in b.blocks:
+                counts.append(meta.num_rows)
+                block_refs.append(ref)
+    except AttributeError:
+        # fallback on PUBLIC APIs only (to_arrow_refs shares the same
+        # private plumbing, so it can't be the guard): split the
+        # materialized dataset into order-preserving pieces, offsets from
+        # metadata-fast count(), per-piece local positions + offset, union
+        # back.  Rows never reach the driver.
+        parts = m.split(max(m.num_blocks(), 1), equal=False)
+        # one block per piece makes the per-piece kernel stateless (a
+        # map_batches closure is re-created per task, so cross-block
+        # counters can't work); with n = num_blocks pieces this is a no-op
+        parts = [p if p.num_blocks() <= 1 else p.repartition(1)
+                 for p in parts]
+        sizes = [p.count() for p in parts]
+        offs = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+
+        def shifted(start):
+            def add(tbl: pa.Table) -> pa.Table:
+                return tbl.append_column(col_name, pa.array(
+                    np.arange(start, start + tbl.num_rows,
+                              dtype=np.int64)))
+            return add
+
+        out = [p.map_batches(shifted(int(o)), batch_format="pyarrow",
+                             batch_size=None)
+               for p, o in zip(parts, offs)]
+        res = out[0]
+        for p in out[1:]:
+            res = res.union(p)
+        return res
     offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
 
     @ray.remote

@@ -88,6 +88,31 @@ class TestLearnBpe:
         # learned merge must have occurred at least twice
         assert (df.pair_count >= 2).all()
 
+    def test_checkpointing_exact_at_64_merges_and_faster(self, ray_session):
+        """Checkpointed segmentation (every K rounds) must be EXACTLY the
+        sequential reference at n_merges=64, and beat the no-checkpoint
+        (replay-everything) configuration on wall time — the O(rounds^2)
+        replay is what checkpointing exists to remove."""
+        import time
+        import ray.data as rd
+        from dggsray.ops.bpe import learn_bpe
+        rng = np.random.default_rng(41)
+        alphabet = list("abcdefgh ")
+        texts = ["".join(rng.choice(alphabet, rng.integers(40, 400)))
+                 for _ in range(400)]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)})) \
+            .repartition(5).materialize()
+        t0 = time.time()
+        got = learn_bpe(ds, 64, checkpoint_every=8).to_pandas()
+        t_cp = time.time() - t0
+        exp, _ = _ref_bpe(texts, 64)
+        assert [tuple(r) for r in got.itertuples(index=False)] == exp
+        t0 = time.time()
+        got2 = learn_bpe(ds, 64, checkpoint_every=10**9).to_pandas()
+        t_replay = time.time() - t0
+        assert got2.equals(got)
+        assert t_cp < t_replay, (t_cp, t_replay)
+
 
 class TestBpeProperties:
     def test_apply_matches_sequential_on_random_bytes(self):

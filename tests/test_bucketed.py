@@ -85,6 +85,17 @@ class TestZipWithIndex:
             .to_pandas().sort_values("position")
         assert (out.v.to_numpy() == np.arange(200)).all()
 
+    def test_fallback_without_private_api(self, ray_session, monkeypatch):
+        """iter_internal_ref_bundles is a Ray developer API: with it gone
+        (future Ray), the stable-API fallback must give identical output."""
+        import ray.data as rd
+        from dggsray.ops.indexing import zip_with_index
+        monkeypatch.delattr(rd.Dataset, "iter_internal_ref_bundles")
+        t = pa.table({"v": pa.array(np.arange(200, dtype=np.int64))})
+        out = zip_with_index(rd.from_arrow(t).repartition(5).sort("v")) \
+            .to_pandas().sort_values("position")
+        assert (out.v.to_numpy() == np.arange(200)).all()
+
 
 class TestBucketProperties:
     def test_bucket_hash_stable_and_spread(self):
