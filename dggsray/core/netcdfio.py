@@ -178,6 +178,18 @@ class NetCDFClassic:
         return [n for n, v in self.variables.items() if len(v.shape) >= 2]
 
 
+def open_netcdf(path: str):
+    """Magic-byte dispatch: classic CDF-1/2 -> NetCDFClassic, HDF5 container
+    (NetCDF-4, the modern climate-data format) -> hdf5io.NetCDF4.  Both
+    expose the same .variables/.read/.subdatasets/.attrs surface."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:8] == b"\x89HDF\r\n\x1a\n":
+        from .hdf5io import NetCDF4
+        return NetCDF4(path)
+    return NetCDFClassic(path)
+
+
 def read_netcdf_raster(path: str, var: str | None = None):
     """A 2D geo-raster view of a NetCDF variable, as (GeoTiff-like, attrs).
 
@@ -189,7 +201,7 @@ def read_netcdf_raster(path: str, var: str | None = None):
     to top>bottom with positive res_y."""
     from .tiffio import GeoTiff
 
-    nc = NetCDFClassic(path)
+    nc = open_netcdf(path)
     if var is None:
         subs = nc.subdatasets()
         if not subs:

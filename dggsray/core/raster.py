@@ -50,8 +50,8 @@ def open_raster(path: str) -> GeoTiff:
 def raster_subdatasets(path: str) -> list[str]:
     f, _sub = parse_raster_path(path)
     if f.lower().endswith(".nc"):
-        from .netcdfio import NetCDFClassic
-        return [f'NETCDF:"{f}":{v}' for v in NetCDFClassic(f).subdatasets()]
+        from .netcdfio import open_netcdf
+        return [f'NETCDF:"{f}":{v}' for v in open_netcdf(f).subdatasets()]
     return []
 
 

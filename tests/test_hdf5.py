@@ -1,0 +1,135 @@
+"""NetCDF-4 / HDF5 reader (core/hdf5io.py): synthetic-fixture roundtrips,
+spec-level byte goldens, raster-view georeferencing, and the same
+raster_to_rhealpix end-to-end path the classic CDF fixture takes
+(/root/reference/tests/data_tests/tests_data.py:329 reads .nc via GDAL,
+which handles NetCDF-4 transparently — this pins our dispatch to do the
+same)."""
+import struct
+
+import numpy as np
+import pytest
+
+from dggsray.core.hdf5io import NetCDF4, is_hdf5, write_netcdf4
+from dggsray.core.netcdfio import open_netcdf, read_netcdf_raster
+from dggsray.core.raster import open_raster, raster_subdatasets
+
+
+def _fixture(path, ny=37, nx=53, chunks=(16, 16), compress=True,
+             fill=-999):
+    rng = np.random.default_rng(5)
+    lat = np.linspace(60.0, 40.0, ny)
+    lon = np.linspace(-10.0, 5.0, nx)
+    data = rng.integers(0, 200, (ny, nx)).astype(np.int16)
+    data[3, 5] = fill
+    write_netcdf4(
+        str(path),
+        {"sce": (data, ("lat", "lon"),
+                 {"_FillValue": np.int16(fill), "units": "percent"}),
+         "lat": (lat, ("lat",), {"units": "degrees_north"}),
+         "lon": (lon, ("lon",), {"units": "degrees_east"})},
+        dims={"lat": ny, "lon": nx},
+        global_attrs={"title": "synthetic SCE"},
+        chunks=chunks, compress=compress)
+    return data, lat, lon
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("chunks,compress", [
+        ((16, 16), True),      # gzip+shuffle, partial edge chunks
+        ((37, 53), True),      # single chunk
+        ((10, 7), False),      # raw chunks
+    ])
+    def test_values_attrs_dims(self, tmp_path, chunks, compress):
+        p = tmp_path / "t.nc"
+        data, lat, lon = _fixture(p, chunks=chunks, compress=compress)
+        nc = NetCDF4(str(p))
+        assert sorted(nc.variables) == ["lat", "lon", "sce"]
+        v = nc.variables["sce"]
+        assert v.shape == (37, 53) and v.dtype == np.dtype("<i2")
+        # netCDF-4 dimension convention: DIMENSION_LIST object refs
+        assert v.dim_names == ("lat", "lon")
+        assert v.nodata == -999.0 and v.attrs["units"] == "percent"
+        assert nc.attrs["title"] == "synthetic SCE"
+        assert np.array_equal(nc.read("sce"), data)
+        assert np.allclose(nc.read("lat"), lat)
+        assert nc.subdatasets() == ["sce"]
+
+    def test_float64_contiguous_coords(self, tmp_path):
+        p = tmp_path / "f.nc"
+        _fixture(p)
+        nc = NetCDF4(str(p))
+        lat = nc.variables["lat"]
+        assert lat.dtype == np.dtype("<f8")
+        assert lat.layout[0] == "contiguous"
+        assert lat.attrs["CLASS"] == "DIMENSION_SCALE"
+
+
+class TestSpecGoldens:
+    """Byte-level pins from the public HDF5 spec — the writer can't drift
+    into a private dialect the reader happens to accept."""
+
+    def test_superblock_and_node_signatures(self, tmp_path):
+        p = tmp_path / "g.nc"
+        _fixture(p)
+        buf = open(p, "rb").read()
+        assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+        assert buf[8] == 0                       # superblock version 0
+        assert buf[13] == 8 and buf[14] == 8     # offset / length sizes
+        eof, = struct.unpack_from("<Q", buf, 40)
+        assert eof == len(buf)                   # end-of-file address
+        for sig in (b"TREE", b"HEAP", b"SNOD", b"GCOL"):
+            assert sig in buf, sig
+        assert is_hdf5(str(p))
+
+    def test_unsupported_features_are_loud(self, tmp_path):
+        p = tmp_path / "bad.nc"
+        _fixture(p)
+        buf = bytearray(open(p, "rb").read())
+        buf[8] = 2                               # superblock v2
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(NotImplementedError, match="superblock"):
+            NetCDF4(str(p))
+
+
+class TestRasterView:
+    def test_georeferencing_and_dispatch(self, tmp_path):
+        p = tmp_path / "v.nc"
+        data, lat, lon = _fixture(p)
+        assert isinstance(open_netcdf(str(p)), NetCDF4)
+        g, meta = read_netcdf_raster(str(p))
+        res_x = lon[1] - lon[0]
+        res_y = lat[0] - lat[1]
+        assert g.res_x == pytest.approx(res_x)
+        assert g.res_y == pytest.approx(res_y)
+        assert g.left == pytest.approx(lon[0] - res_x / 2)
+        assert g.top == pytest.approx(lat[0] + res_y / 2)
+        assert g.nodata == -999.0
+        assert np.array_equal(g.data[0], data)
+        assert meta["var_attrs"]["units"] == "percent"
+        # GDAL-style subdataset syntax through the generic dispatch
+        g2 = open_raster(f'NETCDF:"{p}":sce')
+        assert np.array_equal(g2.data[0], data)
+        assert raster_subdatasets(str(p)) == [f'NETCDF:"{p}":sce']
+
+    def test_netcdf4_to_rhealpix_matches_geotiff_path(self, tmp_path):
+        """Semantic (non-circular) check: converting the NetCDF-4 file to
+        rHEALPix must be bit-identical to converting its own GeoTIFF
+        serialization — the HDF5 decode feeds the warp exactly like a TIFF
+        decode does."""
+        from dggsray.core.tiffio import read_geotiff, write_geotiff
+        from dggsray.ops.warp import raster_to_rhealpix
+
+        p = tmp_path / "w.nc"
+        _fixture(p, ny=24, nx=31)
+        g = open_raster(str(p))
+        tif = str(tmp_path / "w.tif")
+        write_geotiff(tif, g)
+        out_nc = str(tmp_path / "out_nc.tif")
+        out_tif = str(tmp_path / "out_tif.tif")
+        res1 = raster_to_rhealpix(str(p), out_nc, dst_resolution_idx=4)
+        res2 = raster_to_rhealpix(tif, out_tif, dst_resolution_idx=4)
+        assert res1 == res2 == 4
+        a, b = read_geotiff(out_nc), read_geotiff(out_tif)
+        assert np.array_equal(a.data, b.data)
+        assert (a.left, a.top, a.res_x, a.res_y) == \
+            (b.left, b.top, b.res_x, b.res_y)
