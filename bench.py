@@ -192,6 +192,61 @@ def run_scaling(epochs: int = 8):
     }))
 
 
+def run_skew(n_rows: int = 20_000_000, hot_pct: int = 90,
+             n_keys: int = 100_000):
+    """Skewed-vs-uniform groupby fixture: `hot_pct`% of rows share ONE cell
+    prefix (the Zipf-head regime a 100 TB run hits), the rest spread over
+    `n_keys` cells; the uniform control spreads everything.  Both run the
+    same sized_groupby(Sum, Count).  The combiner-first design collapses the
+    hot key to one row per block BEFORE the exchange, so the skewed run must
+    stay within ~2x of uniform — this records the measured ratio."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from dggsray.ops.joins import sized_groupby
+
+    def gen(hot: bool):
+        def kernel(b: pa.Table) -> pa.Table:
+            i = b.column("id").to_numpy()
+            r = (i * 2654435761) % (2**31)
+            if hot:
+                is_hot = (r % 100) < hot_pct
+                key = np.where(is_hot, 0,
+                               1 + (r // 100) % (n_keys - 1)).astype(np.int64)
+            else:
+                key = (r % n_keys).astype(np.int64)
+            return pa.table({"cellid": pa.array(key),
+                             "val": pa.array((i % 1000).astype(np.int64))})
+        return kernel
+
+    def timed(hot: bool) -> tuple[float, int]:
+        ds = rd.range(n_rows, override_num_blocks=NUM_CPUS * 2) \
+            .map_batches(gen(hot), batch_format="pyarrow")
+        t0 = time.time()
+        out = sized_groupby(ds, "cellid", Sum("val", alias_name="s"),
+                            Count(alias_name="n")).materialize()
+        return time.time() - t0, out.count()
+
+    timed(False)                                  # session warm-up
+    uni_s, uni_rows = min(timed(False) for _ in range(2))
+    skew_s, skew_rows = min(timed(True) for _ in range(2))
+    ray.shutdown()
+    print(json.dumps({
+        "metric": f"skewed groupby ({hot_pct}% of {n_rows} rows on one key) "
+                  "vs uniform, sized_groupby wall time",
+        "value": round(skew_s / uni_s, 3), "unit": "ratio",
+        "skew_s": round(skew_s, 3), "uniform_s": round(uni_s, 3),
+        "rows": n_rows, "groups_skew": skew_rows, "groups_uniform": uni_rows,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_one_flagship():
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -292,6 +347,8 @@ if __name__ == "__main__":
         run_scaling(epochs=int(os.environ.get("GRAFT_SCALING_EPOCHS", "8")))
     elif "--one-flagship" in sys.argv:
         run_one_flagship()
+    elif "--skew" in sys.argv:
+        run_skew()
     else:
         out = run_suite(NUM_CPUS)
         print(json.dumps(out))
