@@ -1,16 +1,49 @@
 """Format dispatch for raster inputs (reference: rasterio/GDAL opens anything;
-here the supported set is GeoTIFF (DEFLATE/PackBits/uncompressed, tiffio) and
-NetCDF classic subdatasets (netcdfio) — the two formats the reference's own
-test fixtures use).  GDAL-style subdataset syntax is accepted:
+here the supported set is GeoTIFF (DEFLATE/PackBits/uncompressed, tiffio),
+NetCDF classic + NetCDF-4/HDF5 subdatasets (netcdfio/hdf5io), ERDAS .img and
+JPEG+world-file — the formats the reference's own test fixtures use).
+GDAL-style subdataset syntax is accepted:
 
     open_raster("scene.tif")
     open_raster("product.nc")                     # first 2D+ variable
     open_raster('NETCDF:"product.nc":sce500')     # explicit subdataset
     open_raster("product.nc:sce500")              # shorthand
+
+Remote inputs (the reference reads S3 through `rasterio.Env` at
+testing_playground/manual_tests.py:424-427; no network exists in this
+sandbox) go through a pluggable filesystem seam: register a fetcher per URL
+scheme with `register_filesystem("s3", fetch)` where `fetch(url) -> local
+path`; `open_raster("s3://bucket/scene.tif")` then localizes before the
+format dispatch.  Unregistered schemes raise NotImplementedError naming the
+seam rather than failing on a bogus local path.
 """
 from __future__ import annotations
 
 from .tiffio import GeoTiff, read_geotiff
+
+_FILESYSTEMS: dict[str, object] = {}
+
+
+def register_filesystem(scheme: str, fetch) -> None:
+    """Register `fetch(url) -> local_path` for a URL scheme (e.g. "s3")."""
+    _FILESYSTEMS[scheme.lower()] = fetch
+
+
+def _localize(path: str) -> str:
+    """Resolve scheme-qualified paths through the registered filesystem."""
+    if "://" not in path:
+        return path
+    scheme, rest = path.split("://", 1)
+    if scheme.lower() == "file":
+        return rest
+    fetch = _FILESYSTEMS.get(scheme.lower())
+    if fetch is None:
+        raise NotImplementedError(
+            f"no filesystem registered for scheme '{scheme}'; call "
+            f"dggsray.core.raster.register_filesystem('{scheme}', fetch) "
+            "with fetch(url) -> local path (the sandbox has no network; on "
+            "a real cluster plug in boto3/fsspec here)")
+    return fetch(path)
 
 
 def parse_raster_path(path: str) -> tuple[str, str | None]:
@@ -32,6 +65,7 @@ def parse_raster_path(path: str) -> tuple[str, str | None]:
 
 def open_raster(path: str) -> GeoTiff:
     f, sub = parse_raster_path(path)
+    f = _localize(f)
     if f.lower().endswith(".nc"):
         from .netcdfio import read_netcdf_raster
         g, _meta = read_netcdf_raster(f, sub)
@@ -49,6 +83,7 @@ def open_raster(path: str) -> GeoTiff:
 
 def raster_subdatasets(path: str) -> list[str]:
     f, _sub = parse_raster_path(path)
+    f = _localize(f)
     if f.lower().endswith(".nc"):
         from .netcdfio import open_netcdf
         return [f'NETCDF:"{f}":{v}' for v in open_netcdf(f).subdatasets()]

@@ -111,6 +111,29 @@ class TestRasterView:
         assert np.array_equal(g2.data[0], data)
         assert raster_subdatasets(str(p)) == [f'NETCDF:"{p}":sce']
 
+    def test_filesystem_seam(self, tmp_path):
+        """Scheme-qualified paths localize through a registered fetcher;
+        unregistered schemes fail loudly naming the seam (the reference's
+        S3 path, env-impossible here, plugs in at exactly this point)."""
+        from dggsray.core import raster as R
+        p = tmp_path / "r.nc"
+        data, _lat, _lon = _fixture(p)
+        with pytest.raises(NotImplementedError, match="register_filesystem"):
+            open_raster("s3://bucket/scene.tif")
+        calls = []
+
+        def fetch(url):
+            calls.append(url)
+            return str(p)
+
+        R.register_filesystem("mem", fetch)
+        try:
+            g = open_raster(f"mem://any/{p.name}")
+            assert np.array_equal(g.data[0], data)
+            assert calls == [f"mem://any/{p.name}"]
+        finally:
+            R._FILESYSTEMS.pop("mem", None)
+
     def test_netcdf4_to_rhealpix_matches_geotiff_path(self, tmp_path):
         """Semantic (non-circular) check: converting the NetCDF-4 file to
         rHEALPix must be bit-identical to converting its own GeoTIFF
