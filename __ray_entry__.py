@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top10": R.ann_cosine_top10,
         "embed_knn_join": R.embed_knn_join,
         "embed_neardup": R.embed_neardup,
+        "lineitem_q6_revenue": R.lineitem_q6_revenue,
+        "docs_bigram_topk": R.docs_bigram_topk,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -557,6 +559,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1 "
             "ORDER BY n DESC, token ASC LIMIT 50",
+        "lineitem_q6_revenue":
+            "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        "docs_bigram_topk":
+            "WITH toks AS (SELECT list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "
+            "FROM documents), "
+            "bi AS (SELECT unnest(list_zip(l[:len(l)-1], l[2:])) AS p "
+            "FROM toks WHERE len(l) >= 2) "
+            "SELECT p[1] || ' ' || p[2] AS bigram, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY 1 "
+            "ORDER BY n DESC, bigram ASC LIMIT 30",
         "events_props_extract":
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "

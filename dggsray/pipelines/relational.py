@@ -2308,3 +2308,88 @@ def events_running_total(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     return running_total(ds)
+
+
+def lineitem_q6_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast-revenue-change): scan -> filter -> global
+    aggregate, the canonical read-pruning pipeline.  The predicate is pushed
+    INTO the parquet scan (row groups pruned by statistics, rows filtered at
+    decode) and only the four needed columns leave storage — at 100 TB this
+    is the difference between reading TBs and reading GBs.  Revenue in exact
+    integer cents (floor(x*100 + 0.5), same arithmetic as the oracle) so the
+    value hash is float-order-independent."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    f = ((pads.field("l_shipdate")
+          >= datetime.datetime(1996, 1, 1))
+         & (pads.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+         & (pads.field("l_discount") >= 0.05)
+         & (pads.field("l_discount") <= 0.07)
+         & (pads.field("l_quantity") < 24.0))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=f)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ep = b.column("l_extendedprice").to_numpy()
+        d = b.column("l_discount").to_numpy()
+        cents = np.floor(ep * d * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())],
+                                                   pa.int64()),
+                         "n_rows": pa.array([b.num_rows], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(b.column("revenue_cents").to_numpy().sum())],
+                pa.int64()),
+            "n_rows": pa.array([int(b.column("n_rows").to_numpy().sum())],
+                               pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def docs_bigram_topk(sf_dir: str, k: int = 30):
+    """Corpus collocations: the k most frequent adjacent word PAIRS — the
+    phrase-mining counterpart of docs_vocab_topk (and the statistic behind
+    PMI phrase detection).  Combiner-first like every wide count here: each
+    batch forms its bigrams vectorized (flattened token array + list parent
+    indices; a pair exists where position i and i+1 share a parent) and
+    pre-counts them, the shuffle moves (distinct bigram x block) partials,
+    a keyed Sum merges, partial_topk picks winners without a global sort."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import sized_groupby
+    from ..ops.topk import partial_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keep = flat.to_numpy(zero_copy_only=False) != ""
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = parent[1:] == parent[:-1]
+        idx = np.flatnonzero(adj)
+        left = flat.take(pa.array(idx))
+        right = flat.take(pa.array(idx + 1))
+        bi = pc.binary_join_element_wise(left, right, " ")
+        vc = bi.value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tot = sized_groupby(ds.map_batches(counts, batch_format="pyarrow"),
+                        "bigram", Sum("n", alias_name="n"))
+    return partial_topk(tot, ["n", "bigram"], [True, False], k)
