@@ -1902,7 +1902,7 @@ def images_neardup_components(sf_dir: str, max_hamming: int = 3):
     from ..ops.joins import sized_groupby
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    cols = ["image_id", "phash"]
+    cols = ["phash"]                  # the only column this query touches
 
     def prep(is_jpeg: int):
         def kernel(b: pa.Table) -> pa.Table:
