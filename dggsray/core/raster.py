@@ -9,6 +9,12 @@ GDAL-style subdataset syntax is accepted:
     open_raster('NETCDF:"product.nc":sce500')     # explicit subdataset
     open_raster("product.nc:sce500")              # shorthand
 
+JPEG2000 (the reference's unused 685.jp2 fixture) is deliberately not
+implemented: no reference test converts it, no golden output or external
+decoder exists in this sandbox to validate a from-scratch EBCOT/MQ Tier-1
+decoder against, and an unverifiable wavelet codec is worse than a loud
+gap — open_raster raises on .jp2 naming this decision.
+
 Remote inputs (the reference reads S3 through `rasterio.Env` at
 testing_playground/manual_tests.py:424-427; no network exists in this
 sandbox) go through a pluggable filesystem seam: register a fetcher per URL
@@ -78,6 +84,12 @@ def open_raster(path: str) -> GeoTiff:
         from .jpegio import read_jpeg_raster
         g, _srs = read_jpeg_raster(f)
         return g
+    if f.lower().endswith(".jp2"):
+        raise NotImplementedError(
+            "JPEG2000 is deliberately unsupported: no reference test "
+            "exercises it and no ground truth exists here to validate a "
+            "from-scratch EBCOT decoder (see module docstring); convert "
+            "to GeoTIFF upstream")
     return read_geotiff(f)
 
 
