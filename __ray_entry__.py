@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": R.embed_neardup,
         "lineitem_q6_revenue": R.lineitem_q6_revenue,
         "docs_bigram_topk": R.docs_bigram_topk,
+        "docs_duplicate_spans": R.docs_duplicate_spans,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -575,6 +576,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p[1] || ' ' || p[2] AS bigram, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY 1 "
             "ORDER BY n DESC, bigram ASC LIMIT 30",
+        "docs_duplicate_spans":
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "
+            "FROM documents), "
+            "wins AS (SELECT DISTINCT doc_id, "
+            "array_to_string(l[i:i+7], ' ') AS win "
+            "FROM toks, unnest(range(1, len(l)-6)) AS t(i) "
+            "WHERE len(l) >= 8), "
+            "counts AS (SELECT win, COUNT(*) AS nd FROM wins GROUP BY 1) "
+            "SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+            "CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_windows "
+            "FROM wins w JOIN counts c USING (win) GROUP BY 1",
         "events_props_extract":
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "

@@ -2393,3 +2393,74 @@ def docs_bigram_topk(sf_dir: str, k: int = 30):
     tot = sized_groupby(ds.map_batches(counts, batch_format="pyarrow"),
                         "bigram", Sum("n", alias_name="n"))
     return partial_topk(tot, ["n", "bigram"], [True, False], k)
+
+
+def docs_duplicate_spans(sf_dir: str, w: int = 8):
+    """Exact duplicate-SPAN detection (the substring-level dedup of
+    "Deduplicating Training Data Makes Language Models Better" — doc-level
+    near-dup misses boilerplate shared between otherwise-distinct pages):
+    every doc's distinct w-token windows (stride 1) are counted across the
+    corpus, and each doc reports how many of its windows also appear in
+    another document.
+
+    Fully vectorized: one flattened token array per batch, windows exist
+    where position i and i+w-1 share a list parent, the w-way
+    binary_join_element_wise builds all window strings at once (the only
+    Python loop is over w).  Shuffles move DISTINCT (doc, window) pairs and
+    (window, count) partials — bounded by distinct-window volume, never
+    corpus length.  Output: (doc_id, n_windows, n_dup_windows) for docs
+    with >= w tokens."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.joins import adaptive_join, sized_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wins(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keep = flat.to_numpy(zero_copy_only=False) != ""
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        ids = b.column("doc_id").to_numpy()
+        if len(flat) < w:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.string())})
+        idx = np.flatnonzero(parent[: len(parent) - w + 1]
+                             == parent[w - 1:])
+        parts = [flat.take(pa.array(idx + k)) for k in range(w)]
+        win = pc.binary_join_element_wise(*parts, " ")
+        t = pa.table({"doc_id": pa.array(ids[parent[idx]].astype(np.int64)),
+                      "win": win})
+        # batch-local distinct: every doc lives in one batch, so this IS
+        # the per-doc distinct — the groupby below only dedups block seams
+        g = t.group_by(["doc_id", "win"]).aggregate([([], "count_all")])
+        return g.select(["doc_id", "win"])
+
+    pairs = sized_groupby(ds.map_batches(wins, batch_format="pyarrow"),
+                          ["doc_id", "win"],
+                          Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+    counts = sized_groupby(pairs, "win", Count(alias_name="nd"))
+    joined = adaptive_join(pairs, counts, on="win")
+
+    def partial(b: pa.Table) -> pa.Table:
+        nd = b.column("nd").to_numpy()
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "_n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "_d": pa.array((nd >= 2).astype(np.int64))})
+        g = t.group_by("doc_id").aggregate([("_n", "sum"), ("_d", "sum")])
+        return g.rename_columns(["doc_id", "_n", "_d"])
+
+    out = sized_groupby(joined.map_batches(partial, batch_format="pyarrow"),
+                        "doc_id", Sum("_n", alias_name="_n"),
+                        Sum("_d", alias_name="_d"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_windows": pc.cast(b.column("_n"), pa.int64()),
+            "n_dup_windows": pc.cast(b.column("_d"), pa.int64())}),
+        batch_format="pyarrow")

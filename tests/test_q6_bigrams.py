@@ -30,6 +30,47 @@ class TestQ6:
         assert int(df.n_rows.iloc[0]) < int(total)  # ...but not all of them
 
 
+class TestDuplicateSpans:
+    def test_planted_shared_span(self, ray_session, tmp_path):
+        """Two docs share one 8-token run; a third is clean — only the
+        sharers report dup windows, and exactly one distinct window each."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from dggsray.pipelines.relational import docs_duplicate_spans
+        span = "the quick brown fox jumps over the lazy"
+        texts = [f"alpha beta {span} gamma delta",
+                 f"one two three {span} four five",
+                 "totally different words with no shared run at all here"]
+        sf = tmp_path / "sf0.5"
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts)}), sf / "documents.parquet")
+        df = docs_duplicate_spans(str(sf)).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert (df.loc[[0, 1], "n_dup_windows"] == 1).all()
+        assert df.loc[2, "n_dup_windows"] == 0
+        # windows per doc: n_tokens - 7 distinct windows (all unique here)
+        n_tok = [len(t.split()) for t in texts]
+        assert (df.n_windows.to_numpy() ==
+                np.array(n_tok) - 7).all()
+
+    def test_matches_oracle(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["docs_duplicate_spans"](SF).to_pandas()
+        con = _con()
+        o = con.sql(E.oracle_sql()["docs_duplicate_spans"]).df()
+        cols = ["doc_id", "n_windows", "n_dup_windows"]
+        a = df[cols].sort_values("doc_id").reset_index(drop=True)
+        b = o[cols].sort_values("doc_id").reset_index(drop=True) \
+            .astype(a.dtypes.to_dict())
+        assert a.equals(b)
+        assert (a.n_dup_windows > 0).any()          # corpus carries signal
+
+
 class TestBigramTopk:
     def test_matches_oracle(self, ray_session):
         import sys
