@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantized_top10": R.embed_quantized_top10,
         "embed_kmeans_clusters": R.embed_kmeans_clusters,
         "docs_bpe_merges": R.docs_bpe_merges,
+        "docs_tokenize_bpe": R.docs_tokenize_bpe,
         "auid_customer_region": R.auid_customer_region,
         "images_features": R.images_features,
         "images_verify_invariant": R.images_verify_invariant,

@@ -2464,3 +2464,40 @@ def docs_duplicate_spans(sf_dir: str, w: int = 8):
             "n_windows": pc.cast(b.column("_n"), pa.int64()),
             "n_dup_windows": pc.cast(b.column("_d"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def docs_tokenize_bpe(sf_dir: str, n_merges: int = 8):
+    """Train -> apply: learn a BPE merge table on the corpus (one streaming
+    pass per merge, ops.bpe.learn_bpe), broadcast the tiny table, and
+    re-tokenize every document under the learned vocabulary — the
+    tokenizer-fitting loop of an LLM data pipeline end to end.  Apply is a
+    stateless map (merge list rides the closure; replay is vectorized
+    apply_merges), so the corpus streams once.  Output per doc:
+    byte-token count, BPE-token count, and the exact integer compression
+    ratio (bytes*1e6 // bpe_tokens).  Rows-only: BPE is not expressible in
+    SQL; correctness is pinned by ops/bpe's sequential-reference equality
+    tests."""
+    from ..ops.bpe import _flatten, apply_merges, learn_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mt = learn_bpe(ds, n_merges)
+    merges = list(zip(mt.column("left_id").to_pylist(),
+                      mt.column("right_id").to_pylist(),
+                      mt.column("new_id").to_pylist()))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = [t.encode("utf-8", "ignore")
+                 for t in b.column("text").to_pylist()]
+        tok, off = _flatten(texts)
+        n_base = np.diff(off)
+        tok2, off2 = apply_merges(tok, off, merges)
+        n_bpe = np.diff(off2)
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_byte_tokens": pa.array(n_base.astype(np.int64)),
+            "n_bpe_tokens": pa.array(n_bpe.astype(np.int64)),
+            "compression_micro": pa.array(
+                (n_base.astype(np.int64) * 1_000_000)
+                // np.maximum(n_bpe.astype(np.int64), 1))})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -114,6 +114,30 @@ class TestLearnBpe:
         assert t_cp < t_replay, (t_cp, t_replay)
 
 
+class TestTokenizeBpe:
+    def test_counts_match_sequential_reference(self, ray_session, tmp_path):
+        """Train->apply on a small corpus: per-doc BPE token counts must
+        equal the sequential reference's post-merge doc lengths."""
+        import pyarrow.parquet as pq
+        from dggsray.pipelines.relational import docs_tokenize_bpe
+        rng = np.random.default_rng(13)
+        alphabet = list("abcd ")
+        texts = ["".join(rng.choice(alphabet, rng.integers(10, 80)))
+                 for _ in range(60)]
+        sf = tmp_path / "sf0.9"
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts)}), sf / "documents.parquet")
+        df = docs_tokenize_bpe(str(sf), n_merges=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        _merges, docs = _ref_bpe(texts, 8)
+        assert df.n_bpe_tokens.tolist() == [len(d) for d in docs]
+        assert df.n_byte_tokens.tolist() == \
+            [len(t.encode()) for t in texts]
+        assert (df.compression_micro >= 1_000_000).all()
+
+
 class TestBpeProperties:
     def test_apply_matches_sequential_on_random_bytes(self):
         """Property: vectorized apply_merges == the sequential leftmost-first
