@@ -64,6 +64,44 @@ class TestRoundtrip:
         assert lat.attrs["CLASS"] == "DIMENSION_SCALE"
 
 
+class TestRoundtripProperty:
+    def test_random_shapes_chunks_dtypes(self, tmp_path):
+        """Property: write->read is identity for random 2D shapes, chunk
+        grids (incl. partial edge chunks), dtypes, and filter settings."""
+        from hypothesis import given, settings, strategies as st
+
+        box = {"i": 0}
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.integers(1, 40), st.integers(1, 40),
+               st.integers(1, 17), st.integers(1, 17),
+               st.sampled_from(["i1", "i2", "i4", "i8", "u2", "f4", "f8"]),
+               st.booleans(), st.randoms(use_true_random=False))
+        def prop(ny, nx, cy, cx, dt, compress, rnd):
+            box["i"] += 1
+            p = str(tmp_path / f"p{box['i']}.nc")
+            rng = np.random.default_rng(rnd.randrange(2**31))
+            if dt.startswith("f"):
+                arr = rng.standard_normal((ny, nx)).astype(dt)
+            else:
+                info = np.iinfo(np.dtype(dt))
+                arr = rng.integers(info.min, info.max, (ny, nx),
+                                   dtype=np.dtype(dt), endpoint=True)
+            write_netcdf4(p, {"v": (arr, ("y", "x"), {}),
+                              "y": (np.arange(ny, dtype=np.float64),
+                                    ("y",), {}),
+                              "x": (np.arange(nx, dtype=np.float64),
+                                    ("x",), {})},
+                          dims={"y": ny, "x": nx},
+                          chunks=(min(cy, ny), min(cx, nx)),
+                          compress=compress)
+            nc = NetCDF4(p)
+            assert np.array_equal(nc.read("v"), arr)
+            assert nc.variables["v"].dim_names == ("y", "x")
+
+        prop()
+
+
 class TestSpecGoldens:
     """Byte-level pins from the public HDF5 spec — the writer can't drift
     into a private dialect the reader happens to accept."""
