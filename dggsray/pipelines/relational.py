@@ -2409,7 +2409,14 @@ def docs_duplicate_spans(sf_dir: str, w: int = 8):
     Python loop is over w).  Shuffles move DISTINCT (doc, window) pairs and
     (window, count) partials — bounded by distinct-window volume, never
     corpus length.  Output: (doc_id, n_windows, n_dup_windows) for docs
-    with >= w tokens."""
+    with >= w tokens.
+
+    Scale note: the shuffle key here is the window STRING (exact, matches
+    the SQL oracle byte-for-byte).  At trillions of windows, key bytes
+    dominate the exchange — swap the key for a 64-bit window hash and
+    verify string equality per hash bucket before counting (the same
+    hash-then-verify shape as minhash_dedup's candidate check); collisions
+    then cost a verify, never a wrong count."""
     from ray.data.aggregate import Count, Sum
 
     from ..ops.joins import adaptive_join, sized_groupby
