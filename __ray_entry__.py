@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q6_revenue": R.lineitem_q6_revenue,
         "docs_bigram_topk": R.docs_bigram_topk,
         "docs_duplicate_spans": R.docs_duplicate_spans,
+        "cell_rollup_customer": R.cell_rollup_customer,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -590,6 +591,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_dup_windows "
             "FROM wins w JOIN counts c USING (win) GROUP BY 1",
+        "cell_rollup_customer":
+            f"WITH base AS (SELECT {cell_c_fine} AS cell, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+            "FROM customer) "
+            "SELECT CAST(r.res AS BIGINT) AS res, "
+            "substr(cell, 1, r.res + 1) AS cell, "
+            "CAST(SUM(cents) AS BIGINT) AS bal_cents, "
+            "COUNT(*) AS n_customers "
+            f"FROM base, (VALUES (1), (2), (3), ({_RES_AGG_FINE})) "
+            "AS r(res) GROUP BY 1, 2",
         "events_props_extract":
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "

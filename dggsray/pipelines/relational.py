@@ -2508,3 +2508,51 @@ def docs_tokenize_bpe(sf_dir: str, n_merges: int = 8):
                 // np.maximum(n_bpe.astype(np.int64), 1))})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def cell_rollup_customer(sf_dir: str, res_fine: int = 4, res_min: int = 1):
+    """Multi-resolution cell pyramid in ONE pass — the OLAP rollup of the
+    DGGS hierarchy (tile servers and multi-scale analyses need every level,
+    and re-scanning the fact table per level is the naive mistake): encode
+    once at res_fine, aggregate per batch at the fine level, then derive
+    every coarser level's partials FROM the fine partials (a parent is a
+    prefix truncate — combiners compose up the hierarchy), and one
+    (res, cell) groupby finalizes all levels together.  The shuffle moves
+    sum-of-levels partials, still bounded by (cells x blocks); the input is
+    scanned exactly once.  Output: (res, cell, bal_cents, n_customers)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = cells_from_lonlat(res_fine, lon, lat, DEFAULT_GRID)
+        cents = np.rint(b.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        fine = pa.table({"cell": pa.array(cells, pa.string()),
+                         "cents": pa.array(cents)}) \
+            .group_by("cell").aggregate([("cents", "sum"),
+                                         ([], "count_all")]) \
+            .rename_columns(["cell", "_ps", "_pc"])
+        outs = []
+        cell_arr = fine.column("cell")
+        for r in range(res_min, res_fine + 1):
+            # parent at res r = first r+1 chars (face + r digits)
+            trunc = pc.utf8_slice_codeunits(cell_arr, 0, r + 1)
+            lvl = pa.table({"res": pa.array(
+                np.full(fine.num_rows, r, np.int64)),
+                "cell": trunc,
+                "_ps": fine.column("_ps"), "_pc": fine.column("_pc")}) \
+                .group_by(["res", "cell"]) \
+                .aggregate([("_ps", "sum"), ("_pc", "sum")]) \
+                .rename_columns(["res", "cell", "_ps", "_pc"])
+            outs.append(lvl)
+        return pa.concat_tables(outs).combine_chunks()
+
+    return lowcard_groupby(ds.map_batches(kernel, batch_format="pyarrow"),
+                           ["res", "cell"],
+                           Sum("_ps", alias_name="bal_cents"),
+                           Sum("_pc", alias_name="n_customers"))

@@ -30,6 +30,40 @@ class TestQ6:
         assert int(df.n_rows.iloc[0]) < int(total)  # ...but not all of them
 
 
+class TestCellRollup:
+    def test_hierarchy_consistency_and_oracle(self, ray_session):
+        """Every level carries the same grand totals, and each parent's
+        total equals the sum of its children (prefix relation)."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["cell_rollup_customer"](SF).to_pandas()
+        by = df.groupby("res")[["bal_cents", "n_customers"]].sum()
+        assert (by.nunique() == 1).all()             # conserved per level
+        for r in sorted(df.res.unique())[:-1]:
+            child = df[df.res == r + 1].copy()
+            child["parent"] = child.cell.str[: r + 1]
+            agg = child.groupby("parent")[["bal_cents", "n_customers"]] \
+                .sum().sort_index()
+            parent = df[df.res == r].set_index("cell") \
+                [["bal_cents", "n_customers"]].sort_index()
+            assert agg.equals(parent), f"res {r+1} -> {r}"
+        con = _con2()
+        o = con.sql(E.oracle_sql()["cell_rollup_customer"]).df()
+        cols = sorted(df.columns)
+        a = df[cols].sort_values(cols).reset_index(drop=True)
+        b = o[cols].sort_values(cols).reset_index(drop=True) \
+            .astype(a.dtypes.to_dict())
+        assert a.equals(b)
+
+
+def _con2():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{SF}/customer.parquet')")
+    return con
+
+
 class TestDuplicateSpans:
     def test_planted_shared_span(self, ray_session, tmp_path):
         """Two docs share one 8-token run; a third is clean — only the
