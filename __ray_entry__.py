@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_topk": R.docs_bigram_topk,
         "docs_duplicate_spans": R.docs_duplicate_spans,
         "cell_rollup_customer": R.cell_rollup_customer,
+        "shipping_priority_q3": R.shipping_priority_q3,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -601,6 +602,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_customers "
             f"FROM base, (VALUES (1), (2), (3), ({_RES_AGG_FINE})) "
             "AS r(res) GROUP BY 1, 2",
+        "shipping_priority_q3":
+            "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 3 "
+            "ORDER BY revenue_cents DESC, o_orderdate_us ASC, "
+            "o_orderkey ASC LIMIT 10",
         "events_props_extract":
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "

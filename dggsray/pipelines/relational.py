@@ -2556,3 +2556,69 @@ def cell_rollup_customer(sf_dir: str, res_fine: int = 4, res_min: int = 1):
                            ["res", "cell"],
                            Sum("_ps", alias_name="bal_cents"),
                            Sum("_pc", alias_name="n_customers"))
+
+
+def shipping_priority_q3(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """TPC-H Q3 shape (shipping priority): filter a dimension, semi-join the
+    fact chain, aggregate revenue per order, top-k.  Every scan is pruned
+    (segment / order-date / ship-date predicates and column sets pushed into
+    the parquet reads); the segment's customers ride an adaptive join
+    (broadcast when measured-small, hash-shuffle above the cap); lineitem
+    collapses to per-order revenue partials inside each batch BEFORE its
+    shuffle; the top-k is partial per block, never a global sort.  Revenue
+    in exact integer cents (floor(x*100+0.5), the oracle's arithmetic)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, sized_groupby
+    from ..ops.topk import partial_topk
+
+    D = datetime.datetime(1998, 6, 1)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == segment) \
+        .map_batches(lambda b: pa.table(
+            {"o_custkey": pc.cast(b.column("c_custkey"), pa.int64())}),
+            batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < D)
+
+    def okey(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderdate_us": pc.cast(
+                pc.cast(b.column("o_orderdate"), pa.int64()), pa.int64())})
+
+    sel_orders = adaptive_join(orders.map_batches(okey,
+                                                  batch_format="pyarrow"),
+                               cust, on="o_custkey") \
+        .select_columns(["o_orderkey", "o_orderdate_us"])
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > D)
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ep = b.column("l_extendedprice").to_numpy()
+        d = b.column("l_discount").to_numpy()
+        cents = np.floor(ep * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"o_orderkey": pc.cast(b.column("l_orderkey"),
+                                            pa.int64()),
+                      "_r": pa.array(cents)})
+        g = t.group_by("o_orderkey").aggregate([("_r", "sum")])
+        return g.rename_columns(["o_orderkey", "_r"])
+
+    rev = sized_groupby(line.map_batches(rev_partial,
+                                         batch_format="pyarrow"),
+                        "o_orderkey", Sum("_r", alias_name="revenue_cents"))
+    joined = adaptive_join(rev, sel_orders, on="o_orderkey")
+    return partial_topk(joined,
+                        ["revenue_cents", "o_orderdate_us", "o_orderkey"],
+                        [True, False, False], k)

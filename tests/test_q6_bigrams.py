@@ -57,6 +57,25 @@ class TestCellRollup:
         assert a.equals(b)
 
 
+class TestShippingPriorityQ3:
+    def test_matches_oracle_topk_semantics(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["shipping_priority_q3"](SF).to_pandas()
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+        o = con.sql(E.oracle_sql()["shipping_priority_q3"]).df()
+        cols = ["o_orderkey", "revenue_cents", "o_orderdate_us"]
+        a = df[cols].reset_index(drop=True)
+        b = o[cols].reset_index(drop=True).astype(a.dtypes.to_dict())
+        assert a.equals(b)                        # ORDER matters: top-k
+        assert len(a) == 10
+        assert (a.revenue_cents.diff().dropna() <= 0).all()
+
+
 def _con2():
     con = duckdb.connect()
     con.sql(f"CREATE VIEW customer AS SELECT * FROM "
