@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_duplicate_spans": R.docs_duplicate_spans,
         "cell_rollup_customer": R.cell_rollup_customer,
         "shipping_priority_q3": R.shipping_priority_q3,
+        "events_cohort_retention": R.events_cohort_retention,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -615,6 +616,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 3 "
             "ORDER BY revenue_cents DESC, o_orderdate_us ASC, "
             "o_orderkey ASC LIMIT 10",
+        "events_cohort_retention":
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "date_trunc('week', ts) AS wk FROM events), "
+            "first AS (SELECT user_id, MIN(wk) AS cohort FROM act "
+            "GROUP BY 1) "
+            "SELECT CAST(epoch_us(f.cohort) AS BIGINT) AS cohort_week_us, "
+            "CAST((epoch_us(a.wk) - epoch_us(f.cohort)) // 604800000000 "
+            "AS BIGINT) AS week_offset, "
+            "COUNT(*) AS n_users "
+            "FROM act a JOIN first f USING (user_id) GROUP BY 1, 2",
         "events_props_extract":
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "

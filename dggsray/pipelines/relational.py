@@ -2622,3 +2622,51 @@ def shipping_priority_q3(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     return partial_topk(joined,
                         ["revenue_cents", "o_orderdate_us", "o_orderkey"],
                         [True, False, False], k)
+
+
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention — the week a user FIRST appears is their cohort;
+    each (cohort_week, week_offset) cell counts users still active that
+    many weeks later.  The product-analytics staple that needs two passes
+    over user activity: (1) distinct (user, week) pairs built combiner-first
+    (the shuffle moves per-block distinct pairs, never events), materialized
+    ONCE and reused for both the per-user Min (cohort) and the activity
+    side; (2) cohorts meet activity in an adaptive join keyed on user_id.
+    Week truncation is ISO-Monday on both sides (Arrow floor_temporal ==
+    DuckDB date_trunc('week')); offsets are exact integer week counts."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..ops.joins import adaptive_join, sized_groupby
+
+    WEEK_US = 7 * 86_400 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.cast(pc.floor_temporal(b.column("ts"), unit="week"),
+                             pa.timestamp("us")), pa.int64())
+        t = pa.table({"user_id": pc.cast(b.column("user_id"), pa.int64()),
+                      "week_us": wk})
+        g = t.group_by(["user_id", "week_us"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "week_us"])
+
+    activity = sized_groupby(ds.map_batches(pairs, batch_format="pyarrow"),
+                             ["user_id", "week_us"],
+                             Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+    cohorts = sized_groupby(activity, "user_id",
+                            Min("week_us", alias_name="cohort_week_us"))
+    joined = adaptive_join(activity, cohorts, on="user_id")
+
+    def cell(b: pa.Table) -> pa.Table:
+        wk = b.column("week_us").to_numpy()
+        co = b.column("cohort_week_us").to_numpy()
+        t = pa.table({"cohort_week_us": pa.array(co),
+                      "week_offset": pa.array((wk - co) // WEEK_US),
+                      "_n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["cohort_week_us", "week_offset"]) \
+            .aggregate([("_n", "sum")])
+        return g.rename_columns(["cohort_week_us", "week_offset", "_n"])
+
+    return sized_groupby(joined.map_batches(cell, batch_format="pyarrow"),
+                         ["cohort_week_us", "week_offset"],
+                         Sum("_n", alias_name="n_users"))

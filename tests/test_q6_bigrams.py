@@ -76,6 +76,29 @@ class TestShippingPriorityQ3:
         assert (a.revenue_cents.diff().dropna() <= 0).all()
 
 
+class TestCohortRetention:
+    def test_matches_oracle_and_retention_shape(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["events_cohort_retention"](SF).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+        o = con.sql(E.oracle_sql()["events_cohort_retention"]).df()
+        cols = sorted(df.columns)
+        a = df[cols].sort_values(cols).reset_index(drop=True)
+        b = o[cols].sort_values(cols).reset_index(drop=True) \
+            .astype(a.dtypes.to_dict())
+        assert a.equals(b)
+        # every cohort has an offset-0 row (first-week activity defines it)
+        # and no later offset can exceed the cohort's own size
+        for cw, g in df.groupby("cohort_week_us"):
+            g = g.set_index("week_offset").n_users
+            assert 0 in g.index
+            assert (g <= g.loc[0]).all()
+
+
 def _con2():
     con = duckdb.connect()
     con.sql(f"CREATE VIEW customer AS SELECT * FROM "
