@@ -151,6 +151,35 @@ class TestCodecFuzz:
         with pytest.raises(Exception):
             decode(blob[:3])
 
+    def test_hdf5(self, tmp_path):
+        from dggsray.core.hdf5io import NetCDF4, write_netcdf4
+        rng = np.random.default_rng(17)
+        p = str(tmp_path / "h.nc")
+        ny, nx = 9, 11
+        write_netcdf4(p, {
+            "v": (np.arange(ny * nx, dtype=np.int16).reshape(ny, nx),
+                  ("y", "x"), {"_FillValue": np.int16(-1)}),
+            "y": (np.arange(ny, dtype=np.float64), ("y",), {}),
+            "x": (np.arange(nx, dtype=np.float64), ("x",), {})},
+            dims={"y": ny, "x": nx}, chunks=(4, 4))
+        blob = open(p, "rb").read()
+
+        def decode(b):
+            q = str(tmp_path / "q.nc")
+            with open(q, "wb") as f:
+                f.write(b)
+            nc = NetCDF4(q)
+            for v in nc.variables:
+                nc.read(v)
+                _ = nc.variables[v].dim_names, nc.variables[v].nodata
+
+        _assert_decodes_or_raises(decode, _roundtrip_cases(blob, rng),
+                                  "hdf5")
+        with pytest.raises(Exception):
+            decode(blob[:7])                    # truncated signature
+        with pytest.raises(Exception):
+            decode(b"\x00" * len(blob))         # not HDF5 at all
+
     def test_shapefile(self, tmp_path):
         from dggsray.io.shapefile import read_shapefile
         rng = np.random.default_rng(7)
