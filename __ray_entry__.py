@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_rollup_customer": R.cell_rollup_customer,
         "shipping_priority_q3": R.shipping_priority_q3,
         "events_cohort_retention": R.events_cohort_retention,
+        "orders_delayed_by_priority": R.orders_delayed_by_priority,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -626,6 +627,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS week_offset, "
             "COUNT(*) AS n_users "
             "FROM act a JOIN first f USING (user_id) GROUP BY 1, 2",
+        "orders_delayed_by_priority":
+            "SELECT o.o_orderpriority, COUNT(*) AS order_count "
+            "FROM orders o "
+            "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY 1",
         "events_props_extract":
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "

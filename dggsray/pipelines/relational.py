@@ -2670,3 +2670,70 @@ def events_cohort_retention(sf_dir: str):
     return sized_groupby(joined.map_batches(cell, batch_format="pyarrow"),
                          ["cohort_week_us", "week_offset"],
                          Sum("_n", alias_name="n_users"))
+
+
+def orders_delayed_by_priority(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): orders in a 6-month window
+    that have AT LEAST ONE line shipped more than 90 days after the order
+    date, counted per priority.  The EXISTS subquery decomposes into a
+    combiner-first per-order MAX(l_shipdate) (exists(ship > cutoff) ==
+    max(ship) > cutoff) met by an adaptive join — and because every
+    qualifying order's cutoff is >= window_start + 90d, the lineitem scan
+    itself is PRUNED to l_shipdate >= that bound (row groups skipped by
+    statistics), so the fact scan reads only potentially-late lines."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
+
+    D0 = datetime.datetime(1996, 1, 1)
+    D1 = datetime.datetime(1996, 7, 1)
+    LATE_US = 90 * 86_400 * 1_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= D0)
+        & (pads.field("o_orderdate") < D1))
+
+    def okey(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "_odate_us": pc.cast(pc.cast(b.column("o_orderdate"),
+                                         pa.int64()), pa.int64()),
+            "o_orderpriority": b.column("o_orderpriority")})
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"],
+        filter=pads.field("l_shipdate")
+        >= D0 + datetime.timedelta(days=90))
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": pc.cast(b.column("l_orderkey"),
+                                            pa.int64()),
+                      "_ship_us": pc.cast(pc.cast(b.column("l_shipdate"),
+                                                  pa.int64()), pa.int64())})
+        g = t.group_by("o_orderkey").aggregate([("_ship_us", "max")])
+        return g.rename_columns(["o_orderkey", "_ship_us"])
+
+    max_ship = sized_groupby(line.map_batches(ship_partial,
+                                              batch_format="pyarrow"),
+                             "o_orderkey",
+                             Max("_ship_us", alias_name="_ship_us"))
+    joined = adaptive_join(orders.map_batches(okey,
+                                              batch_format="pyarrow"),
+                           max_ship, on="o_orderkey")
+
+    def late(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("_ship_us"),
+                       pc.add(b.column("_odate_us"), LATE_US))
+        t = b.filter(m)
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "_n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return lowcard_groupby(joined.map_batches(late, batch_format="pyarrow"),
+                           "o_orderpriority",
+                           Sum("_n", alias_name="order_count"))

@@ -99,6 +99,25 @@ class TestCohortRetention:
             assert (g <= g.loc[0]).all()
 
 
+class TestOrdersDelayed:
+    def test_matches_oracle_exists_semantics(self, ray_session):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        df = E.queries()["orders_delayed_by_priority"](SF).to_pandas()
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+        o = con.sql(E.oracle_sql()["orders_delayed_by_priority"]).df()
+        cols = sorted(df.columns)
+        a = df[cols].sort_values(cols).reset_index(drop=True)
+        b = o[cols].sort_values(cols).reset_index(drop=True) \
+            .astype(a.dtypes.to_dict())
+        assert a.equals(b)
+        assert a.order_count.sum() > 0
+
+
 def _con2():
     con = duckdb.connect()
     con.sql(f"CREATE VIEW customer AS SELECT * FROM "
