@@ -1,5 +1,5 @@
-"""lineitem_q6_revenue (scan-prune-aggregate) and docs_bigram_topk
-(collocation counts) pinned to DuckDB at sf0.001."""
+"""Round-3 queries (Q6 / Q3 / Q4, bigrams, duplicate spans, cell rollup,
+cohort retention) pinned to DuckDB at sf0.001."""
 import duckdb
 import pytest
 
