@@ -102,7 +102,7 @@ def _seg_from_list(bt: pa.Table):
 
 
 def learn_bpe(ds, n_merges: int, text_col: str = "text",
-              checkpoint_every: int = 16):
+              checkpoint_every: int = 16, stats: dict | None = None):
     """Learn `n_merges` BPE merges over a Dataset's text column.  Returns a
     typed Arrow table (rank, left_id, right_id, new_id, pair_count) — the
     merge table a tokenizer trainer persists.
@@ -130,8 +130,11 @@ def learn_bpe(ds, n_merges: int, text_col: str = "text",
     seg = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
     since: list[tuple[int, int, int]] = []   # merges since last checkpoint
     out = []
+    replayed = 0           # merge-applications per corpus pass, summed —
+    #                        the quantity checkpointing exists to bound
     for r in range(n_merges):
         cur = list(since)  # captured by value: tiny
+        replayed += len(cur)
 
         def kernel(bt: pa.Table) -> pa.Table:
             tok, off = _seg_from_list(bt)
@@ -159,7 +162,10 @@ def learn_bpe(ds, n_merges: int, text_col: str = "text",
 
             seg = seg.map_batches(advance,
                                   batch_format="pyarrow").materialize()
+            replayed += len(cp)              # the one advance pass
             since = []
+    if stats is not None:
+        stats["replayed_merges"] = replayed
 
     return pa.table({
         "rank": pa.array([o[0] for o in out], pa.int64()),

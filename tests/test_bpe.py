@@ -88,12 +88,15 @@ class TestLearnBpe:
         # learned merge must have occurred at least twice
         assert (df.pair_count >= 2).all()
 
-    def test_checkpointing_exact_at_64_merges_and_faster(self, ray_session):
+    def test_checkpointing_exact_at_64_merges_and_bounded_replay(
+            self, ray_session):
         """Checkpointed segmentation (every K rounds) must be EXACTLY the
-        sequential reference at n_merges=64, and beat the no-checkpoint
-        (replay-everything) configuration on wall time — the O(rounds^2)
-        replay is what checkpointing exists to remove."""
-        import time
+        sequential reference at n_merges=64, and must replay FAR fewer
+        merge-applications per corpus pass than the replay-everything
+        configuration — the O(rounds^2) term checkpointing exists to
+        remove.  Asserted on the deterministic replay COUNT the op
+        reports, not wall time (at this corpus size per-round scheduling
+        overhead dominates both paths, so timing is co-tenant noise)."""
         import ray.data as rd
         from dggsray.ops.bpe import learn_bpe
         rng = np.random.default_rng(41)
@@ -102,16 +105,20 @@ class TestLearnBpe:
                  for _ in range(400)]
         ds = rd.from_arrow(pa.table({"text": pa.array(texts)})) \
             .repartition(5).materialize()
-        t0 = time.time()
-        got = learn_bpe(ds, 64, checkpoint_every=8).to_pandas()
-        t_cp = time.time() - t0
+        s_cp, s_replay = {}, {}
+        got = learn_bpe(ds, 64, checkpoint_every=8,
+                        stats=s_cp).to_pandas()
         exp, _ = _ref_bpe(texts, 64)
         assert [tuple(r) for r in got.itertuples(index=False)] == exp
-        t0 = time.time()
-        got2 = learn_bpe(ds, 64, checkpoint_every=10**9).to_pandas()
-        t_replay = time.time() - t0
+        got2 = learn_bpe(ds, 64, checkpoint_every=10**9,
+                         stats=s_replay).to_pandas()
         assert got2.equals(got)
-        assert t_cp < t_replay, (t_cp, t_replay)
+        # replay-everything: sum(r) over 64 rounds = 2016 merge-passes;
+        # K=8 checkpointing: <= 64*(8-1)/2-ish per-round + one 8-merge
+        # advance per checkpoint — a ~4x reduction at 64 merges that GROWS
+        # linearly with n_merges (30k merges -> ~2000x)
+        assert s_replay["replayed_merges"] == sum(range(64))
+        assert s_cp["replayed_merges"] < s_replay["replayed_merges"] / 3
 
 
 class TestTokenizeBpe:
