@@ -39,6 +39,27 @@ def inputs(tmp_path_factory):
 
 
 class TestCli:
+    def test_netcdf4_input(self, inputs, tmp_path):
+        """A NetCDF-4 (HDF5) raster goes through the same CLI command a
+        GeoTIFF does — the user-facing closure of the hdf5io reader."""
+        from dggsray.core.hdf5io import write_netcdf4
+        ny, nx = 24, 31
+        lat = np.linspace(41.0, 40.0, ny)
+        lon = np.linspace(-4.0, -3.0, nx)
+        data = (np.add.outer(np.arange(ny), np.arange(nx)) % 53) \
+            .astype(np.int16)
+        nc = str(tmp_path / "h.nc")
+        write_netcdf4(nc, {"v": (data, ("lat", "lon"), {}),
+                           "lat": (lat, ("lat",), {}),
+                           "lon": (lon, ("lon",), {})},
+                      dims={"lat": ny, "lon": nx})
+        out_tif = str(tmp_path / "h_rhpx.tif")
+        rc, out = run_cli("ras-to-rhpx-ras", nc, out_tif)
+        assert rc == 0 and "OK" in out
+        from dggsray.core.tiffio import read_geotiff
+        g = read_geotiff(out_tif)
+        assert g.data.size > 0
+
     def test_full_chain(self, inputs):
         d = inputs["dir"]
         rc, out = run_cli("ras-to-rhpx-ras", inputs["tif"], str(d / "r.tif"))
