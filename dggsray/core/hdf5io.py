@@ -301,11 +301,8 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
             # refs patched once the global heap and all headers exist
             dt = _encode_vlen_of_ref_dtype()
             data = b"\x00" * (16 * len(dim_names))
-            m = _attr_msg("DIMENSION_LIST", dt,
-                          _dataspace_body((len(dim_names),)), data)
-            # record where the vlen descriptors land inside the final file:
-            # computed after the header address is known (below)
-            msgs.append(m)
+            msgs.append(_attr_msg("DIMENSION_LIST", dt,
+                                  _dataspace_body((len(dim_names),)), data))
             pending_dimlist.append((len(msgs) - 1, n, tuple(dim_names)))
 
         oh_addr[n] = w.add(_object_header(msgs))
