@@ -7,20 +7,28 @@ CDF-1 (handled by netcdfio).  The reference reads both through GDAL
 no HDF5 library exists in this environment, so the HDF5 file format (a
 public spec) is parsed directly.
 
-Supported surface — exactly what the default netCDF-4 library emits
-(H5F_LIBVER_EARLIEST): superblock version 0, version-1 object headers,
-symbol-table groups (B-tree v1 + local heap + SNOD nodes), contiguous and
-chunked (B-tree v1 indexed) dataset layouts, deflate + shuffle filters,
-fixed-point / float / string datatypes, and the netCDF-4 dimension
-conventions (CLASS="DIMENSION_SCALE" coordinate variables referenced from
-data variables' DIMENSION_LIST vlen-of-object-reference attributes via the
-global heap).  Version-2 ("OHDR") object headers and >v0 superblocks raise
-a clear error naming the missing feature.
+Supported surface — BOTH libhdf5 dialects netCDF-4 files come in:
+- earliest-compat (the netCDF-4 default): superblock v0, version-1 object
+  headers, symbol-table groups (B-tree v1 + local heap + SNOD nodes);
+- latest bounds: superblock v2/v3 (checksummed, VALIDATED on read),
+  version-2 "OHDR" object headers (checksummed chunks + OCHK
+  continuations, validated), compact Link-Info/Link-message groups,
+  version-3 attributes, version-2 dataspaces.
+Shared across both: contiguous and chunked (B-tree v1 indexed) dataset
+layouts, deflate + shuffle filters, fixed-point / float / string
+datatypes, and the netCDF-4 dimension conventions
+(CLASS="DIMENSION_SCALE" coordinate variables referenced from data
+variables' DIMENSION_LIST vlen-of-object-reference attributes via the
+global heap).  Out of scope, raising a clear error naming the feature:
+dense link storage (fractal heaps), layout v4 chunk indexes
+(fixed/extensible arrays — what latest-bounds libhdf5 uses for NEW
+chunked datasets), and non-hard links.
 
 The writer exists to synthesize test fixtures (no HDF5 library can create
-them here) and emits the same subset, so every reader branch is exercised;
+them here) and emits both dialects, so every reader branch is exercised;
 byte-level golden tests pin the layout to spec-documented signatures
-("TREE", "HEAP", "SNOD", "GCOL") rather than to the writer itself.
+("TREE", "HEAP", "SNOD", "GCOL", "OHDR") and the checksums to Jenkins
+lookup3's published self-test vectors rather than to the writer itself.
 """
 from __future__ import annotations
 
@@ -35,7 +43,9 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 # message type ids (HDF5 spec IV.A.2)
 _M_NIL = 0x0000
 _M_DATASPACE = 0x0001
+_M_LINKINFO = 0x0002
 _M_DATATYPE = 0x0003
+_M_LINK = 0x0006
 _M_FILLVALUE = 0x0005
 _M_LAYOUT = 0x0008
 _M_FILTERS = 0x000B
@@ -50,6 +60,42 @@ _FILTER_SHUFFLE = 2
 def is_hdf5(path: str) -> bool:
     with open(path, "rb") as f:
         return f.read(8) == _SIG
+
+
+def jenkins_lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 hashlittle — the checksum HDF5 applies to v2+
+    superblocks and version-2 object header chunks.  Pinned in tests to the
+    published lookup3.c self-test vectors."""
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+    a = b = c = (0xDEADBEEF + len(data) + init) & 0xFFFFFFFF
+    i, n = 0, len(data)
+    while n > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        i += 12
+        n -= 12
+    if n:
+        tail = data[i:] + b"\x00" * (12 - n)
+        a = (a + int.from_bytes(tail[0:4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(tail[4:8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(tail[8:12], "little")) & 0xFFFFFFFF
+        c ^= b; c = (c - rot(b, 14)) & 0xFFFFFFFF
+        a ^= c; a = (a - rot(c, 11)) & 0xFFFFFFFF
+        b ^= a; b = (b - rot(a, 25)) & 0xFFFFFFFF
+        c ^= b; c = (c - rot(b, 16)) & 0xFFFFFFFF
+        a ^= c; a = (a - rot(c, 4)) & 0xFFFFFFFF
+        b ^= a; b = (b - rot(a, 14)) & 0xFFFFFFFF
+        c ^= b; c = (c - rot(b, 24)) & 0xFFFFFFFF
+    return c
 
 
 # ---------------------------------------------------------------- datatypes
@@ -142,20 +188,33 @@ def _pad8(b: bytes) -> bytes:
 
 
 def _msg(mtype: int, body: bytes) -> bytes:
+    """v1 object-header message: u16 type, padded body."""
     body = _pad8(body)
     return struct.pack("<HHB3x", mtype, len(body), 0) + body
 
 
-def _attr_msg(name: str, dt_body: bytes, ds_body: bytes,
-              data: bytes) -> bytes:
+def _msg2(mtype: int, body: bytes) -> bytes:
+    """v2 (OHDR) object-header message: u8 type, unpadded body."""
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def _attr_body(name: str, dt_body: bytes, ds_body: bytes,
+               data: bytes, v3: bool) -> bytes:
     nb = name.encode() + b"\x00"
+    if v3:
+        return struct.pack("<BBHHHB", 3, 0, len(nb), len(dt_body),
+                           len(ds_body), 0) \
+            + nb + dt_body + ds_body + data
     body = struct.pack("<BxHHH", 1, len(nb), len(dt_body), len(ds_body))
-    body += _pad8(nb) + _pad8(dt_body) + _pad8(ds_body) + data
-    return _msg(_M_ATTRIBUTE, body)
+    return body + _pad8(nb) + _pad8(dt_body) + _pad8(ds_body) + data
 
 
-def _dataspace_body(shape: tuple[int, ...]) -> bytes:
-    body = struct.pack("<BBB5x", 1, len(shape), 0)
+def _dataspace_body(shape: tuple[int, ...], v2: bool = False) -> bytes:
+    if v2:
+        body = struct.pack("<BBBB", 2, len(shape), 0,
+                           0 if not shape else 1)
+    else:
+        body = struct.pack("<BBB5x", 1, len(shape), 0)
     for d in shape:
         body += struct.pack("<Q", d)
     return body
@@ -166,193 +225,244 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
 
 
+def _object_header_v2(messages: list[bytes]) -> bytes:
+    """Version-2 ("OHDR") header: flags 0x02 = 4-byte chunk-0 size, no
+    times/phase-change/creation-order; trailing Jenkins-lookup3 checksum
+    over signature..end-of-messages (the libhdf5 convention)."""
+    blob = b"".join(messages)
+    head = b"OHDR" + struct.pack("<BB", 2, 0x02) \
+        + struct.pack("<I", len(blob))
+    return head + blob + struct.pack("<I", jenkins_lookup3(head + blob))
+
+
 def _scalar_attr_data(dt: np.dtype, value) -> bytes:
     return np.asarray(value, dtype=dt).tobytes()
+
+
+def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
+                          msgs: list, mk):
+    """Write the array's bytes (contiguous or chunked+filtered with a
+    B-tree v1 index) and append the filter/layout messages via `mk`."""
+    if arr.ndim >= 2:
+        cy, cx = chunks or (min(arr.shape[-2], 16), min(arr.shape[-1], 16))
+        cshape = arr.shape[:-2] + (cy, cx)
+        if compress:
+            # v1 pipeline, 2 filters; odd client-value counts pad to 8
+            fil = struct.pack("<BB6x", 1, 2)
+            fil += struct.pack("<HHHH", _FILTER_SHUFFLE, 0, 1, 1)
+            fil += struct.pack("<I", arr.itemsize) + b"\x00" * 4
+            fil += struct.pack("<HHHH", _FILTER_DEFLATE, 0, 1, 1)
+            fil += struct.pack("<I", 6) + b"\x00" * 4
+            msgs.append(mk(_M_FILTERS, fil))
+        grid = [range(0, s, c) for s, c in zip(arr.shape, cshape)]
+        coords = [()]
+        for axis in grid:
+            coords = [c + (o,) for c in coords for o in axis]
+        blobs = []
+        for c in coords:
+            sl = tuple(slice(o, o + cs) for o, cs in zip(c, cshape))
+            chunk = np.zeros(cshape, arr.dtype)
+            part = arr[sl]
+            chunk[tuple(slice(0, s) for s in part.shape)] = part
+            raw = chunk.tobytes()
+            if compress:
+                raw = _shuffle(raw, arr.itemsize)
+                raw = zlib.compress(raw, 6)
+            blobs.append((c, raw))
+        chunk_addrs = [w.add(raw) for _c, raw in blobs]
+        bt = struct.pack("<4sBBHQQ", b"TREE", 1, 0, len(blobs),
+                         _UNDEF, _UNDEF)
+        for (c, raw), a in zip(blobs, chunk_addrs):
+            key = struct.pack("<II", len(raw), 0)
+            for o in c:
+                key += struct.pack("<Q", o)
+            key += struct.pack("<Q", 0)             # trailing elem offset
+            bt += key + struct.pack("<Q", a)
+        endkey = struct.pack("<II", 0, 0)
+        for s in arr.shape:
+            endkey += struct.pack("<Q", s)
+        endkey += struct.pack("<Q", 0)
+        bt += endkey
+        bt_addr = w.add(bt)
+        lay = struct.pack("<BB", 3, 2) + struct.pack("<B", arr.ndim + 1)
+        lay += struct.pack("<Q", bt_addr)
+        for cs in cshape:
+            lay += struct.pack("<I", cs)
+        lay += struct.pack("<I", arr.itemsize)
+        msgs.append(mk(_M_LAYOUT, lay))
+    else:
+        daddr = w.add(arr.tobytes())
+        lay = struct.pack("<BBQQ", 3, 1, daddr, arr.nbytes)
+        msgs.append(mk(_M_LAYOUT, lay))
 
 
 def write_netcdf4(path: str, variables: dict, dims: dict,
                   global_attrs: dict | None = None,
                   chunks: tuple[int, int] | None = None,
-                  compress: bool = True):
+                  compress: bool = True, libver: str = "earliest"):
     """Write a NetCDF-4 (HDF5) file.
 
     variables: name -> (np.ndarray, dim_name_tuple, attr_dict); 1D variables
     whose name is in `dims` become dimension scales (coordinate variables).
     dims: dim name -> length.  2D+ variables are chunked (+shuffle+deflate
-    when compress=True); 1D variables are contiguous.  Layout follows what
-    libhdf5's earliest-compat mode produces: superblock v0, v1 object
-    headers, one symbol-table root group.
+    when compress=True); 1D variables are contiguous.
+
+    libver picks the on-disk dialect, mirroring libhdf5's bounds:
+    "earliest" = superblock v0, v1 object headers, symbol-table root group,
+    v1 attributes/dataspaces; "latest" = superblock v2, version-2 ("OHDR")
+    checksummed object headers, Link-Info + Link-message root group (no
+    symbol table), v3 attributes and v2 dataspaces.  Both dialects share
+    the datatype encodings, B-tree-v1 chunk index and filter pipeline.
+
+    Coordinate datasets are written before data variables so every
+    DIMENSION_LIST object reference (global-heap vlen) is final at header
+    emission — no post-hoc patching, which OHDR checksums would forbid.
     """
+    if libver not in ("earliest", "latest"):
+        raise ValueError(f"libver {libver!r}")
+    V2 = libver == "latest"
+    mk = _msg2 if V2 else _msg
     w = _W()
     names = sorted(variables)
+    coord_names = [n for n in names if n in dims]
+    data_names = [n for n in names if n not in dims]
 
-    # ---- superblock v0 (96 bytes), root entry patched at the end
-    sb = _SIG + struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, 4, 16, 0)
-    sb += struct.pack("<QQQQ", 0, _UNDEF, 0, _UNDEF)   # eof patched
-    root_entry_at = len(sb)
-    sb += b"\x00" * 40
-    w.add(sb)
-    eof_at = 8 + 16 + 16                               # offset of EOF field
+    def amsg(an, dt_body, ds_body, data):
+        return mk(_M_ATTRIBUTE, _attr_body(an, dt_body, ds_body, data, V2))
 
-    # ---- local heap: link names
-    heap_off = {}
-    heap_data = bytearray(b"\x00" * 8)
-    for n in names:
-        heap_off[n] = len(heap_data)
-        nb = n.encode() + b"\x00"
-        heap_data += nb + b"\x00" * (-len(nb) % 8)
-    # header layout: sig(4) ver(1) pad(3), data size @8, free head @16,
-    # data segment address @24
-    heap_hdr = w.add(struct.pack("<4sB3xQQQ", b"HEAP", 0, len(heap_data),
-                                 _UNDEF, 0))
-    heap_data_addr = w.add(bytes(heap_data))
-    w.patch_u64(heap_hdr + 24, heap_data_addr)
+    def pad(b: bytes) -> bytes:
+        return b if V2 else _pad8(b)
 
-    # ---- per-dataset object headers (addresses needed by SNOD + refs)
-    # first pass: write raw data / chunks, then headers
+    # ---- superblock (fields patched at the end)
+    if V2:
+        sb_at = w.add(b"\x00" * 48)
+    else:
+        sb = _SIG + struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, 4, 16, 0)
+        sb += struct.pack("<QQQQ", 0, _UNDEF, 0, _UNDEF)
+        root_entry_at = len(sb)
+        sb += b"\x00" * 40
+        w.add(sb)
+        eof_at = 8 + 16 + 16
+
+    # ---- per-dataset headers: coordinates first (their addresses feed the
+    # DIMENSION_LIST global heap), then the heap, then data variables
     oh_addr: dict[str, int] = {}
-    # vlen DIMENSION_LIST payloads need the global heap address — write the
-    # heap AFTER object headers exist; attributes referencing it are patched.
-    pending_dimlist: list[tuple[int, str, tuple[str, ...]]] = []
 
-    for n in names:
+    def emit_dataset(n, gcol_addr=None, slots=None):
         arr, dim_names, attrs = variables[n]
         arr = np.ascontiguousarray(arr)
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        msgs = [_msg(_M_DATASPACE, _dataspace_body(arr.shape)),
-                _msg(_M_DATATYPE, _encode_dtype(arr.dtype)),
-                _msg(_M_FILLVALUE, struct.pack("<BBBB", 2, 1, 0, 0))]
-        if arr.ndim >= 2:
-            cy, cx = chunks or (min(arr.shape[-2], 16),
-                                min(arr.shape[-1], 16))
-            cshape = arr.shape[:-2] + (cy, cx)
-            if compress:
-                # v1 pipeline, 2 filters; odd client-value counts pad to 8
-                fil = struct.pack("<BB6x", 1, 2)
-                fil += struct.pack("<HHHH", _FILTER_SHUFFLE, 0, 1, 1)
-                fil += struct.pack("<I", arr.itemsize) + b"\x00" * 4
-                fil += struct.pack("<HHHH", _FILTER_DEFLATE, 0, 1, 1)
-                fil += struct.pack("<I", 6) + b"\x00" * 4
-                msgs.append(_msg(_M_FILTERS, fil))
-            # chunk b-tree (single leaf) + chunk blobs
-            grid = [range(0, s, c) for s, c in zip(arr.shape, cshape)]
-            coords = [()]
-            for axis in grid:
-                coords = [c + (o,) for c in coords for o in axis]
-            blobs = []
-            for c in coords:
-                sl = tuple(slice(o, o + cs) for o, cs in zip(c, cshape))
-                chunk = np.zeros(cshape, arr.dtype)
-                part = arr[sl]
-                chunk[tuple(slice(0, s) for s in part.shape)] = part
-                raw = chunk.tobytes()
-                if compress:
-                    raw = _shuffle(raw, arr.itemsize)
-                    raw = zlib.compress(raw, 6)
-                blobs.append((c, raw))
-            chunk_addrs = [w.add(raw) for _c, raw in blobs]
-            bt = struct.pack("<4sBBHQQ", b"TREE", 1, 0, len(blobs),
-                             _UNDEF, _UNDEF)
-            for (c, raw), a in zip(blobs, chunk_addrs):
-                key = struct.pack("<II", len(raw), 0)
-                for o in c:
-                    key += struct.pack("<Q", o)
-                key += struct.pack("<Q", 0)         # trailing elem offset
-                bt += key + struct.pack("<Q", a)
-            endkey = struct.pack("<II", 0, 0)
-            for s in arr.shape:
-                endkey += struct.pack("<Q", s)
-            endkey += struct.pack("<Q", 0)
-            bt += endkey
-            bt_addr = w.add(bt)
-            lay = struct.pack("<BB", 3, 2) + struct.pack("<B", arr.ndim + 1)
-            lay += struct.pack("<Q", bt_addr)
-            for cs in cshape:
-                lay += struct.pack("<I", cs)
-            lay += struct.pack("<I", arr.itemsize)
-            msgs.append(_msg(_M_LAYOUT, lay))
-        else:
-            daddr = w.add(arr.tobytes())
-            lay = struct.pack("<BBQQ", 3, 1, daddr, arr.nbytes)
-            msgs.append(_msg(_M_LAYOUT, lay))
-
+        msgs = [mk(_M_DATASPACE, _dataspace_body(arr.shape, V2)),
+                mk(_M_DATATYPE, _encode_dtype(arr.dtype)),
+                mk(_M_FILLVALUE, struct.pack("<BBBB", 2, 1, 0, 0))]
+        _emit_data_and_layout(w, arr, chunks, compress, msgs, mk)
         if n in dims:
-            msgs.append(_attr_msg(
-                "CLASS", _encode_string_dtype(16), _dataspace_body(()),
-                b"DIMENSION_SCALE\x00"))
-            msgs.append(_attr_msg(
-                "NAME", _encode_string_dtype(len(n) + 1),
-                _dataspace_body(()), _pad8(n.encode() + b"\x00")))
+            msgs.append(amsg("CLASS", _encode_string_dtype(16),
+                             _dataspace_body((), V2),
+                             b"DIMENSION_SCALE\x00"))
+            msgs.append(amsg("NAME", _encode_string_dtype(len(n) + 1),
+                             _dataspace_body((), V2),
+                             pad(n.encode() + b"\x00")))
         for an, av in (attrs or {}).items():
             if isinstance(av, str):
                 ab = av.encode() + b"\x00"
-                msgs.append(_attr_msg(an, _encode_string_dtype(len(ab)),
-                                      _dataspace_body(()), _pad8(ab)))
+                msgs.append(amsg(an, _encode_string_dtype(len(ab)),
+                                 _dataspace_body((), V2), pad(ab)))
             else:
                 a = np.atleast_1d(np.asarray(av))
                 shp = () if np.isscalar(av) or np.asarray(av).ndim == 0 \
                     else a.shape
-                msgs.append(_attr_msg(an, _encode_dtype(a.dtype),
-                                      _dataspace_body(shp),
-                                      _pad8(a.tobytes())))
+                msgs.append(amsg(an, _encode_dtype(a.dtype),
+                                 _dataspace_body(shp, V2),
+                                 pad(a.tobytes())))
         if dim_names and n not in dims:
-            # DIMENSION_LIST vlen-of-object-ref attribute; heap addr and
-            # refs patched once the global heap and all headers exist
-            dt = _encode_vlen_of_ref_dtype()
-            data = b"\x00" * (16 * len(dim_names))
-            msgs.append(_attr_msg("DIMENSION_LIST", dt,
-                                  _dataspace_body((len(dim_names),)), data))
-            pending_dimlist.append((len(msgs) - 1, n, tuple(dim_names)))
+            data = b"".join(struct.pack("<IQI", 1, gcol_addr,
+                                        slots[(n, j)])
+                            for j in range(len(dim_names)))
+            msgs.append(amsg("DIMENSION_LIST", _encode_vlen_of_ref_dtype(),
+                             _dataspace_body((len(dim_names),), V2), data))
+        oh_addr[n] = w.add(_object_header_v2(msgs) if V2
+                           else _object_header(msgs))
 
-        oh_addr[n] = w.add(_object_header(msgs))
+    for n in coord_names:
+        emit_dataset(n)
 
-    # ---- SNOD + group b-tree
-    snod = struct.pack("<4sBxH", b"SNOD", 1, len(names))
-    for n in names:
-        snod += struct.pack("<QQII16x", heap_off[n], oh_addr[n], 0, 0)
-    snod_addr = w.add(snod)
-    bt = struct.pack("<4sBBHQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF)
-    bt += struct.pack("<Q", 0) + struct.pack("<Q", snod_addr) \
-        + struct.pack("<Q", heap_off[names[-1]])
-    btree_addr = w.add(bt)
-
-    # ---- root group object header
-    root_msgs = [_msg(_M_SYMBOL_TABLE,
-                      struct.pack("<QQ", btree_addr, heap_hdr))]
-    for an, av in (global_attrs or {}).items():
-        ab = str(av).encode() + b"\x00"
-        root_msgs.append(_attr_msg(an, _encode_string_dtype(len(ab)),
-                                   _dataspace_body(()), _pad8(ab)))
-    root_oh = w.add(_object_header(root_msgs))
-
-    # ---- global heap with one object-reference per DIMENSION_LIST entry
-    if pending_dimlist:
-        objs = []                    # (var, dim index, ref addr)
-        heap = struct.pack("<4sB3x", b"GCOL", 1)
+    # ---- global heap: one object reference per DIMENSION_LIST entry
+    gcol_addr, slots = None, {}
+    dim_lists = [(n, variables[n][1]) for n in data_names
+                 if variables[n][1]]
+    if dim_lists:
         body = b""
         idx = 1
-        slots = {}
-        for _mi, vn, dns in pending_dimlist:
+        for vn, dns in dim_lists:
             for j, dn in enumerate(dns):
                 body += struct.pack("<HH4xQ", idx, 1, 8)
                 body += struct.pack("<Q", oh_addr[dn])
                 slots[(vn, j)] = idx
                 idx += 1
-        total = len(heap) + 8 + len(body) + 16
-        gcol_addr = w.add(heap + struct.pack("<Q", total) + body
+        head = struct.pack("<4sB3x", b"GCOL", 1)
+        total = len(head) + 8 + len(body) + 16
+        gcol_addr = w.add(head + struct.pack("<Q", total) + body
                           + struct.pack("<HH4xQ", 0, 0, 16))
-        # patch each DIMENSION_LIST attribute's vlen descriptors in place
-        for mi, vn, dns in pending_dimlist:
-            at = _find_attr_data(w.buf, oh_addr[vn], "DIMENSION_LIST")
-            for j in range(len(dns)):
-                struct.pack_into("<IQI", w.buf, at + 16 * j,
-                                 1, gcol_addr, slots[(vn, j)])
 
-    # ---- root symbol entry + EOF
-    struct.pack_into("<QQII", w.buf, root_entry_at, 0, root_oh, 1, 0)
-    struct.pack_into("<QQ", w.buf, root_entry_at + 24, btree_addr, heap_hdr)
-    w.patch_u64(eof_at, len(w.buf))
+    for n in data_names:
+        emit_dataset(n, gcol_addr, slots)
+
+    # ---- root group
+    root_attr_msgs = []
+    for an, av in (global_attrs or {}).items():
+        ab = str(av).encode() + b"\x00"
+        root_attr_msgs.append(amsg(an, _encode_string_dtype(len(ab)),
+                                   _dataspace_body((), V2), pad(ab)))
+    if V2:
+        # compact links: Link Info (no fractal heap) + one Link msg/dataset
+        li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", _UNDEF, _UNDEF)
+        root_msgs = [_msg2(_M_LINKINFO, li)]
+        for n in names:
+            nb = n.encode()
+            lk = struct.pack("<BBB", 1, 0, len(nb)) + nb \
+                + struct.pack("<Q", oh_addr[n])
+            root_msgs.append(_msg2(_M_LINK, lk))
+        root_oh = w.add(_object_header_v2(root_msgs + root_attr_msgs))
+    else:
+        # symbol-table group: local heap + SNOD + group b-tree
+        heap_off = {}
+        heap_data = bytearray(b"\x00" * 8)
+        for n in names:
+            heap_off[n] = len(heap_data)
+            nb = n.encode() + b"\x00"
+            heap_data += nb + b"\x00" * (-len(nb) % 8)
+        # header: sig(4) ver(1) pad(3), data size @8, free head @16,
+        # data segment address @24
+        heap_hdr = w.add(struct.pack("<4sB3xQQQ", b"HEAP", 0,
+                                     len(heap_data), _UNDEF, 0))
+        heap_data_addr = w.add(bytes(heap_data))
+        w.patch_u64(heap_hdr + 24, heap_data_addr)
+        snod = struct.pack("<4sBxH", b"SNOD", 1, len(names))
+        for n in names:
+            snod += struct.pack("<QQII16x", heap_off[n], oh_addr[n], 0, 0)
+        snod_addr = w.add(snod)
+        bt = struct.pack("<4sBBHQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF)
+        bt += struct.pack("<Q", 0) + struct.pack("<Q", snod_addr) \
+            + struct.pack("<Q", heap_off[names[-1]])
+        btree_addr = w.add(bt)
+        root_msgs = [_msg(_M_SYMBOL_TABLE,
+                          struct.pack("<QQ", btree_addr, heap_hdr))]
+        root_oh = w.add(_object_header(root_msgs + root_attr_msgs))
+
+    # ---- finalize superblock
+    if V2:
+        sb = _SIG + struct.pack("<BBBB", 2, 8, 8, 0)
+        sb += struct.pack("<QQQQ", 0, _UNDEF, len(w.buf), root_oh)
+        w.buf[sb_at:sb_at + 44] = sb
+        struct.pack_into("<I", w.buf, sb_at + 44,
+                         jenkins_lookup3(bytes(w.buf[sb_at:sb_at + 44])))
+    else:
+        struct.pack_into("<QQII", w.buf, root_entry_at, 0, root_oh, 1, 0)
+        struct.pack_into("<QQ", w.buf, root_entry_at + 24,
+                         btree_addr, heap_hdr)
+        w.patch_u64(eof_at, len(w.buf))
     with open(path, "wb") as f:
         f.write(w.buf)
 
@@ -365,26 +475,6 @@ def _shuffle(raw: bytes, itemsize: int) -> bytes:
 def _unshuffle(raw: bytes, itemsize: int) -> bytes:
     a = np.frombuffer(raw, np.uint8).reshape(itemsize, -1)
     return a.T.tobytes()
-
-
-def _find_attr_data(buf, oh_at: int, want: str) -> int:
-    """Absolute offset of attribute `want`'s data section in a v1 header."""
-    nmsg, = struct.unpack_from("<H", buf, oh_at + 2)
-    p = oh_at + 16
-    for _ in range(nmsg):
-        mtype, msize = struct.unpack_from("<HH", buf, p)
-        body = p + 8
-        if mtype == _M_ATTRIBUTE:
-            nsz, dtsz, dssz = struct.unpack_from("<HHH", buf, body + 2)
-            name = bytes(buf[body + 8: body + 8 + nsz - 1]).decode()
-            if name == want:
-                q = body + 8
-                q += nsz + (-nsz % 8)
-                q += dtsz + (-dtsz % 8)
-                q += dssz + (-dssz % 8)
-                return q
-        p = body + msize
-    raise KeyError(want)
 
 
 # ------------------------------------------------------------------ reader
@@ -422,18 +512,27 @@ class NetCDF4:
         if self.buf[:8] != _SIG:
             raise ValueError(f"{path}: not an HDF5 file")
         ver = self.buf[8]
-        if ver != 0:
+        if ver == 0:
+            # v0: sizes at 13/14; root symbol table entry at offset 24+32
+            self.off_size = self.buf[13]
+            self.len_size = self.buf[14]
+            root_entry = 24 + 32
+            root_oh, = struct.unpack_from("<Q", self.buf, root_entry + 8)
+        elif ver in (2, 3):
+            # v2/v3: sizes at 9/10, root object header address at 36,
+            # Jenkins-lookup3 checksum over bytes [0, 44) at 44
+            self.off_size = self.buf[9]
+            self.len_size = self.buf[10]
+            root_oh, = struct.unpack_from("<Q", self.buf, 36)
+            stored, = struct.unpack_from("<I", self.buf, 44)
+            if stored != jenkins_lookup3(bytes(self.buf[:44])):
+                raise ValueError(f"{path}: superblock checksum mismatch")
+        else:
             raise NotImplementedError(
-                f"{path}: HDF5 superblock version {ver}; this reader covers "
-                "the netCDF-4 default (earliest-compat) layout: superblock "
-                "v0 + v1 object headers")
-        # v0: sizes at 13/14; root symbol table entry at offset 24+32
-        self.off_size = self.buf[13]
-        self.len_size = self.buf[14]
+                f"{path}: HDF5 superblock version {ver}; supported: v0 "
+                "(netCDF-4 earliest-compat) and v2/v3 (latest)")
         if (self.off_size, self.len_size) != (8, 8):
             raise NotImplementedError("non-8-byte offsets/lengths")
-        root_entry = 24 + 32
-        root_oh, = struct.unpack_from("<Q", self.buf, root_entry + 8)
         self.attrs: dict = {}
         self.variables: dict[str, H5Dataset] = {}
         self._addr_to_name: dict[int, str] = {}
@@ -448,9 +547,8 @@ class NetCDF4:
     # -- structure walking ------------------------------------------------
     def _messages(self, oh_at: int):
         if self.buf[oh_at:oh_at + 4] == b"OHDR":
-            raise NotImplementedError(
-                "HDF5 version-2 object headers (OHDR): file was written "
-                "with a post-earliest libver bound")
+            yield from self._messages_v2(oh_at)
+            return
         nmsg, = struct.unpack_from("<H", self.buf, oh_at + 2)
         hsize, = struct.unpack_from("<I", self.buf, oh_at + 8)
         spans = [(oh_at + 16, oh_at + 16 + hsize)]
@@ -468,6 +566,41 @@ class NetCDF4:
                 got += 1
                 p = body + msize
 
+    def _messages_v2(self, oh_at: int):
+        """Version-2 ("OHDR") object header: no message count — parse the
+        checksummed chunk(s) until their declared size runs out.  Message
+        header is u8 type / u16 size / u8 flags (+u16 creation order when
+        the header tracks attribute creation order)."""
+        flags = self.buf[oh_at + 5]
+        p = oh_at + 6
+        if flags & 0x20:
+            p += 16                               # access/mod/change/birth
+        if flags & 0x10:
+            p += 4                                # phase-change values
+        szbytes = 1 << (flags & 0x03)
+        chunk0 = int.from_bytes(self.buf[p:p + szbytes], "little")
+        p += szbytes
+        order = bool(flags & 0x04)
+        mhdr = 6 if order else 4
+        stored, = struct.unpack_from("<I", self.buf, p + chunk0)
+        if stored != jenkins_lookup3(bytes(self.buf[oh_at:p + chunk0])):
+            raise ValueError("object header checksum mismatch")
+        spans = [(p, p + chunk0)]                 # checksum follows each span
+        while spans:
+            s, e = spans.pop(0)
+            while s + mhdr <= e:
+                mtype = self.buf[s]
+                msize, = struct.unpack_from("<H", self.buf, s + 1)
+                body = s + mhdr
+                if mtype == _M_CONTINUATION:
+                    a, ln = struct.unpack_from("<QQ", self.buf, body)
+                    if self.buf[a:a + 4] != b"OCHK":
+                        raise ValueError("bad OCHK continuation block")
+                    spans.append((a + 4, a + ln - 4))   # sig + checksum
+                else:
+                    yield mtype, body, msize
+                s = body + msize
+
     def _parse_group(self, oh_at: int, into_attrs: dict):
         links: list[tuple[str, int]] = []
         for mtype, body, msize in self._messages(oh_at):
@@ -475,10 +608,50 @@ class NetCDF4:
                 btree, heap = struct.unpack_from("<QQ", self.buf, body)
                 heap_data, = struct.unpack_from("<Q", self.buf, heap + 24)
                 links += self._walk_group_btree(btree, heap_data)
+            elif mtype == _M_LINKINFO:
+                li_flags = self.buf[body + 1]
+                q = body + 2 + (8 if li_flags & 0x01 else 0)
+                fheap, = struct.unpack_from("<Q", self.buf, q)
+                if fheap != _UNDEF:
+                    raise NotImplementedError(
+                        "dense link storage (fractal heap): group has too "
+                        "many links for compact Link messages")
+            elif mtype == _M_LINK:
+                links.append(self._parse_link(body))
             elif mtype == _M_ATTRIBUTE:
                 n, v = self._parse_attr(body)
                 into_attrs[n] = v
         return links
+
+    def _parse_link(self, body: int) -> tuple[str, int]:
+        ver, flags = self.buf[body], self.buf[body + 1]
+        if ver != 1:
+            raise NotImplementedError(f"link message v{ver}")
+        p = body + 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = self.buf[p]
+            p += 1
+        if flags & 0x04:
+            p += 8                                 # creation order
+        if flags & 0x10:
+            p += 1                                 # charset
+        nlen_sz = 1 << (flags & 0x03)
+        nlen = int.from_bytes(self.buf[p:p + nlen_sz], "little")
+        p += nlen_sz
+        name = self.buf[p:p + nlen].decode()
+        p += nlen
+        if ltype != 0:
+            raise NotImplementedError(f"non-hard link type {ltype}")
+        addr, = struct.unpack_from("<Q", self.buf, p)
+        return name, addr
+
+    def _parse_dataspace(self, p: int) -> tuple[int, ...]:
+        ver = self.buf[p]
+        rank = self.buf[p + 1]
+        at = p + 4 if ver == 2 else p + 8
+        return tuple(struct.unpack_from("<Q", self.buf, at + 8 * i)[0]
+                     for i in range(rank))
 
     def _walk_group_btree(self, bt_at: int, heap_data: int):
         assert self.buf[bt_at:bt_at + 4] == b"TREE", "group b-tree"
@@ -511,10 +684,7 @@ class NetCDF4:
     def _parse_dataset(self, oh_at: int, d: H5Dataset):
         for mtype, body, msize in self._messages(oh_at):
             if mtype == _M_DATASPACE:
-                rank = self.buf[body + 1]
-                d.shape = tuple(
-                    struct.unpack_from("<Q", self.buf, body + 8 + 8 * i)[0]
-                    for i in range(rank))
+                d.shape = self._parse_dataspace(body)
             elif mtype == _M_DATATYPE:
                 d.dtype, _u = _decode_dtype(self.buf, body)
             elif mtype == _M_LAYOUT:
@@ -550,18 +720,29 @@ class NetCDF4:
 
     def _parse_attr(self, body: int):
         ver = self.buf[body]
-        if ver != 1:
+        if ver == 1:
+            nsz, dtsz, dssz = struct.unpack_from("<HHH", self.buf, body + 2)
+            p = body + 8
+            name = self.buf[p:p + nsz - 1].decode()
+            p += nsz + (-nsz % 8)
+            dt, _u = _decode_dtype(self.buf, p)
+            p += dtsz + (-dtsz % 8)
+            shape = self._parse_dataspace(p)
+            p += dssz + (-dssz % 8)
+        elif ver == 3:
+            flags = self.buf[body + 1]
+            if flags & 0x03:
+                raise NotImplementedError("shared attribute dt/ds")
+            nsz, dtsz, dssz = struct.unpack_from("<HHH", self.buf, body + 2)
+            p = body + 9                            # + name-encoding byte
+            name = self.buf[p:p + nsz - 1].decode()
+            p += nsz                                # v3: nothing is padded
+            dt, _u = _decode_dtype(self.buf, p)
+            p += dtsz
+            shape = self._parse_dataspace(p)
+            p += dssz
+        else:
             raise NotImplementedError(f"attribute message v{ver}")
-        nsz, dtsz, dssz = struct.unpack_from("<HHH", self.buf, body + 2)
-        p = body + 8
-        name = self.buf[p:p + nsz - 1].decode()
-        p += nsz + (-nsz % 8)
-        dt, _u = _decode_dtype(self.buf, p)
-        p += dtsz + (-dtsz % 8)
-        rank = self.buf[p + 1]
-        shape = tuple(struct.unpack_from("<Q", self.buf, p + 8 + 8 * i)[0]
-                      for i in range(rank))
-        p += dssz + (-dssz % 8)
         n = int(np.prod(shape)) if shape else 1
         if isinstance(dt, tuple) and dt[0] == "str":
             raw = self.buf[p:p + dt[1]]

@@ -151,7 +151,8 @@ class TestCodecFuzz:
         with pytest.raises(Exception):
             decode(blob[:3])
 
-    def test_hdf5(self, tmp_path):
+    @pytest.mark.parametrize("libver", ["earliest", "latest"])
+    def test_hdf5(self, tmp_path, libver):
         from dggsray.core.hdf5io import NetCDF4, write_netcdf4
         rng = np.random.default_rng(17)
         p = str(tmp_path / "h.nc")
@@ -161,7 +162,7 @@ class TestCodecFuzz:
                   ("y", "x"), {"_FillValue": np.int16(-1)}),
             "y": (np.arange(ny, dtype=np.float64), ("y",), {}),
             "x": (np.arange(nx, dtype=np.float64), ("x",), {})},
-            dims={"y": ny, "x": nx}, chunks=(4, 4))
+            dims={"y": ny, "x": nx}, chunks=(4, 4), libver=libver)
         blob = open(p, "rb").read()
 
         def decode(b):

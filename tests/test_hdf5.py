@@ -15,7 +15,7 @@ from dggsray.core.raster import open_raster, raster_subdatasets
 
 
 def _fixture(path, ny=37, nx=53, chunks=(16, 16), compress=True,
-             fill=-999):
+             fill=-999, libver="earliest"):
     rng = np.random.default_rng(5)
     lat = np.linspace(60.0, 40.0, ny)
     lon = np.linspace(-10.0, 5.0, nx)
@@ -29,19 +29,21 @@ def _fixture(path, ny=37, nx=53, chunks=(16, 16), compress=True,
          "lon": (lon, ("lon",), {"units": "degrees_east"})},
         dims={"lat": ny, "lon": nx},
         global_attrs={"title": "synthetic SCE"},
-        chunks=chunks, compress=compress)
+        chunks=chunks, compress=compress, libver=libver)
     return data, lat, lon
 
 
 class TestRoundtrip:
+    @pytest.mark.parametrize("libver", ["earliest", "latest"])
     @pytest.mark.parametrize("chunks,compress", [
         ((16, 16), True),      # gzip+shuffle, partial edge chunks
         ((37, 53), True),      # single chunk
         ((10, 7), False),      # raw chunks
     ])
-    def test_values_attrs_dims(self, tmp_path, chunks, compress):
+    def test_values_attrs_dims(self, tmp_path, chunks, compress, libver):
         p = tmp_path / "t.nc"
-        data, lat, lon = _fixture(p, chunks=chunks, compress=compress)
+        data, lat, lon = _fixture(p, chunks=chunks, compress=compress,
+                                  libver=libver)
         nc = NetCDF4(str(p))
         assert sorted(nc.variables) == ["lat", "lon", "sce"]
         v = nc.variables["sce"]
@@ -76,8 +78,9 @@ class TestRoundtripProperty:
         @given(st.integers(1, 40), st.integers(1, 40),
                st.integers(1, 17), st.integers(1, 17),
                st.sampled_from(["i1", "i2", "i4", "i8", "u2", "f4", "f8"]),
-               st.booleans(), st.randoms(use_true_random=False))
-        def prop(ny, nx, cy, cx, dt, compress, rnd):
+               st.booleans(), st.sampled_from(["earliest", "latest"]),
+               st.randoms(use_true_random=False))
+        def prop(ny, nx, cy, cx, dt, compress, libver, rnd):
             box["i"] += 1
             p = str(tmp_path / f"p{box['i']}.nc")
             rng = np.random.default_rng(rnd.randrange(2**31))
@@ -94,7 +97,7 @@ class TestRoundtripProperty:
                                     ("x",), {})},
                           dims={"y": ny, "x": nx},
                           chunks=(min(cy, ny), min(cx, nx)),
-                          compress=compress)
+                          compress=compress, libver=libver)
             nc = NetCDF4(p)
             assert np.array_equal(nc.read("v"), arr)
             assert nc.variables["v"].dim_names == ("y", "x")
@@ -123,9 +126,39 @@ class TestSpecGoldens:
         p = tmp_path / "bad.nc"
         _fixture(p)
         buf = bytearray(open(p, "rb").read())
-        buf[8] = 2                               # superblock v2
+        buf[8] = 1                               # superblock v1: unsupported
         open(p, "wb").write(bytes(buf))
         with pytest.raises(NotImplementedError, match="superblock"):
+            NetCDF4(str(p))
+
+    def test_lookup3_published_vectors(self):
+        """Pin the checksum to lookup3.c's self-test values — the spec's
+        algorithm, not this writer's."""
+        from dggsray.core.hdf5io import jenkins_lookup3 as h
+        assert h(b"", 0) == 0xDEADBEEF
+        assert h(b"", 0xDEADBEEF) == 0xBD5B7DDE
+        assert h(b"Four score and seven years ago", 0) == 0x17770551
+        assert h(b"Four score and seven years ago", 1) == 0xCD628161
+
+    def test_latest_dialect_layout_and_checksums(self, tmp_path):
+        """libver=latest: superblock v2 (validated checksum), OHDR headers,
+        link-message groups, NO symbol table; flipping one superblock byte
+        must be detected."""
+        import struct
+        from dggsray.core.hdf5io import jenkins_lookup3
+        p = tmp_path / "l.nc"
+        data, _lat, _lon = _fixture(p, libver="latest")
+        buf = open(p, "rb").read()
+        assert buf[8] == 2
+        assert b"OHDR" in buf and b"SNOD" not in buf and b"HEAP" not in buf
+        stored, = struct.unpack_from("<I", buf, 44)
+        assert stored == jenkins_lookup3(buf[:44])
+        nc = NetCDF4(str(p))
+        assert np.array_equal(nc.read("sce"), data)
+        bad = bytearray(buf)
+        bad[20] ^= 0xFF                          # inside the checksummed span
+        open(p, "wb").write(bytes(bad))
+        with pytest.raises(ValueError, match="checksum"):
             NetCDF4(str(p))
 
 
