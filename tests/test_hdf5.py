@@ -205,6 +205,30 @@ class TestRasterView:
         finally:
             R._FILESYSTEMS.pop("mem", None)
 
+    @pytest.mark.parametrize("libver", ["earliest", "latest"])
+    def test_multi_variable_subdatasets(self, tmp_path, libver):
+        """Several 2D variables in one file (the reference's c_gls products
+        carry multiple subdatasets): enumeration lists all data variables,
+        and the GDAL-style NETCDF:"path":var syntax selects each."""
+        ny, nx = 12, 17
+        lat = np.linspace(50.0, 40.0, ny)
+        lon = np.linspace(0.0, 8.0, nx)
+        a = np.arange(ny * nx, dtype=np.int16).reshape(ny, nx)
+        b = (a * 2 + 1).astype(np.int16)
+        p = tmp_path / "m.nc"
+        write_netcdf4(str(p),
+                      {"sce": (a, ("lat", "lon"), {}),
+                       "qflag": (b, ("lat", "lon"), {}),
+                       "lat": (lat, ("lat",), {}),
+                       "lon": (lon, ("lon",), {})},
+                      dims={"lat": ny, "lon": nx}, libver=libver)
+        subs = raster_subdatasets(str(p))
+        assert subs == [f'NETCDF:"{p}":qflag', f'NETCDF:"{p}":sce']
+        ga = open_raster(f'NETCDF:"{p}":sce')
+        gb = open_raster(f'NETCDF:"{p}":qflag')
+        assert np.array_equal(ga.data[0], a)
+        assert np.array_equal(gb.data[0], b)
+
     def test_netcdf4_to_rhealpix_matches_geotiff_path(self, tmp_path):
         """Semantic (non-circular) check: converting the NetCDF-4 file to
         rHEALPix must be bit-identical to converting its own GeoTIFF
