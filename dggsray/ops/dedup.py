@@ -550,20 +550,123 @@ def decontaminate(train_ds, eval_texts: list[str], k: int = 8,
                          schema)
 
 
+def _sort_hashsets(H: np.ndarray, n_per_doc: np.ndarray):
+    """Concatenated per-doc hash sets -> one GLOBALLY sorted array plus the
+    parallel doc-index array — the probe structure for
+    _hashset_cross_pairs.  Built once per actor / per band group, never per
+    batch."""
+    doc_of = np.repeat(np.arange(n_per_doc.size, dtype=np.int64), n_per_doc)
+    order = np.argsort(H, kind="stable")
+    return H[order], doc_of[order]
+
+
+def _hashset_cross_pairs(Hs, doc_g, ng, ig, h, o, ids_b, thr_micro):
+    """Qualifying pairs (batch_id < other_id) between a batch of per-doc hash
+    sets (h concat, o offsets, ids_b) and a reference collection given as a
+    globally sorted array Hs with parallel doc indices doc_g (per-doc sizes
+    ng, ids ig).  Fully vectorized: one searchsorted range probe for every
+    batch hash, ragged range expansion to matched (batch_doc, ref_doc)
+    events, then one sort+boundary reduction to per-pair intersection counts.
+    Zero-intersection pairs can never qualify, so thr_micro must be > 0
+    (enforced by the caller).  jac_micro is integer-exact:
+    (inter * 1e6) // union."""
+    empty = (np.zeros(0, np.int64),) * 3
+    if h.size == 0 or Hs.size == 0:
+        return empty
+    lens_b = o[1:] - o[:-1]
+    doc_b = np.repeat(np.arange(ids_b.size, dtype=np.int64), lens_b)
+    lo = np.searchsorted(Hs, h, "left")
+    hi = np.searchsorted(Hs, h, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return empty
+    starts = np.cumsum(cnt) - cnt
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt) \
+        + np.repeat(lo, cnt)
+    bi = np.repeat(doc_b, cnt)
+    gi = doc_g[pos]
+    key = bi * np.int64(ig.size) + gi
+    key.sort()
+    first = np.ones(key.size, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    uq = key[first]
+    bnd = np.flatnonzero(first)
+    inter = np.diff(np.concatenate([bnd, [key.size]]))
+    bi_u, gi_u = uq // ig.size, uq % ig.size
+    union = lens_b[bi_u] + ng[gi_u] - inter
+    jm = inter * 1_000_000 // np.maximum(union, 1)
+    sel = (jm >= thr_micro) & (ig[gi_u] > ids_b[bi_u])
+    return ids_b[bi_u[sel]], ig[gi_u[sel]], jm[sel]
+
+
+def _pairs_table(id_a, id_b, jm) -> pa.Table:
+    return pa.table({"id_a": pa.array(id_a, pa.int64()),
+                     "id_b": pa.array(id_b, pa.int64()),
+                     "jac_micro": pa.array(jm, pa.int64())})
+
+
+class _NgramProbe:
+    """Actor-pool probe for the broadcast path: the concatenated hash-set
+    arrays ship once via ray.put and the global sort (the probe structure) is
+    built ONCE per actor here, never per batch.  Batches are rows of the
+    pre-built sets table (id, _set blob) — the corpus text is never
+    re-tokenized."""
+
+    def __init__(self, bref, thr_micro: int, id_col: str):
+        import ray
+        H_all, n_all, ids_all = ray.get(bref)
+        self.Hs, self.doc_g = _sort_hashsets(H_all, n_all)
+        self.ng, self.ig = n_all, ids_all
+        self.thr_micro = thr_micro
+        self.id_col = id_col
+
+    def __call__(self, bt: pa.Table) -> pa.Table:
+        blobs = bt.column("_set").to_pylist()
+        ids = bt.column(self.id_col).to_numpy().astype(np.int64)
+        npd = np.array([len(x) // 8 for x in blobs], np.int64)
+        h = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        o = np.concatenate([[0], np.cumsum(npd)])
+        return _pairs_table(*_hashset_cross_pairs(
+            self.Hs, self.doc_g, self.ng, self.ig, h, o, ids,
+            self.thr_micro))
+
+
 def ngram_jaccard_pairs(ds, threshold: float, text_col: str = "text",
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id",
+                        max_broadcast_docs: int = 2_000_000):
     """All pairs with word-BIGRAM set Jaccard >= threshold — the n-gram
     near-dup oracle baseline (DuckDB: list_intersect over list_distinct
-    bigram lists).  Same shape as charset_jaccard_pairs: the broadcast side is
+    bigram lists).  Same shape as charset_jaccard_pairs: the moved payload is
     the DISTRIBUTED per-doc hash-set table (~8 B per distinct bigram), never
-    the corpus text; each task intersects its block's sets against the
-    broadcast with sorted-array membership.  Docs with no bigrams (<2 tokens)
-    are excluded, matching the SQL's len(bg)>0 guard.  The oracle semantics
-    are inherently all-pairs; the 100 TB near-dup path is minhash_dedup.
-    jac_micro is integer-exact: (inter * 1e6) // union."""
+    the corpus text, and nothing is ever collected to the driver:
+
+    - build: per-doc sorted distinct bigram-hash sets, one vectorized Arrow
+      pass per block (_bigram_hash_sets).
+    - probe, n <= max_broadcast_docs: hash arrays ray.put once; an actor POOL
+      globally sorts them once per actor (__init__) and each batch is one
+      vectorized searchsorted range-probe + sort-boundary pair count
+      (_hashset_cross_pairs) — no per-doc Python loop.
+    - probe, n > max_broadcast_docs: partition-pair banding — docs hash into
+      P = ceil(n / max_broadcast_docs) bands, every (i, j) band pair meets in
+      its own groupby bucket, so a task holds at most 2 bands of hash sets
+      instead of the full corpus.  Replication cost is P rows per doc, the
+      standard exact all-pairs exchange bound.
+
+    Docs with no bigrams (<2 tokens) are excluded, matching the SQL's
+    len(bg)>0 guard.  The oracle semantics are inherently all-pairs; the
+    100 TB near-dup path is minhash_dedup.  jac_micro is integer-exact:
+    (inter * 1e6) // union.  Requires threshold > 0: the matches-only kernel
+    never sees zero-intersection pairs."""
     import ray
 
     thr_micro = int(round(threshold * 1_000_000))
+    if thr_micro <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0 (the vectorized "
+            "matches-only kernel cannot emit zero-intersection pairs)")
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("jac_micro", pa.int64())])
 
     def set_kernel(bt: pa.Table) -> pa.Table:
         h, o = _bigram_hash_sets(bt.column(text_col))
@@ -571,45 +674,79 @@ def ngram_jaccard_pairs(ds, threshold: float, text_col: str = "text",
         return pa.table({id_col: bt.column(id_col),
                          "_set": pa.array(blobs, pa.large_binary())})
 
-    sets_tbl = ds.map_batches(set_kernel, batch_format="pyarrow").to_pandas()
-    ids_all = sets_tbl[id_col].to_numpy().astype(np.int64)
-    blobs = sets_tbl["_set"].to_numpy()
-    n_all = np.array([len(x) // 8 for x in blobs], dtype=np.int64)
-    H_all = np.frombuffer(b"".join(blobs), dtype=np.uint64)
-    off_all = np.concatenate([[0], np.cumsum(n_all)])
-    # doc_of is O(total distinct bigrams); build it ONCE here and ship it in
-    # the broadcast instead of re-allocating it in every map_batches task
-    doc_of_all = np.repeat(np.arange(len(ids_all), dtype=np.int64), n_all)
-    bref = ray.put((H_all, off_all, ids_all, n_all, doc_of_all))
-
-    def kernel(bt: pa.Table) -> pa.Table:
-        Ha, oa, ia, na, doc_of = ray.get(bref)
-        h, o = _bigram_hash_sets(bt.column(text_col))
-        ids = bt.column(id_col).to_numpy().astype(np.int64)
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            s = h[o[i]:o[i + 1]]
-            if s.size == 0:
+    sets = ds.map_batches(set_kernel, batch_format="pyarrow").materialize()
+    n = sets.count()
+    if n <= max_broadcast_docs:
+        ids_l, n_l, h_l = [], [], []
+        for bt in sets.iter_batches(batch_format="pyarrow", batch_size=None):
+            if not bt.num_rows:
                 continue
-            pos = np.searchsorted(s, Ha)
-            hit = (pos < s.size) & (s[np.minimum(pos, s.size - 1)] == Ha)
-            inter = np.bincount(doc_of[hit], minlength=len(ia))
-            union = s.size + na - inter
-            jm = inter * 1_000_000 // np.maximum(union, 1)
-            sel = (jm >= thr_micro) & (ia > ids[i]) & (na > 0)
-            jj = np.nonzero(sel)[0]
-            out_a.append(np.full(jj.size, ids[i], np.int64))
-            out_b.append(ia[jj])
-            out_j.append(jm[jj])
-        cat = (lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int64))
-        return pa.table({"id_a": pa.array(cat(out_a), pa.int64()),
-                         "id_b": pa.array(cat(out_b), pa.int64()),
-                         "jac_micro": pa.array(cat(out_j), pa.int64())})
+            ids_l.append(bt.column(id_col).to_numpy().astype(np.int64))
+            blobs = bt.column("_set").to_pylist()
+            n_l.append(np.array([len(x) // 8 for x in blobs], np.int64))
+            h_l.append(np.frombuffer(b"".join(blobs), dtype=np.uint64))
+        if not ids_l:
+            return schema.empty_table()
+        bref = ray.put((np.concatenate(h_l), np.concatenate(n_l),
+                        np.concatenate(ids_l)))
+        from .multimodal import _default_pool
+        probes = sets.map_batches(
+            _NgramProbe, batch_format="pyarrow",
+            fn_constructor_args=(bref, thr_micro, id_col),
+            concurrency=_default_pool(), max_restarts=0)
+        return collect_typed(probes, schema)
 
-    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                        ("jac_micro", pa.int64())])
-    return collect_typed(ds.map_batches(kernel, batch_format="pyarrow"),
-                         schema)
+    # over-cap: partition-pair banding over the hash-set blobs
+    P = int(np.ceil(n / max_broadcast_docs))
+
+    def replicate(bt: pa.Table) -> pa.Table:
+        ids = bt.column(id_col).to_numpy().astype(np.int64)
+        part = ((ids.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(2**32)).astype(np.int64) % P
+        reps = []
+        for q in range(P):
+            lo = np.minimum(part, q)
+            hi = np.maximum(part, q)
+            reps.append(pa.table({
+                id_col: bt.column(id_col), "_set": bt.column("_set"),
+                "_part": pa.array(part), "_pk": pa.array(lo * P + hi)}))
+        return pa.concat_tables(reps).combine_chunks()
+
+    def unpack(g: pa.Table, mask=None):
+        sub = g.filter(pa.array(mask)) if mask is not None else g
+        blobs = sub.column("_set").to_pylist()
+        ids = sub.column(id_col).to_numpy().astype(np.int64)
+        npd = np.array([len(x) // 8 for x in blobs], np.int64)
+        H = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        off = np.concatenate([[0], np.cumsum(npd)])
+        return H, off, npd, ids
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        pk = int(g.column("_pk")[0].as_py())
+        i, j = pk // P, pk % P
+        part = g.column("_part").to_numpy()
+        if i == j:
+            H, off, npd, ids = unpack(g)
+            Hs, doc_g = _sort_hashsets(H, npd)
+            return _pairs_table(*_hashset_cross_pairs(
+                Hs, doc_g, npd, ids, H, off, ids, thr_micro))
+        Ha, offa, na, ia = unpack(g, part == i)
+        Hb, offb, nb, ib = unpack(g, part == j)
+        # cross pairs only — within-band pairs belong to their (i, i)
+        # bucket; both orderings are covered because the kernel enforces
+        # batch_id < ref_id and is run in both directions
+        sa, da = _sort_hashsets(Ha, na)
+        sb, db = _sort_hashsets(Hb, nb)
+        t1 = _pairs_table(*_hashset_cross_pairs(sa, da, na, ia,
+                                                Hb, offb, ib, thr_micro))
+        t2 = _pairs_table(*_hashset_cross_pairs(sb, db, nb, ib,
+                                                Ha, offa, ia, thr_micro))
+        return pa.concat_tables([t1, t2]).combine_chunks()
+
+    rep = sets.map_batches(replicate, batch_format="pyarrow")
+    return collect_typed(
+        rep.groupby("_pk").map_groups(pair_kernel, batch_format="pyarrow"),
+        schema)
 
 
 def ngram_jaccard_counts(a: bytes, b: bytes, k: int = 3,
@@ -860,38 +997,119 @@ def hamming_near_pairs(sigs, max_hamming: int = 3, id_col: str = "doc_id",
                          Max("truncated", alias_name="truncated"))
 
 
+def _emb_of(bt: pa.Table, emb_col: str) -> np.ndarray:
+    return np.stack(bt.column(emb_col).to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+
+
+def _cos_cross(emb_a, norm_a, ids_a, emb_b, norm_b, ids_b, threshold) \
+        -> pa.Table:
+    """Qualifying ordered pairs (id_a < id_b) between two embedding blocks via
+    one dense matmul.  Self case (a is b) works too: the id inequality drops
+    the diagonal and mirror pairs."""
+    cos = (emb_a @ emb_b.T) / np.maximum(
+        norm_a[:, None] * norm_b[None, :], 1e-300)
+    ii, jj = np.nonzero((cos >= threshold)
+                        & (ids_a[:, None] < ids_b[None, :]))
+    return pa.table({
+        "id_a": pa.array(ids_a[ii], pa.int64()),
+        "id_b": pa.array(ids_b[jj], pa.int64()),
+        "cos_micro": pa.array(np.rint(cos[ii, jj] * 1e6).astype(np.int64))})
+
+
+class _EmbProbe:
+    """Actor-pool probe for the broadcast path: the embedding matrix ships
+    once via ray.put and is fetched once per actor here."""
+
+    def __init__(self, ref, threshold: float, id_col: str, emb_col: str):
+        import ray
+        self.M, self.norms, self.ids_all = ray.get(ref)
+        self.threshold = threshold
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, bt: pa.Table) -> pa.Table:
+        emb = _emb_of(bt, self.emb_col)
+        ids = bt.column(self.id_col).to_numpy().astype(np.int64)
+        return _cos_cross(emb, np.linalg.norm(emb, axis=1), ids,
+                          self.M, self.norms, self.ids_all, self.threshold)
+
+
 def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
-                            emb_col: str = "embedding"):
-    """EXACT pairs with cosine >= threshold: the full matrix is broadcast, each
-    task does a blocked matmul of its batch against it.  This is the oracle
-    baseline (exact, bit-stable); the 100 TB path is
-    embedding_neardup_lsh below, which buckets by sign-bit bands so no task
-    ever sees the whole matrix."""
+                            emb_col: str = "embedding",
+                            max_broadcast_rows: int = 1_000_000):
+    """EXACT pairs with cosine >= threshold — the embedding near-dup oracle
+    baseline.  The oracle semantics are inherently all-pairs (the bounded-
+    recall 100 TB path is embedding_neardup_lsh below), but the full matrix is
+    only ever held when it is measured to be small:
+
+    - n <= max_broadcast_rows: matrix ray.put once, actor POOL fetches it once
+      per actor (__init__), each batch is one blocked matmul against it.
+    - n > max_broadcast_rows: partition-pair banding (STILL exact) — vectors
+      hash into P = ceil(n / max_broadcast_rows) bands, every (i, j) band
+      pair meets in its own groupby bucket, so a task holds at most 2 bands
+      of vectors.  Replication cost is P rows per vector, the standard exact
+      all-pairs exchange bound."""
     import ray
-
-    pdf = ds.select_columns([id_col, emb_col]).to_pandas()
-    M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(M, axis=1)
-    ids_all = pdf[id_col].to_numpy()
-    ref = ray.put((M, norms, ids_all))
-
-    def kernel(bt: pa.Table) -> pa.Table:
-        M_all, n_all, ids_a = ray.get(ref)
-        emb = np.stack(bt.column(emb_col).to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
-        ids = bt.column(id_col).to_numpy()
-        cos = (emb @ M_all.T) / np.maximum(
-            np.linalg.norm(emb, axis=1)[:, None] * n_all[None, :], 1e-300)
-        ii, jj = np.nonzero((cos >= threshold) & (ids[:, None] < ids_a[None, :]))
-        return pa.table({
-            "id_a": pa.array(ids[ii], pa.int64()),
-            "id_b": pa.array(ids_a[jj], pa.int64()),
-            "cos_micro": pa.array(np.rint(cos[ii, jj] * 1e6).astype(np.int64))})
 
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                         ("cos_micro", pa.int64())])
-    return collect_typed(ds.map_batches(kernel, batch_format="pyarrow"),
-                         schema)
+    vecs = ds.select_columns([id_col, emb_col]).materialize()
+    n = vecs.count()
+    if n <= max_broadcast_rows:
+        parts = [b for b in vecs.iter_batches(batch_format="pyarrow",
+                                              batch_size=None) if b.num_rows]
+        if not parts:
+            return schema.empty_table()
+        tbl = pa.concat_tables(parts).combine_chunks()
+        M = _emb_of(tbl, emb_col)
+        ref = ray.put((M, np.linalg.norm(M, axis=1),
+                       tbl.column(id_col).to_numpy().astype(np.int64)))
+        from .multimodal import _default_pool
+        probes = vecs.map_batches(
+            _EmbProbe, batch_format="pyarrow",
+            fn_constructor_args=(ref, threshold, id_col, emb_col),
+            concurrency=_default_pool(), max_restarts=0)
+        return collect_typed(probes, schema)
+
+    # over-cap: partition-pair banding (exact — every pair meets exactly once)
+    P = int(np.ceil(n / max_broadcast_rows))
+
+    def replicate(bt: pa.Table) -> pa.Table:
+        ids = bt.column(id_col).to_numpy().astype(np.int64)
+        part = ((ids.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(2**32)).astype(np.int64) % P
+        reps = []
+        for q in range(P):
+            lo = np.minimum(part, q)
+            hi = np.maximum(part, q)
+            reps.append(pa.table({
+                id_col: bt.column(id_col), emb_col: bt.column(emb_col),
+                "_part": pa.array(part), "_pk": pa.array(lo * P + hi)}))
+        return pa.concat_tables(reps).combine_chunks()
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        pk = int(g.column("_pk")[0].as_py())
+        i, j = pk // P, pk % P
+        part = g.column("_part").to_numpy()
+        ids = g.column(id_col).to_numpy().astype(np.int64)
+        emb = _emb_of(g, emb_col)
+        norms = np.linalg.norm(emb, axis=1)
+        if i == j:
+            return _cos_cross(emb, norms, ids, emb, norms, ids, threshold)
+        ma, mb = part == i, part == j
+        # cross pairs only — within-band pairs belong to their (i, i) bucket;
+        # both orderings are covered because _cos_cross enforces id_a < id_b
+        # and is run in both directions
+        t1 = _cos_cross(emb[ma], norms[ma], ids[ma],
+                        emb[mb], norms[mb], ids[mb], threshold)
+        t2 = _cos_cross(emb[mb], norms[mb], ids[mb],
+                        emb[ma], norms[ma], ids[ma], threshold)
+        return pa.concat_tables([t1, t2]).combine_chunks()
+
+    rep = vecs.map_batches(replicate, batch_format="pyarrow")
+    return collect_typed(
+        rep.groupby("_pk").map_groups(pair_kernel, batch_format="pyarrow"),
+        schema)
 
 
 def embedding_neardup_lsh(ds, threshold: float, id_col: str = "vec_id",

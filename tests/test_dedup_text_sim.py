@@ -654,3 +654,65 @@ class TestConnectedComponents:
         dist = connected_components(rd.from_arrow(t), small_limit=0) \
             .to_pandas().sort_values("node").reset_index(drop=True)
         assert loc.equals(dist)
+
+
+class TestNgramOverCapBanding:
+    def test_over_cap_banding_agrees(self, ray_session):
+        """n > max_broadcast_docs forces the partition-pair banding path for
+        ngram_jaccard_pairs; it must produce exactly the broadcast path's
+        pairs (no dup, no miss)."""
+        import ray.data as rd
+        from dggsray.ops.dedup import ngram_jaccard_pairs
+        rng = np.random.default_rng(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "eta", "theta"]
+        texts = [" ".join(rng.choice(vocab, rng.integers(2, 9)))
+                 for _ in range(80)]
+        texts[13] = texts[11]                     # planted exact dup
+        texts[5] = ""                             # zero-bigram doc
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        cols = ["id_a", "id_b", "jac_micro"]
+        ref = ngram_jaccard_pairs(ds, 0.5).to_pandas() \
+            .sort_values(cols).reset_index(drop=True)
+        banded = ngram_jaccard_pairs(ds, 0.5, max_broadcast_docs=16) \
+            .to_pandas().sort_values(cols).reset_index(drop=True)
+        assert len(ref) > 0
+        assert (11, 13) in set(zip(ref.id_a, ref.id_b))
+        assert ref[cols].values.tolist() == banded[cols].values.tolist()
+
+    def test_zero_threshold_rejected(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from dggsray.ops.dedup import ngram_jaccard_pairs
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                     "text": pa.array(["a b"], pa.string())}))
+        with pytest.raises(ValueError, match="threshold"):
+            ngram_jaccard_pairs(ds, 0.0)
+
+
+class TestEmbeddingOverCapBanding:
+    def test_over_cap_banding_agrees(self, ray_session):
+        """n > max_broadcast_rows forces the partition-pair banding path for
+        embedding_neardup_pairs; it is STILL exact — identical pair set and
+        cos_micro values as the broadcast path."""
+        import ray.data as rd
+        from dggsray.ops.dedup import embedding_neardup_pairs
+        rng = np.random.default_rng(13)
+        M = rng.standard_normal((120, 16))
+        for src, dst in [(10, 50), (20, 60), (30, 115)]:
+            M[dst] = M[src] + rng.standard_normal(16) * 0.01
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(M)), pa.int64()),
+            "embedding": pa.array([list(r) for r in M],
+                                  pa.list_(pa.float32()))}))
+        cols = ["id_a", "id_b", "cos_micro"]
+        ref = embedding_neardup_pairs(ds, threshold=0.95).to_pandas() \
+            .sort_values(cols).reset_index(drop=True)
+        banded = embedding_neardup_pairs(ds, threshold=0.95,
+                                         max_broadcast_rows=32) \
+            .to_pandas().sort_values(cols).reset_index(drop=True)
+        pairs = set(zip(ref.id_a, ref.id_b))
+        assert {(10, 50), (20, 60), (30, 115)} <= pairs
+        assert ref[cols].values.tolist() == banded[cols].values.tolist()

@@ -25,7 +25,7 @@ def canon(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     import duckdb
     import pandas as pd
     import ray
@@ -45,6 +45,8 @@ def main(sf_dir: str):
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = E.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -79,4 +81,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+         sys.argv[2:] or None)
