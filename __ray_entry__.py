@@ -18,6 +18,7 @@ from dggsray.pipelines import relational as R
 
 _RES_ENC = 4
 _RES_AGG_FINE, _RES_AGG_COARSE = 4, 2
+_RES_ROLLUP_MIN = 1      # rollup emits resolutions [_RES_ROLLUP_MIN, FINE]
 _RES_JOIN = 3
 _RES_MAJ = 2
 
@@ -100,7 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q6_revenue": R.lineitem_q6_revenue,
         "docs_bigram_topk": R.docs_bigram_topk,
         "docs_duplicate_spans": R.docs_duplicate_spans,
-        "cell_rollup_customer": R.cell_rollup_customer,
+        "cell_rollup_customer": lambda d: R.cell_rollup_customer(
+            d, res_fine=_RES_AGG_FINE, res_min=_RES_ROLLUP_MIN),
         "shipping_priority_q3": R.shipping_priority_q3,
         "events_cohort_retention": R.events_cohort_retention,
         "orders_delayed_by_priority": R.orders_delayed_by_priority,
@@ -602,8 +604,10 @@ def oracle_sql() -> dict[str, str]:
             "substr(cell, 1, r.res + 1) AS cell, "
             "CAST(SUM(cents) AS BIGINT) AS bal_cents, "
             "COUNT(*) AS n_customers "
-            f"FROM base, (VALUES (1), (2), (3), ({_RES_AGG_FINE})) "
-            "AS r(res) GROUP BY 1, 2",
+            "FROM base, (VALUES "
+            + ", ".join(f"({r})" for r in
+                        range(_RES_ROLLUP_MIN, _RES_AGG_FINE + 1))
+            + ") AS r(res) GROUP BY 1, 2",
         "shipping_priority_q3":
             "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, "
             "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "

@@ -596,6 +596,11 @@ class NetCDF4:
                     a, ln = struct.unpack_from("<QQ", self.buf, body)
                     if self.buf[a:a + 4] != b"OCHK":
                         raise ValueError("bad OCHK continuation block")
+                    cstored, = struct.unpack_from("<I", self.buf, a + ln - 4)
+                    if cstored != jenkins_lookup3(
+                            bytes(self.buf[a:a + ln - 4])):
+                        raise ValueError("OCHK continuation checksum "
+                                         "mismatch")
                     spans.append((a + 4, a + ln - 4))   # sig + checksum
                 else:
                     yield mtype, body, msize
@@ -704,16 +709,43 @@ class NetCDF4:
                 else:
                     raise NotImplementedError(f"layout class {cls}")
             elif mtype == _M_FILTERS:
+                pver = self.buf[body]
                 nf = self.buf[body + 1]
-                p = body + 8
-                for _ in range(nf):
-                    fid, nlen, _fl, ncd = struct.unpack_from(
-                        "<HHHH", self.buf, p)
-                    p += 8 + nlen + (-nlen % 8)
-                    cd = tuple(struct.unpack_from(
-                        "<I", self.buf, p + 4 * i)[0] for i in range(ncd))
-                    p += 4 * ncd + (4 if ncd % 2 else 0)
-                    d.filters.append((fid, cd))
+                if pver == 1:
+                    # v1: 6 reserved bytes; names padded to 8; odd
+                    # client-value counts pad to a 4-byte tail
+                    p = body + 8
+                    for _ in range(nf):
+                        fid, nlen, _fl, ncd = struct.unpack_from(
+                            "<HHHH", self.buf, p)
+                        p += 8 + nlen + (-nlen % 8)
+                        cd = tuple(struct.unpack_from(
+                            "<I", self.buf, p + 4 * i)[0]
+                            for i in range(ncd))
+                        p += 4 * ncd + (4 if ncd % 2 else 0)
+                        d.filters.append((fid, cd))
+                elif pver == 2:
+                    # v2 (latest bounds): no reserved bytes; standard
+                    # filters (id < 256) carry NO name-length field; no
+                    # name or client-value padding
+                    p = body + 2
+                    for _ in range(nf):
+                        fid, = struct.unpack_from("<H", self.buf, p)
+                        p += 2
+                        nlen = 0
+                        if fid >= 256:
+                            nlen, = struct.unpack_from("<H", self.buf, p)
+                            p += 2
+                        _fl, ncd = struct.unpack_from("<HH", self.buf, p)
+                        p += 4 + nlen
+                        cd = tuple(struct.unpack_from(
+                            "<I", self.buf, p + 4 * i)[0]
+                            for i in range(ncd))
+                        p += 4 * ncd
+                        d.filters.append((fid, cd))
+                else:
+                    raise NotImplementedError(
+                        f"filter pipeline message v{pver}")
             elif mtype == _M_ATTRIBUTE:
                 n, v = self._parse_attr(body)
                 d.attrs[n] = v

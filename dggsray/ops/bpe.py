@@ -87,9 +87,11 @@ def pair_counts(tok: np.ndarray, off: np.ndarray):
 
 
 def _seg_to_list(tok: np.ndarray, off: np.ndarray) -> pa.Table:
-    """Concatenated tokens + doc offsets -> one list<int32> row per doc."""
-    return pa.table({"tokens": pa.ListArray.from_arrays(
-        pa.array(off, pa.int32()), pa.array(tok, pa.int32()))})
+    """Concatenated tokens + doc offsets -> one large_list<int32> row per doc.
+    int64 offsets so a block's TOTAL token count is not capped at 2^31 (the
+    per-token vocab-id domain stays int32)."""
+    return pa.table({"tokens": pa.LargeListArray.from_arrays(
+        pa.array(off, pa.int64()), pa.array(tok, pa.int32()))})
 
 
 def _seg_from_list(bt: pa.Table):

@@ -1149,6 +1149,11 @@ def images_verify_invariant(sf_dir: str):
         # amortizes Python dispatch while keeping every temp cache-resident
         for (w0, h0) in {(int(ws[k]), int(hs[k])) for k in range(n)}:
             sel = np.nonzero((ws == w0) & (hs == h0))[0]
+            # a corrupted row whose decode yields the wrong shape must fail
+            # ITS OWN pixels_ok flag, not crash the whole task's np.stack
+            sel = np.array([k for k in sel
+                            if imgs[int(k)].shape == (h0, w0, 3)],
+                           dtype=np.int64)
             for s in range(0, sel.size, 16):
                 sub = sel[s:s + 16]
                 ref = _pixels_batch(nums[sub], w0, h0)
