@@ -84,12 +84,9 @@ def open_raster(path: str) -> GeoTiff:
         from .jpegio import read_jpeg_raster
         g, _srs = read_jpeg_raster(f)
         return g
-    if f.lower().endswith(".jp2"):
-        raise NotImplementedError(
-            "JPEG2000 is deliberately unsupported: no reference test "
-            "exercises it and no ground truth exists here to validate a "
-            "from-scratch EBCOT decoder (see module docstring); convert "
-            "to GeoTIFF upstream")
+    if f.lower().endswith((".jp2", ".j2k")):
+        from .jp2io import read_jp2_raster
+        return read_jp2_raster(f)
     return read_geotiff(f)
 
 

@@ -154,8 +154,9 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def read_geotiff(path: str) -> GeoTiff:
-    d = open(path, "rb").read()
+def parse_tiff_tags(d: bytes) -> dict:
+    """Tag dict of a little-endian TIFF byte buffer (first IFD only) — shared
+    by read_geotiff and the GeoJP2 degenerate-GeoTIFF reader in jp2io."""
     assert d[:2] == b"II", "only little-endian TIFFs supported"
     bo = "<"
     off = struct.unpack(bo + "I", d[4:8])[0]
@@ -185,6 +186,25 @@ def read_geotiff(path: str) -> GeoTiff:
             tags[tag] = struct.unpack(f"{bo}{cnt}{fmt}", raw)
         else:
             tags[tag] = raw
+    return tags
+
+
+def geokeys_from_tags(tags: dict) -> dict | None:
+    """SHORT-valued GeoKeys from a parsed GeoKeyDirectoryTag, or None."""
+    if 34735 not in tags:
+        return None
+    gk = tags[34735]
+    geokeys = {}
+    for i in range(gk[3] if len(gk) >= 4 else 0):
+        kid, loc, cnt, val = gk[4 + i * 4: 8 + i * 4]
+        if loc == 0:
+            geokeys[kid] = val
+    return geokeys
+
+
+def read_geotiff(path: str) -> GeoTiff:
+    d = open(path, "rb").read()
+    tags = parse_tiff_tags(d)
     w, h = tags[256][0], tags[257][0]
     bands = tags.get(277, (1,))[0]
     bits = tags.get(258, (8,) * bands)[0]
@@ -234,16 +254,11 @@ def read_geotiff(path: str) -> GeoTiff:
     ascii_tags = {}
     if 42112 in tags:
         ascii_tags["GDAL_METADATA"] = tags[42112]
-    if 34735 in tags:
-        # GeoKeyDirectoryTag: (version, rev, minor, n) then n 4-SHORT entries
-        # (keyid, location, count, value); SHORT-valued keys live inline
-        # (location 0) — enough for the EPSG model/CS codes auto-CRS needs
-        gk = tags[34735]
-        geokeys = {}
-        for i in range(gk[3] if len(gk) >= 4 else 0):
-            kid, loc, cnt, val = gk[4 + i * 4: 8 + i * 4]
-            if loc == 0:
-                geokeys[kid] = val
+    # GeoKeyDirectoryTag: (version, rev, minor, n) then n 4-SHORT entries
+    # (keyid, location, count, value); SHORT-valued keys live inline
+    # (location 0) — enough for the EPSG model/CS codes auto-CRS needs
+    geokeys = geokeys_from_tags(tags)
+    if geokeys is not None:
         ascii_tags["geokeys"] = geokeys
     return GeoTiff(np.ascontiguousarray(data), left, top, res_x, res_y, nodata,
                    ascii_tags)
