@@ -15,14 +15,18 @@ Supported surface — BOTH libhdf5 dialects netCDF-4 files come in:
   continuations, validated), compact Link-Info/Link-message groups,
   version-3 attributes, version-2 dataspaces.
 Shared across both: contiguous and chunked (B-tree v1 indexed) dataset
-layouts, deflate + shuffle filters, fixed-point / float / string
-datatypes, and the netCDF-4 dimension conventions
-(CLASS="DIMENSION_SCALE" coordinate variables referenced from data
-variables' DIMENSION_LIST vlen-of-object-reference attributes via the
-global heap).  Out of scope, raising a clear error naming the feature:
-dense link storage (fractal heaps), layout v4 chunk indexes
-(fixed/extensible arrays — what latest-bounds libhdf5 uses for NEW
-chunked datasets), and non-hard links.
+layouts, deflate + shuffle filters (pipeline message v1 and v2),
+fixed-point / float / string datatypes, and the netCDF-4 dimension
+conventions (CLASS="DIMENSION_SCALE" coordinate variables referenced from
+data variables' DIMENSION_LIST vlen-of-object-reference attributes via the
+global heap).  Latest-bounds NEW chunked datasets use version-4 data
+layout messages — supported chunk indexes: single chunk (type 1, incl.
+the filtered-single-chunk flag), implicit (type 2), and fixed array
+(type 3: FAHD header + unpaged FADB data block, both Jenkins-checksummed
+and validated on read).  Out of scope, raising a clear error naming the
+feature: dense link storage (fractal heaps), extensible-array and
+v2-B-tree chunk indexes (unlimited dimensions), paged fixed-array data
+blocks (> 2^page_bits chunks), and non-hard links.
 
 The writer exists to synthesize test fixtures (no HDF5 library can create
 them here) and emits both dialects, so every reader branch is exercised;
@@ -239,10 +243,56 @@ def _scalar_attr_data(dt: np.dtype, value) -> bytes:
     return np.asarray(value, dtype=dt).tobytes()
 
 
+def _emit_v4_index(w: _W, blobs, arr, cshape, compress) -> bytes:
+    """Chunk data + a version-4 layout message body: single-chunk index when
+    the grid is one chunk (libhdf5's choice), else a fixed-array index
+    (FAHD + unpaged FADB, both Jenkins-checksummed)."""
+    chunk_addrs = [w.add(raw) for _c, raw in blobs]
+    ndims = arr.ndim + 1                    # + element-size dim, as libhdf5
+    dims = tuple(cshape) + (arr.itemsize,)
+    head = struct.pack("<BBBBB", 4, 2, 0x02 if (compress and
+                                                len(blobs) == 1) else 0,
+                       ndims, 8)
+    for v in dims:
+        head += struct.pack("<Q", v)
+    if len(blobs) == 1:
+        body = head + struct.pack("<B", 1)  # single-chunk index
+        if compress:
+            body += struct.pack("<QI", len(blobs[0][1]), 0)
+        return body + struct.pack("<Q", chunk_addrs[0])
+    pbits = 10                              # libhdf5 default page size 2^10
+    if len(blobs) > (1 << pbits):
+        raise NotImplementedError(
+            "fixture writer: paged fixed-array data blocks")
+    if compress:
+        cbytes = max(len(raw) for _c, raw in blobs)
+        szlen = (max(cbytes, 1).bit_length() + 7) // 8
+        entsize = 8 + szlen + 4
+        client = 1
+    else:
+        entsize, client = 8, 0
+    fahd_at = w.tell()
+    fadb_at = fahd_at + 28
+    fahd = b"FAHD" + struct.pack("<BBBBQQ", 0, client, entsize, pbits,
+                                 len(blobs), fadb_at)
+    fahd += struct.pack("<I", jenkins_lookup3(fahd))
+    fadb = b"FADB" + struct.pack("<BBQ", 0, client, fahd_at)
+    for (_c, raw), a in zip(blobs, chunk_addrs):
+        fadb += struct.pack("<Q", a)
+        if client == 1:
+            fadb += len(raw).to_bytes(szlen, "little")
+            fadb += struct.pack("<I", 0)    # filter mask
+    fadb += struct.pack("<I", jenkins_lookup3(fadb))
+    w.add(fahd + fadb)
+    return head + struct.pack("<BB", 3, pbits) + struct.pack("<Q", fahd_at)
+
+
 def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
-                          msgs: list, mk):
-    """Write the array's bytes (contiguous or chunked+filtered with a
-    B-tree v1 index) and append the filter/layout messages via `mk`."""
+                          msgs: list, mk, chunk_index: str = "btree1"):
+    """Write the array's bytes (contiguous or chunked+filtered) and append
+    the filter/layout messages via `mk`.  chunk_index: "btree1" (layout v3,
+    the dialect-shared index) or "v4" (layout v4: single-chunk or
+    fixed-array index, what latest-bounds libhdf5 writes)."""
     if arr.ndim >= 2:
         cy, cx = chunks or (min(arr.shape[-2], 16), min(arr.shape[-1], 16))
         cshape = arr.shape[:-2] + (cy, cx)
@@ -269,6 +319,10 @@ def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
                 raw = _shuffle(raw, arr.itemsize)
                 raw = zlib.compress(raw, 6)
             blobs.append((c, raw))
+        if chunk_index == "v4":
+            msgs.append(mk(_M_LAYOUT,
+                           _emit_v4_index(w, blobs, arr, cshape, compress)))
+            return
         chunk_addrs = [w.add(raw) for _c, raw in blobs]
         bt = struct.pack("<4sBBHQQ", b"TREE", 1, 0, len(blobs),
                          _UNDEF, _UNDEF)
@@ -299,7 +353,8 @@ def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
 def write_netcdf4(path: str, variables: dict, dims: dict,
                   global_attrs: dict | None = None,
                   chunks: tuple[int, int] | None = None,
-                  compress: bool = True, libver: str = "earliest"):
+                  compress: bool = True, libver: str = "earliest",
+                  chunk_index: str = "btree1"):
     """Write a NetCDF-4 (HDF5) file.
 
     variables: name -> (np.ndarray, dim_name_tuple, attr_dict); 1D variables
@@ -320,6 +375,11 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
     """
     if libver not in ("earliest", "latest"):
         raise ValueError(f"libver {libver!r}")
+    if chunk_index not in ("btree1", "v4"):
+        raise ValueError(f"chunk_index {chunk_index!r}")
+    if chunk_index == "v4" and libver != "latest":
+        raise ValueError("layout-v4 chunk indexes require libver='latest' "
+                         "(libhdf5 only writes them under latest bounds)")
     V2 = libver == "latest"
     mk = _msg2 if V2 else _msg
     w = _W()
@@ -356,7 +416,8 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
         msgs = [mk(_M_DATASPACE, _dataspace_body(arr.shape, V2)),
                 mk(_M_DATATYPE, _encode_dtype(arr.dtype)),
                 mk(_M_FILLVALUE, struct.pack("<BBBB", 2, 1, 0, 0))]
-        _emit_data_and_layout(w, arr, chunks, compress, msgs, mk)
+        _emit_data_and_layout(w, arr, chunks, compress, msgs, mk,
+                              chunk_index)
         if n in dims:
             msgs.append(amsg("CLASS", _encode_string_dtype(16),
                              _dataspace_body((), V2),
@@ -694,18 +755,20 @@ class NetCDF4:
                 d.dtype, _u = _decode_dtype(self.buf, body)
             elif mtype == _M_LAYOUT:
                 ver, cls = self.buf[body], self.buf[body + 1]
-                if ver != 3:
+                if ver not in (3, 4):
                     raise NotImplementedError(f"layout v{ver}")
                 if cls == 1:
                     a, sz = struct.unpack_from("<QQ", self.buf, body + 2)
                     d.layout = ("contiguous", a, sz)
-                elif cls == 2:
+                elif cls == 2 and ver == 3:
                     dim1 = self.buf[body + 2]
                     bt, = struct.unpack_from("<Q", self.buf, body + 3)
                     cs = tuple(struct.unpack_from(
                         "<I", self.buf, body + 11 + 4 * i)[0]
                         for i in range(dim1 - 1))
                     d.layout = ("chunked", bt, cs)
+                elif cls == 2:
+                    d.layout = self._parse_layout_v4(body)
                 else:
                     raise NotImplementedError(f"layout class {cls}")
             elif mtype == _M_FILTERS:
@@ -749,6 +812,94 @@ class NetCDF4:
             elif mtype == _M_ATTRIBUTE:
                 n, v = self._parse_attr(body)
                 d.attrs[n] = v
+
+    def _parse_layout_v4(self, body: int):
+        """Version-4 chunked data layout (what latest-bounds libhdf5 writes
+        for NEW chunked datasets).  Chunk dims include libhdf5's trailing
+        element-size dimension.  Index types: 1 single chunk, 2 implicit,
+        3 fixed array; extensible arrays (unlimited dims) and v2 B-trees
+        stay out of scope and raise naming themselves."""
+        flags = self.buf[body + 2]
+        ndims = self.buf[body + 3]
+        encs = self.buf[body + 4]
+        p = body + 5
+        dims = []
+        for _ in range(ndims):
+            dims.append(int.from_bytes(self.buf[p:p + encs], "little"))
+            p += encs
+        cshape = tuple(dims[:-1])            # drop the element-size dim
+        idx_type = self.buf[p]
+        p += 1
+        if idx_type == 1:                    # single chunk
+            fsize = None
+            if flags & 0x02:                 # filtered single chunk
+                fsize, = struct.unpack_from("<Q", self.buf, p)
+                p += 12                      # size (8) + filter mask (4)
+            addr, = struct.unpack_from("<Q", self.buf, p)
+            return ("single", addr, cshape, fsize)
+        if idx_type == 2:                    # implicit (unfiltered, dense)
+            addr, = struct.unpack_from("<Q", self.buf, p)
+            return ("implicit", addr, cshape)
+        if idx_type == 3:                    # fixed array
+            p += 1                           # max data-block page bits
+            addr, = struct.unpack_from("<Q", self.buf, p)
+            return ("farray", addr, cshape)
+        raise NotImplementedError(
+            "layout v4 chunk index type "
+            f"{ {4: 'extensible array', 5: 'v2 B-tree'}.get(idx_type, idx_type) }")
+
+    def _grid_coords(self, shape, cshape):
+        """Chunk-grid origins in row-major (linear fixed-array) order."""
+        grid = [range(0, s, c) for s, c in zip(shape, cshape)]
+        coords = [()]
+        for axis in grid:
+            coords = [c + (o,) for c in coords for o in axis]
+        return coords
+
+    def _walk_fixed_array(self, at: int, shape, cshape, itemsize: int):
+        """Fixed-array chunk index (FAHD header + FADB data block, III.G):
+        checksum-validated, unpaged blocks (our fixture scale; libhdf5 pages
+        above 2^page_bits entries)."""
+        if self.buf[at:at + 4] != b"FAHD":
+            raise ValueError("fixed array header signature")
+        ver, client, entsize, pbits = struct.unpack_from(
+            "<BBBB", self.buf, at + 4)
+        if ver != 0:
+            raise NotImplementedError(f"fixed array header v{ver}")
+        nelmts, dblk = struct.unpack_from("<QQ", self.buf, at + 8)
+        stored, = struct.unpack_from("<I", self.buf, at + 24)
+        if stored != jenkins_lookup3(bytes(self.buf[at:at + 24])):
+            raise ValueError("fixed array header checksum mismatch")
+        if nelmts > (1 << pbits):
+            raise NotImplementedError(
+                "paged fixed-array data block "
+                f"({nelmts} entries > 2^{pbits} page size)")
+        if self.buf[dblk:dblk + 4] != b"FADB":
+            raise ValueError("fixed array data block signature")
+        dver, dclient = struct.unpack_from("<BB", self.buf, dblk + 4)
+        if dver != 0 or dclient != client:
+            raise ValueError("fixed array data block version/client")
+        p = dblk + 14                        # sig + ver + client + hdr addr
+        end = p + nelmts * entsize
+        stored, = struct.unpack_from("<I", self.buf, end)
+        if stored != jenkins_lookup3(bytes(self.buf[dblk:end])):
+            raise ValueError("fixed array data block checksum mismatch")
+        coords = self._grid_coords(shape, cshape)
+        if len(coords) != nelmts:
+            raise ValueError(
+                f"fixed array has {nelmts} entries for {len(coords)} chunks")
+        cbytes = int(np.prod(cshape)) * itemsize
+        for c in coords:
+            addr = int.from_bytes(self.buf[p:p + 8], "little")
+            if client == 1:                  # filtered: addr + size + mask
+                szlen = entsize - 12
+                nbytes = int.from_bytes(self.buf[p + 8:p + 8 + szlen],
+                                        "little")
+            else:
+                nbytes = cbytes
+            p += entsize
+            if addr != _UNDEF:
+                yield c, addr, nbytes
 
     def _parse_attr(self, body: int):
         ver = self.buf[body]
@@ -833,11 +984,31 @@ class NetCDF4:
             n = int(np.prod(d.shape)) if d.shape else 1
             return np.frombuffer(self.buf, d.dtype, count=n,
                                  offset=a).reshape(d.shape).copy()
-        _k, bt, cshape = d.layout
+        kind = d.layout[0]
+        if kind == "chunked":
+            _k, bt, cshape = d.layout
+            # b-tree keys carry rank+1 offsets (trailing element offset)
+            chunks = self._walk_chunk_btree(bt, len(cshape) + 1)
+        elif kind == "single":
+            _k, addr, cshape, fsize = d.layout
+            nb = fsize if fsize is not None \
+                else int(np.prod(cshape)) * d.dtype.itemsize
+            chunks = [((0,) * len(cshape), addr, nb)] \
+                if addr != _UNDEF else []
+        elif kind == "implicit":
+            _k, base, cshape = d.layout
+            cb = int(np.prod(cshape)) * d.dtype.itemsize
+            chunks = [(c, base + i * cb, cb) for i, c in
+                      enumerate(self._grid_coords(d.shape, cshape))] \
+                if base != _UNDEF else []
+        elif kind == "farray":
+            _k, at, cshape = d.layout
+            chunks = self._walk_fixed_array(at, d.shape, cshape,
+                                            d.dtype.itemsize)
+        else:
+            raise NotImplementedError(f"layout kind {kind}")
         out = np.zeros(d.shape, d.dtype)
-        # b-tree keys carry rank+1 offsets (trailing element offset)
-        for coords, addr, nbytes in self._walk_chunk_btree(
-                bt, len(cshape) + 1):
+        for coords, addr, nbytes in chunks:
             raw = self.buf[addr:addr + nbytes]
             for fid, cd in reversed(d.filters):
                 if fid == _FILTER_DEFLATE:

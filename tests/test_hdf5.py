@@ -79,11 +79,14 @@ class TestRoundtripProperty:
                st.integers(1, 17), st.integers(1, 17),
                st.sampled_from(["i1", "i2", "i4", "i8", "u2", "f4", "f8"]),
                st.booleans(), st.sampled_from(["earliest", "latest"]),
+               st.sampled_from(["btree1", "v4"]),
                st.randoms(use_true_random=False))
-        def prop(ny, nx, cy, cx, dt, compress, libver, rnd):
+        def prop(ny, nx, cy, cx, dt, compress, libver, chunk_index, rnd):
             box["i"] += 1
             p = str(tmp_path / f"p{box['i']}.nc")
             rng = np.random.default_rng(rnd.randrange(2**31))
+            if chunk_index == "v4":
+                libver = "latest"    # libhdf5 ties layout v4 to latest bounds
             if dt.startswith("f"):
                 arr = rng.standard_normal((ny, nx)).astype(dt)
             else:
@@ -97,7 +100,8 @@ class TestRoundtripProperty:
                                     ("x",), {})},
                           dims={"y": ny, "x": nx},
                           chunks=(min(cy, ny), min(cx, nx)),
-                          compress=compress, libver=libver)
+                          compress=compress, libver=libver,
+                          chunk_index=chunk_index)
             nc = NetCDF4(p)
             assert np.array_equal(nc.read("v"), arr)
             assert nc.variables["v"].dim_names == ("y", "x")
@@ -251,3 +255,98 @@ class TestRasterView:
         assert np.array_equal(a.data, b.data)
         assert (a.left, a.top, a.res_x, a.res_y) == \
             (b.left, b.top, b.res_x, b.res_y)
+
+
+class TestLayoutV4:
+    """Version-4 data-layout chunk indexes — what latest-bounds libhdf5
+    writes for NEW chunked datasets (the round-3 'latest dialect' support
+    only covered re-written files with v1 B-tree indexes)."""
+
+    def _v4(self, path, **kw):
+        return _fixture(path, libver="latest", **{"chunks": (16, 16),
+                                                  "compress": True, **kw})
+
+    def test_fixed_array_filtered(self, tmp_path):
+        p = tmp_path / "fa.nc"
+        data, _lat, _lon = self._v4(p)
+        # rewrite with v4 index
+        write_netcdf4(str(p), {"sce": (data, ("lat", "lon"), {}),
+                               "lat": (np.arange(37.), ("lat",), {}),
+                               "lon": (np.arange(53.), ("lon",), {})},
+                      dims={"lat": 37, "lon": 53}, chunks=(16, 16),
+                      compress=True, libver="latest", chunk_index="v4")
+        nc = NetCDF4(str(p))
+        assert nc.variables["sce"].layout[0] == "farray"
+        assert np.array_equal(nc.read("sce"), data)
+
+    def test_fixed_array_unfiltered(self, tmp_path):
+        p = str(tmp_path / "fu.nc")
+        arr = np.arange(23 * 31, dtype=np.int32).reshape(23, 31)
+        write_netcdf4(p, {"v": (arr, ("y", "x"), {}),
+                          "y": (np.arange(23.), ("y",), {}),
+                          "x": (np.arange(31.), ("x",), {})},
+                      dims={"y": 23, "x": 31}, chunks=(8, 8),
+                      compress=False, libver="latest", chunk_index="v4")
+        nc = NetCDF4(p)
+        assert nc.variables["v"].layout[0] == "farray"
+        assert np.array_equal(nc.read("v"), arr)
+
+    @pytest.mark.parametrize("compress", [True, False])
+    def test_single_chunk_index(self, tmp_path, compress):
+        p = str(tmp_path / "sc.nc")
+        arr = np.arange(9 * 11, dtype=np.int16).reshape(9, 11)
+        write_netcdf4(p, {"v": (arr, ("y", "x"), {}),
+                          "y": (np.arange(9.), ("y",), {}),
+                          "x": (np.arange(11.), ("x",), {})},
+                      dims={"y": 9, "x": 11}, chunks=(9, 11),
+                      compress=compress, libver="latest", chunk_index="v4")
+        nc = NetCDF4(p)
+        assert nc.variables["v"].layout[0] == "single"
+        assert np.array_equal(nc.read("v"), arr)
+
+    def test_corrupt_fixed_array_checksum_is_loud(self, tmp_path):
+        p = str(tmp_path / "cc.nc")
+        arr = np.arange(20 * 20, dtype=np.int32).reshape(20, 20)
+        write_netcdf4(p, {"v": (arr, ("y", "x"), {}),
+                          "y": (np.arange(20.), ("y",), {}),
+                          "x": (np.arange(20.), ("x",), {})},
+                      dims={"y": 20, "x": 20}, chunks=(8, 8),
+                      compress=False, libver="latest", chunk_index="v4")
+        buf = bytearray(open(p, "rb").read())
+        at = bytes(buf).find(b"FADB")
+        buf[at + 20] ^= 0xFF                 # flip an element byte
+        open(p, "wb").write(bytes(buf))
+        nc = NetCDF4(p)
+        with pytest.raises(ValueError, match="checksum"):
+            nc.read("v")
+
+    def test_v4_requires_latest(self, tmp_path):
+        with pytest.raises(ValueError, match="latest"):
+            write_netcdf4(str(tmp_path / "x.nc"),
+                          {"v": (np.zeros((4, 4)), ("y", "x"), {})},
+                          dims={"y": 4, "x": 4}, libver="earliest",
+                          chunk_index="v4")
+
+    def test_v4_to_rhealpix_matches_btree1(self, tmp_path):
+        """Acceptance: the SAME grid written with a fixed-array index and
+        with a v1 B-tree index converts to bit-identical rHEALPix rasters."""
+        from dggsray.core.tiffio import read_geotiff
+        from dggsray.ops.warp import raster_to_rhealpix
+
+        outs = []
+        for idx in ("btree1", "v4"):
+            p = str(tmp_path / f"r_{idx}.nc")
+            rng = np.random.default_rng(11)
+            lat = np.linspace(44.0, 40.0, 30)
+            lon = np.linspace(-2.0, 2.0, 40)
+            data = rng.integers(1, 200, (30, 40)).astype(np.int16)
+            write_netcdf4(p, {"sce": (data, ("lat", "lon"), {}),
+                              "lat": (lat, ("lat",), {}),
+                              "lon": (lon, ("lon",), {})},
+                          dims={"lat": 30, "lon": 40}, chunks=(16, 16),
+                          compress=True, libver="latest", chunk_index=idx)
+            out = str(tmp_path / f"o_{idx}.tif")
+            assert raster_to_rhealpix(p, out, dst_resolution_idx=5) == 5
+            outs.append(read_geotiff(out))
+        assert np.array_equal(outs[0].data, outs[1].data)
+        assert (outs[0].left, outs[0].top) == (outs[1].left, outs[1].top)
