@@ -1,19 +1,15 @@
 """Format dispatch for raster inputs (reference: rasterio/GDAL opens anything;
-here the supported set is GeoTIFF (DEFLATE/PackBits/uncompressed, tiffio),
-NetCDF classic + NetCDF-4/HDF5 subdatasets (netcdfio/hdf5io), ERDAS .img and
-JPEG+world-file — the formats the reference's own test fixtures use).
-GDAL-style subdataset syntax is accepted:
+here the supported set is GeoTIFF (DEFLATE/LZW/PackBits/uncompressed,
+tiffio), NetCDF classic + NetCDF-4/HDF5 subdatasets (netcdfio/hdf5io),
+JPEG2000 + GeoJP2 (jp2io, from-scratch T.800 lossless codec), ERDAS .img
+and JPEG+world-file — every raster format the reference's own test
+fixtures use).  GDAL-style subdataset syntax is accepted:
 
     open_raster("scene.tif")
+    open_raster("ortho.jp2")                      # lossless JP2 + GeoJP2
     open_raster("product.nc")                     # first 2D+ variable
     open_raster('NETCDF:"product.nc":sce500')     # explicit subdataset
     open_raster("product.nc:sce500")              # shorthand
-
-JPEG2000 (the reference's unused 685.jp2 fixture) is deliberately not
-implemented: no reference test converts it, no golden output or external
-decoder exists in this sandbox to validate a from-scratch EBCOT/MQ Tier-1
-decoder against, and an unverifiable wavelet codec is worse than a loud
-gap — open_raster raises on .jp2 naming this decision.
 
 Remote inputs (the reference reads S3 through `rasterio.Env` at
 testing_playground/manual_tests.py:424-427; no network exists in this
@@ -33,6 +29,14 @@ _FILESYSTEMS: dict[str, object] = {}
 def register_filesystem(scheme: str, fetch) -> None:
     """Register `fetch(url) -> local_path` for a URL scheme (e.g. "s3")."""
     _FILESYSTEMS[scheme.lower()] = fetch
+
+
+def localize_path(path: str) -> str:
+    """Resolve a scheme-qualified path (raster, parquet cell table, image
+    table — any engine input) through the registered filesystem.  Local
+    paths pass through untouched; `file://` is stripped; other schemes call
+    the registered fetcher, which may return a file OR directory path."""
+    return _localize(path)
 
 
 def _localize(path: str) -> str:

@@ -63,11 +63,16 @@ def write_cell_table(ds, path: str, meta: dict, fmt: str = "parquet"):
 
 
 def read_cell_table(path: str):
-    """-> (Dataset, meta dict); reads parquet or feather per the sidecar."""
+    """-> (Dataset, meta dict); reads parquet or feather per the sidecar.
+    Scheme-qualified paths (s3://...) resolve through the same
+    register_filesystem seam as rasters — the fetcher localizes the whole
+    table directory."""
     import glob
 
     import ray.data as rd
 
+    from ..core.raster import localize_path
+    path = localize_path(path)
     with open(os.path.join(path, "_meta.json")) as f:
         side = json.load(f)
     meta = side["attrs"]
@@ -97,7 +102,8 @@ def _read_feather(files: list[str]):
 
 def get_parquet_rhpx_metadata(path: str) -> dict:
     """Reference get_gpkg_rhpx_metadata analogue (storage.py:100-113)."""
-    with open(os.path.join(path, "_meta.json")) as f:
+    from ..core.raster import localize_path
+    with open(os.path.join(localize_path(path), "_meta.json")) as f:
         return json.load(f)["attrs"]
 
 

@@ -23,7 +23,9 @@ from ..ops.joins import join_partitions, lowcard_groupby
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..core.raster import localize_path
+    return rd.read_parquet(localize_path(f"{sf_dir}/{table}.parquet"),
+                           columns=columns)
 
 
 def derived_lonlat(keys: np.ndarray):
@@ -2346,17 +2348,15 @@ def lineitem_q6_revenue(sf_dir: str):
                                                    pa.int64()),
                          "n_rows": pa.array([b.num_rows], pa.int64())})
 
-    def final(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "revenue_cents": pa.array(
-                [int(b.column("revenue_cents").to_numpy().sum())],
-                pa.int64()),
-            "n_rows": pa.array([int(b.column("n_rows").to_numpy().sum())],
-                               pa.int64())})
-
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    # merge the tiny per-block partials with an in-plan aggregate — no
+    # repartition shuffle, the partials stream into one reduce
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_rows", alias_name="n_rows"))
+    return pa.table({"revenue_cents": pa.array([int(agg["revenue_cents"])],
+                                               pa.int64()),
+                     "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
 
 
 def docs_bigram_topk(sf_dir: str, k: int = 30):

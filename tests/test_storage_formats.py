@@ -106,3 +106,49 @@ class TestLZW:
         open(p, "wb").write(buf)
         r = read_geotiff(p)
         assert (r.data[0] == a).all()
+
+
+class TestFilesystemSeamParquet:
+    def test_cell_table_and_query_reads_localize(self, ray_session, tmp_path):
+        """The register_filesystem seam covers parquet reads too: a
+        scheme-qualified cell-table directory and a scheme-qualified sf_dir
+        both resolve through the registered fetcher (remote cell tables and
+        image tables share the raster seam)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from dggsray.core import raster as R
+        from dggsray.io.storage import (get_parquet_rhpx_metadata,
+                                        read_cell_table, write_cell_table)
+        from dggsray.pipelines import relational
+
+        cells = rd.from_arrow(pa.table({
+            "cellid": pa.array(["N0", "N1"]),
+            "value": pa.array([1.5, 2.5])}))
+        tbl_dir = str(tmp_path / "cells")
+        write_cell_table(cells, tbl_dir, {"n_side": 3})
+        sf_dir = tmp_path / "sf"
+        sf_dir.mkdir()
+        pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                 "text": pa.array(["a b", "c d"])}),
+                       str(sf_dir / "documents.parquet"))
+        calls = []
+
+        def fetch(url):
+            calls.append(url)
+            return url.split("://", 1)[1]
+
+        R.register_filesystem("mem", fetch)
+        try:
+            ds, meta = read_cell_table(f"mem://{tbl_dir}")
+            assert meta["n_side"] == 3
+            assert sorted(r["cellid"] for r in ds.take_all()) == ["N0", "N1"]
+            assert get_parquet_rhpx_metadata(f"mem://{tbl_dir}") \
+                == {"n_side": 3}
+            out = relational._read(f"mem://{sf_dir}", "documents").take_all()
+            assert len(out) == 2
+            assert any(u.startswith("mem://") for u in calls)
+        finally:
+            R._FILESYSTEMS.pop("mem", None)
