@@ -60,13 +60,19 @@ class ImageFeatures:
             means[k] = img.mean(axis=(0, 1))
             stds[k] = img.std(axis=(0, 1))
             ph[k] = average_phash(img)
-        return pa.table({
+        cols = {
             "image_id": b.column("image_id"),
             "mean_r": pa.array(means[:, 0]), "mean_g": pa.array(means[:, 1]),
             "mean_b": pa.array(means[:, 2]),
             "std_r": pa.array(stds[:, 0]), "std_g": pa.array(stds[:, 1]),
             "std_b": pa.array(stds[:, 2]),
-            "phash": pa.array(ph)})
+            "phash": pa.array(ph)}
+        if "phash" in b.column_names:
+            # the table's phash was computed from the ORIGINAL pixel array
+            # at synthesis; carrying it beside the decoded-image phash gives
+            # downstream a per-row decode invariant for free
+            cols["stored_phash"] = b.column("phash")
+        return pa.table(cols)
 
 
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
@@ -258,8 +264,12 @@ class ImageAugment:
         fv = np.empty(n, dtype=bool)
         shift = np.empty(n, dtype=np.int64)
         ph = np.empty(n, dtype=np.int64)
+        dph = np.empty(n, dtype=np.int64)
         for k in range(n):
             img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
+            # decoded-image phash BEFORE augmentation: compared against the
+            # table's stored phash downstream = the per-row decode invariant
+            dph[k] = average_phash(img)
             h0 = blake2b(ids[k].encode(), digest_size=8).digest()
             fh[k] = bool(h0[0] & 1)
             fv[k] = bool(h0[0] & 2)
@@ -275,6 +285,7 @@ class ImageAugment:
         return pa.table({
             "image_id": b.column("image_id"),
             "orig_phash": b.column("phash"),
+            "decoded_phash": pa.array(dph),
             "w": b.column("w"), "h": b.column("h"),
             "fmt": pa.array(["raw"] * n, pa.string()),
             "bytes": pa.array(out_bytes, pa.binary()),

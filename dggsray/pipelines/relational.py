@@ -447,15 +447,38 @@ def audio_features(sf_dir: str):
                          concurrency=_default_pool(), max_restarts=0)
 
     def fin(b: pa.Table) -> pa.Table:
+        from ..io.avtable import synth_pcm
+
         def micro(col):
             return pa.array(np.rint(b.column(col).to_numpy() * 1e6)
                             .astype(np.int64))
+        rms_m, peak_m, zcr_m, cen_m = (micro(c).to_numpy() for c in
+                                       ("rms", "peak", "zcr",
+                                        "spectral_centroid_hz"))
+        ns = b.column("n_samples").to_numpy()
+        ids = b.column("audio_id").to_pylist()
+        # in-row oracle: features recomputed from the CONTAINER-FREE
+        # regenerated samples must match the WAV-decoded stream's features
+        # exactly (integer micro equality) — pins the RIFF decode + actor
+        # plumbing per row
+        ok = np.empty(len(ids), dtype=bool)
+        for k, aid in enumerate(ids):
+            pcm = synth_pcm(int(aid[1:])).astype(np.float64) / 32768.0
+            r = int(np.rint(np.sqrt((pcm ** 2).mean()) * 1e6))
+            p = int(np.rint(np.abs(pcm).max() * 1e6))
+            z = int(np.rint((np.diff(np.signbit(pcm)) != 0).mean() * 1e6))
+            spec = np.abs(np.fft.rfft(pcm))
+            freqs = np.fft.rfftfreq(pcm.size, d=1.0 / 8000)
+            c = int(np.rint((freqs * spec).sum() / spec.sum() * 1e6))
+            ok[k] = (r == rms_m[k] and p == peak_m[k] and z == zcr_m[k]
+                     and c == cen_m[k] and pcm.size == ns[k])
         return pa.table({"audio_id": b.column("audio_id"),
-                         "rms_micro": micro("rms"),
-                         "peak_micro": micro("peak"),
-                         "zcr_micro": micro("zcr"),
-                         "centroid_mhz": micro("spectral_centroid_hz"),
-                         "n_samples": b.column("n_samples")})
+                         "rms_micro": pa.array(rms_m),
+                         "peak_micro": pa.array(peak_m),
+                         "zcr_micro": pa.array(zcr_m),
+                         "centroid_mhz": pa.array(cen_m),
+                         "n_samples": b.column("n_samples"),
+                         "check_ok": pa.array(ok)})
 
     return out.map_batches(fin, batch_format="pyarrow")
 
@@ -475,12 +498,24 @@ def video_frames(sf_dir: str):
                             concurrency=_default_pool(), max_restarts=0)
 
     def bright(b: pa.Table) -> pa.Table:
+        from ..io.avtable import synth_frames
         means = np.array([np.frombuffer(x, np.uint8).mean() if len(x) else 0.0
                           for x in b.column("bytes").to_pylist()])
+        mm = np.rint(means * 1000).astype(np.int64)
+        # in-row oracle: the JPEG-decoded frame's mean brightness must sit
+        # within the q95 error budget of the container-free regenerated
+        # frame (1.5 gray levels catches any wrong-frame / wrong-clip mixup;
+        # the luminance cycle steps are 20 levels apart)
+        ids = b.column("video_id").to_pylist()
+        fidx = b.column("frame_idx").to_numpy()
+        ok = np.empty(len(ids), dtype=bool)
+        for k, vid in enumerate(ids):
+            ref = synth_frames(int(vid[1:]))[int(fidx[k])].mean()
+            ok[k] = abs(mm[k] - int(np.rint(ref * 1000))) <= 1500
         return pa.table({"video_id": b.column("video_id"),
                          "frame_idx": b.column("frame_idx"),
-                         "mean_milli": pa.array(np.rint(means * 1000)
-                                                .astype(np.int64))})
+                         "mean_milli": pa.array(mm),
+                         "check_ok": pa.array(ok)})
 
     return frames.map_batches(bright, batch_format="pyarrow")
 
@@ -499,7 +534,22 @@ def video_scene_cuts(sf_dir: str):
     ds = rd.read_parquet(ensure_video_table(_sf_of(sf_dir)))
     rows = ds.map_batches(VideoSceneCuts, batch_format="pyarrow",
                           concurrency=_default_pool(), max_restarts=0)
-    return rows.filter(expr="is_cut")
+    cuts = rows.filter(expr="is_cut")
+
+    def check(b: pa.Table) -> pa.Table:
+        from ..io.avtable import expected_cut_frame
+        # in-row oracle: the synthetic clips wrap their luminance cycle at
+        # an analytically known transition — the detected cut must land
+        # exactly there
+        ids = b.column("video_id").to_pylist()
+        fidx = b.column("frame_idx").to_numpy()
+        # emitted frame_idx is the 1-based transition index (diff between
+        # frames f and f+1 reports f+1)
+        ok = np.array([int(fidx[k]) == expected_cut_frame(int(vid[1:])) + 1
+                       for k, vid in enumerate(ids)], dtype=bool)
+        return b.append_column("check_ok", pa.array(ok))
+
+    return cuts.map_batches(check, batch_format="pyarrow")
 
 
 def events_top_users(sf_dir: str, k: int = 3):
@@ -783,18 +833,26 @@ def images_augment(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         ham = _popcount64(b.column("orig_phash").to_numpy().astype(np.uint64)
                           ^ b.column("phash").to_numpy().astype(np.uint64))
+        # in-row oracle: decoded-image phash vs the phash stored at
+        # synthesis — summed per group, asserted zero in tests
+        bad = pc.cast(pc.not_equal(b.column("decoded_phash"),
+                                   b.column("orig_phash")), pa.int64())
         t = pa.table({
             "flip_h": b.column("flip_h"), "flip_v": b.column("flip_v"),
             "_ham": pa.array(ham.astype(np.int64)),
-            "_abs": pc.abs(b.column("bright_shift"))})
+            "_abs": pc.abs(b.column("bright_shift")),
+            "_bad": bad})
         g = t.group_by(["flip_h", "flip_v"]).aggregate(
-            [("_ham", "sum"), ("_abs", "sum"), ([], "count_all")])
-        return g.rename_columns(["flip_h", "flip_v", "_sh", "_sa", "_n"])
+            [("_ham", "sum"), ("_abs", "sum"), ("_bad", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["flip_h", "flip_v", "_sh", "_sa", "_sb",
+                                 "_n"])
 
     agg = lowcard_groupby(aug.map_batches(partial, batch_format="pyarrow"),
                           ["flip_h", "flip_v"],
                           Sum("_sh", alias_name="_sh"),
                           Sum("_sa", alias_name="_sa"),
+                          Sum("_sb", alias_name="n_decode_mismatch"),
                           Sum("_n", alias_name="n_images"))
 
     def fin(b: pa.Table) -> pa.Table:
@@ -805,7 +863,8 @@ def images_augment(sf_dir: str):
             "mean_hamming_milli": pa.array(
                 b.column("_sh").to_numpy() * 1000 // n),
             "mean_abs_shift_milli": pa.array(
-                b.column("_sa").to_numpy() * 1000 // n)})
+                b.column("_sa").to_numpy() * 1000 // n),
+            "n_decode_mismatch": b.column("n_decode_mismatch")})
 
     return agg.map_batches(fin, batch_format="pyarrow")
 
@@ -1118,6 +1177,11 @@ def images_features(sf_dir: str):
         for c in ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"):
             cols[c + "_milli"] = pa.array(
                 np.rint(b.column(c).to_numpy() * 1000).astype(np.int64))
+        # in-row oracle (rows-only query): the phash of the DECODED image
+        # must equal the phash stored at synthesis from the original array —
+        # any decode/plumbing corruption flips check_ok
+        cols["check_ok"] = pc.equal(b.column("phash"),
+                                    b.column("stored_phash"))
         return pa.table(cols)
     return feats.map_batches(to_int, batch_format="pyarrow")
 

@@ -537,6 +537,8 @@ class TestImageAugmentAndResample:
         from dggsray.pipelines.relational import images_augment
         out = images_augment("/root/testdata/sf0.001").to_pandas()
         assert out.n_images.sum() == 500
+        # in-row oracle: decoded-image phash == stored synthesis phash
+        assert (out.n_decode_mismatch == 0).all()
         assert len(out) <= 4       # at most the 4 flip combinations
         # flipped variants move the phash far more than unflipped ones
         flipped = out[out.flip_h | out.flip_v].mean_hamming_milli.min()

@@ -49,3 +49,33 @@ class TestVerifyInvariantQuery:
         assert not pix_ok[3] and pix_ok[[0, 1, 2, 4, 5, 6, 7]].all()
         ph = average_phash_batch(stack)
         assert (ph == b.column("phash").to_numpy()).sum() >= 7
+
+
+class TestImagesFeaturesCheck:
+    def test_check_ok_everywhere_and_detects_corruption(self, ray_session):
+        """images_features carries its own in-row oracle: the phash of the
+        DECODED image equals the phash stored at synthesis (computed from
+        the original array, before the PNG/raw container) — and a corrupted
+        decode flips exactly that row's check_ok."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dggsray.ops.multimodal import ImageFeatures
+        from dggsray.pipelines.relational import images_features
+
+        out = images_features("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 500
+        assert out.check_ok.all()
+
+        # corrupt one row's stored phash: the stage must surface a mismatch
+        from dggsray.io.imagetable import _pixels, encode_image
+        img = _pixels(7, 32, 48)
+        t = pa.table({
+            "image_id": pa.array(["img7"]),
+            "bytes": pa.array([encode_image(img, "png")], pa.binary()),
+            "w": pa.array([32], pa.int32()), "h": pa.array([48], pa.int32()),
+            "fmt": pa.array(["png"]), "phash": pa.array([12345], pa.int64())})
+        row = ImageFeatures()(t)
+        assert row.column("phash")[0].as_py() \
+            != row.column("stored_phash")[0].as_py()

@@ -215,6 +215,11 @@ class TestAVQueries:
         assert len(v) == 20 * 3              # 6 frames sampled every 2
         assert set(v.frame_idx) == {0, 2, 4}
         assert v.mean_milli.between(0, 255_000).all()
+        # in-row oracles: WAV-decoded features == container-free regenerated
+        # features; JPEG-decoded frame brightness within the q95 budget of
+        # the regenerated frame
+        assert a1.check_ok.all()
+        assert v.check_ok.all()
 
 
 class TestVocabAndProps:
@@ -265,6 +270,8 @@ class TestVideoSceneCuts:
             assert r.diff_milli > 50_000
         # exactly one cut per clip that has a wrap within its 6 frames
         assert (out.groupby("video_id").size() == 1).all()
+        # in-row oracle: cut lands at the analytically expected transition
+        assert out.check_ok.all()
 
     def test_rawv_path_and_short_clip(self, ray_session):
         import ray.data as rd
