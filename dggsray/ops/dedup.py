@@ -1017,21 +1017,6 @@ def _cos_cross(emb_a, norm_a, ids_a, emb_b, norm_b, ids_b, threshold) \
         "cos_micro": pa.array(np.rint(cos[ii, jj] * 1e6).astype(np.int64))})
 
 
-class _EmbProbe:
-    """Actor-pool probe for the broadcast path: the embedding matrix ships
-    once via ray.put and is fetched once per actor here."""
-
-    def __init__(self, ref, threshold: float, id_col: str, emb_col: str):
-        import ray
-        self.M, self.norms, self.ids_all = ray.get(ref)
-        self.threshold = threshold
-        self.id_col, self.emb_col = id_col, emb_col
-
-    def __call__(self, bt: pa.Table) -> pa.Table:
-        emb = _emb_of(bt, self.emb_col)
-        ids = bt.column(self.id_col).to_numpy().astype(np.int64)
-        return _cos_cross(emb, np.linalg.norm(emb, axis=1), ids,
-                          self.M, self.norms, self.ids_all, self.threshold)
 
 
 def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
@@ -1064,12 +1049,19 @@ def embedding_neardup_pairs(ds, threshold: float, id_col: str = "vec_id",
         M = _emb_of(tbl, emb_col)
         ref = ray.put((M, np.linalg.norm(M, axis=1),
                        tbl.column(id_col).to_numpy().astype(np.int64)))
-        from .multimodal import _default_pool
-        probes = vecs.map_batches(
-            _EmbProbe, batch_format="pyarrow",
-            fn_constructor_args=(ref, threshold, id_col, emb_col),
-            concurrency=_default_pool(), max_restarts=0)
-        return collect_typed(probes, schema)
+
+        # stateless tasks, not an actor pool: ray.get of a numpy matrix is a
+        # zero-copy plasma read, so per-batch fetch costs nothing while
+        # actor-pool startup would dominate small inputs
+        def probe(bt: pa.Table) -> pa.Table:
+            Mb, norms, ids_all = ray.get(ref)
+            emb = _emb_of(bt, emb_col)
+            ids = bt.column(id_col).to_numpy().astype(np.int64)
+            return _cos_cross(emb, np.linalg.norm(emb, axis=1), ids,
+                              Mb, norms, ids_all, threshold)
+
+        return collect_typed(vecs.map_batches(probe, batch_format="pyarrow"),
+                             schema)
 
     # over-cap: partition-pair banding (exact — every pair meets exactly once)
     P = int(np.ceil(n / max_broadcast_rows))
