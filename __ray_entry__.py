@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority_q3": R.shipping_priority_q3,
         "events_cohort_retention": R.events_cohort_retention,
         "orders_delayed_by_priority": R.orders_delayed_by_priority,
+        "promo_revenue_q14": R.promo_revenue_q14,
+        "dormant_customers_by_nation": R.dormant_customers_by_nation,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -639,6 +641,29 @@ def oracle_sql() -> dict[str, str]:
             "AND EXISTS (SELECT 1 FROM lineitem l "
             "WHERE l.l_orderkey = o.o_orderkey "
             "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY 1",
+        "promo_revenue_q14":
+            "WITH m AS (SELECT CAST(FLOOR(l.l_extendedprice "
+            "* (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents, "
+            "p.p_type = 'PROMO' AS is_p "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l.l_shipdate < TIMESTAMP '1996-10-01') "
+            "SELECT CAST(SUM(CASE WHEN is_p THEN cents ELSE 0 END) "
+            "AS BIGINT) AS promo_cents, "
+            "CAST(SUM(cents) AS BIGINT) AS total_cents, "
+            "CAST(SUM(CASE WHEN is_p THEN cents ELSE 0 END) * 1000 "
+            "// GREATEST(SUM(cents), 1) AS BIGINT) AS promo_permille "
+            "FROM m",
+        "dormant_customers_by_nation":
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS bal_cents, "
+            "COUNT(*) AS n_customers "
+            "FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY 1",
         "events_props_extract":
             "SELECT event_type, "

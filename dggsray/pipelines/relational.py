@@ -2806,3 +2806,116 @@ def orders_delayed_by_priority(sf_dir: str):
     return lowcard_groupby(joined.map_batches(late, batch_format="pyarrow"),
                            "o_orderpriority",
                            Sum("_n", alias_name="order_count"))
+
+
+def promo_revenue_q14(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): one month of lineitem joined to
+    part, revenue split by whether the part's type is PROMO.  The part table
+    is the SMALL side — broadcast once via ray.put as a partkey -> is_promo
+    bitmap lookup (no shuffle); the lineitem scan is pruned to the month and
+    to (l_partkey, l_extendedprice, l_discount).  Revenue is integer cents
+    (floor(x*100+0.5), the engine/DuckDB-FLOOR convention), the promo share
+    an integer permille of cents.  Output one row:
+    (promo_cents, total_cents, promo_permille)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    D0 = datetime.datetime(1996, 9, 1)
+    D1 = datetime.datetime(1996, 10, 1)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    npart = int(part.p_partkey.max()) + 1
+    promo = np.zeros(npart, dtype=bool)
+    promo[part.p_partkey.to_numpy()] = \
+        part.p_type.to_numpy() == "PROMO"
+    ref = ray.put(promo)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= D0)
+        & (pads.field("l_shipdate") < D1))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pm = ray.get(ref)
+        pk = b.column("l_partkey").to_numpy()
+        ep = b.column("l_extendedprice").to_numpy()
+        d = b.column("l_discount").to_numpy()
+        cents = np.floor(ep * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        is_p = pm[pk]
+        return pa.table({
+            "_p": pa.array([int(cents[is_p].sum())], pa.int64()),
+            "_t": pa.array([int(cents.sum())], pa.int64())})
+
+    agg = line.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("_p", alias_name="_p"), Sum("_t", alias_name="_t"))
+    p, t = int(agg["_p"]), int(agg["_t"])
+    return pa.table({"promo_cents": pa.array([p], pa.int64()),
+                     "total_cents": pa.array([t], pa.int64()),
+                     "promo_permille": pa.array([p * 1000 // max(t, 1)],
+                                                pa.int64())})
+
+
+def dormant_customers_by_nation(sf_dir: str,
+                                cutoff: str = "2000-01-01"):
+    """TPC-H Q22 flavor (dormant accounts): customers with NO order since
+    `cutoff`, grouped by nation — a broadcast ANTI join.  The broadcast side
+    is the DISTINCT recently-active custkey set (bounded by the customer
+    count, never the orders fact table), built from a scan pruned to the
+    cutoff window and one column; the customer stream is filtered against
+    it with a vectorized membership probe and grouped combiner-first.
+    Output: (c_nationkey, n_customers, bal_cents)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby
+
+    D = datetime.datetime.fromisoformat(cutoff)
+    active = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= D)
+
+    def distinct(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array(
+            np.unique(b.column("o_custkey").to_numpy()))})
+
+    keys = np.unique(np.concatenate(
+        [t.column("k").to_numpy() for t in
+         active.map_batches(distinct, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.zeros(0, np.int64)]))
+    ref = ray.put(keys)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def anti(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ck = b.column("c_custkey").to_numpy()
+        pos = np.searchsorted(ks, ck)
+        hit = (pos < ks.size) & (ks[np.minimum(pos, max(ks.size - 1, 0))]
+                                 == ck) if ks.size else np.zeros(
+            ck.size, dtype=bool)
+        sub = b.filter(pa.array(~hit))
+        cents = np.rint(sub.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        t = pa.table({"c_nationkey": pc.cast(sub.column("c_nationkey"),
+                                             pa.int64()),
+                      "_b": pa.array(cents),
+                      "_n": pa.array(np.ones(sub.num_rows, np.int64))})
+        g = t.group_by("c_nationkey").aggregate([("_b", "sum"),
+                                                 ("_n", "sum")])
+        return g.rename_columns(["c_nationkey", "_b", "_n"])
+
+    return lowcard_groupby(cust.map_batches(anti, batch_format="pyarrow"),
+                           "c_nationkey",
+                           Sum("_b", alias_name="bal_cents"),
+                           Sum("_n", alias_name="n_customers"))

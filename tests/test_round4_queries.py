@@ -1,0 +1,63 @@
+"""Round-4 query additions: TPC-H Q14 shape (broadcast promo lookup) and
+Q22-flavor dormant-customer anti join.  Both are oracled in __ray_entry__;
+these tests pin the semantics against direct DuckDB computation on the
+same parquet at sf0.001."""
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+class TestPromoRevenueQ14:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import promo_revenue_q14
+        out = promo_revenue_q14(SF).to_pandas()
+        con = _con()
+        ref = con.sql(
+            "SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
+            "CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+            " AS BIGINT) ELSE 0 END) AS BIGINT) p, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) t "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l.l_shipdate < TIMESTAMP '1996-10-01'").df()
+        assert out.promo_cents[0] == ref.p[0]
+        assert out.total_cents[0] == ref.t[0]
+        assert out.total_cents[0] > 0
+        assert out.promo_permille[0] == ref.p[0] * 1000 // ref.t[0]
+
+
+class TestDormantCustomers:
+    def test_anti_join_matches_not_exists(self, ray_session):
+        from dggsray.pipelines.relational import dormant_customers_by_nation
+        out = dormant_customers_by_nation(SF).to_pandas() \
+            .sort_values("c_nationkey").reset_index(drop=True)
+        con = _con()
+        ref = con.sql(
+            "SELECT CAST(c_nationkey AS BIGINT) nk, COUNT(*) n, "
+            "CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) b "
+            "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1 ORDER BY 1").df()
+        assert len(out) == len(ref) > 0
+        assert out.c_nationkey.tolist() == ref.nk.tolist()
+        assert out.n_customers.tolist() == ref.n.tolist()
+        assert out.bal_cents.tolist() == ref.b.tolist()
+
+    def test_everyone_dormant_when_cutoff_after_data(self, ray_session):
+        from dggsray.pipelines.relational import dormant_customers_by_nation
+        out = dormant_customers_by_nation(SF, cutoff="2050-01-01") \
+            .to_pandas()
+        con = _con()
+        n_cust = con.sql("SELECT COUNT(*) FROM customer").df().iloc[0, 0]
+        assert out.n_customers.sum() == n_cust
