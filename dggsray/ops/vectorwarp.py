@@ -111,3 +111,115 @@ def reproject_vector_file(input_path: str, output_path: str, dst_crs: str,
     from ..io.gpkg import write_feature_geopackage
     return write_feature_geopackage(out, attrs, output_path, crs=dst_crs,
                                     layer_name=layer or "data", grid=grid)
+
+
+# ---------------------------------------------------------------------------
+# Explicit planar project + clip (reference rhpxutils.py:228-238:
+# project_and_clip_to_rhealpix = fiona transform -> shapely intersection with
+# the unfolded-cube boundary).  Here: the same pointwise projection through
+# the lonlat hub, then Sutherland-Hodgman clipping of every ring against each
+# of the six resolution-0 face squares — intersection-with-a-union as the
+# union of per-face intersections (the faces are disjoint up to shared
+# edges), no geometry library needed.
+# ---------------------------------------------------------------------------
+
+def rhealpix_face_boxes(grid: GridConfig = DEFAULT_GRID):
+    """The six resolution-0 face squares of the unfolded cube as planar
+    (xmin, ymin, xmax, ymax) — the reference's planar_boundary
+    (rhpxutils.py:218-226) as boxes instead of a shapely union."""
+    from ..core.rhpx import F
+    x0, ytop = grid.face_origins()
+    return [(float(x0[i]), float(ytop[i] - F), float(x0[i] + F),
+             float(ytop[i])) for i in range(6)]
+
+
+def clip_ring_to_box(ring: np.ndarray, box) -> np.ndarray:
+    """Sutherland-Hodgman clip of a closed ring (n, 2) against an
+    axis-aligned box.  Returns the clipped ring (m, 2), possibly empty.
+    Convex clip region -> a simple ring stays simple."""
+    xmin, ymin, xmax, ymax = box
+    pts = np.asarray(ring, dtype=np.float64)
+    if pts.shape[0] >= 2 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    for axis, sign, bound in ((0, 1, xmax), (0, -1, xmin),
+                              (1, 1, ymax), (1, -1, ymin)):
+        if pts.shape[0] == 0:
+            break
+        inside = sign * pts[:, axis] <= sign * bound + 1e-9
+        out = []
+        n = pts.shape[0]
+        for i in range(n):
+            j = (i + 1) % n
+            a, b = pts[i], pts[j]
+            if inside[i]:
+                out.append(a)
+            if inside[i] != inside[j]:
+                t = (bound - a[axis]) / (b[axis] - a[axis])
+                out.append(a + t * (b - a))
+        pts = np.array(out, dtype=np.float64) if out \
+            else np.zeros((0, 2), np.float64)
+    return pts
+
+
+def _ring_area(ring: np.ndarray) -> float:
+    if ring.shape[0] < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1))
+                           - np.dot(y, np.roll(x, -1))))
+
+
+def project_and_clip_to_rhealpix(geom: dict, input_crs: str = "geographic",
+                                 grid: GridConfig = DEFAULT_GRID) -> dict:
+    """GeoJSON Polygon/MultiPolygon -> GeoJSON MultiPolygon in planar
+    rHEALPix coordinates, clipped to the unfolded cube (reference
+    rhpxutils.project_and_clip_to_rhealpix).  One output polygon per
+    (input polygon, face) pair with a non-empty outer ring; each hole is
+    clipped to the same face, so even-odd containment over the output
+    equals the clipped even-odd containment of the input within every
+    face."""
+    from .warp import _crs_funcs
+    from ..core.rhpx import project_fwd
+
+    if input_crs in ("geographic", None):
+        def fwd(x, y):
+            return project_fwd(x, y, grid)
+    elif input_crs == "rhealpix":
+        def fwd(x, y):
+            return x, y
+    else:
+        pf, pi = _crs_funcs(input_crs, grid)
+        def fwd(x, y):
+            lon, lat = pi(np.asarray(x, np.float64),
+                          np.asarray(y, np.float64))
+            return project_fwd(lon, lat, grid)
+
+    if geom.get("type") == "Polygon":
+        polys = [geom["coordinates"]]
+    elif geom.get("type") == "MultiPolygon":
+        polys = list(geom["coordinates"])
+    else:
+        raise NotImplementedError(
+            f"project_and_clip_to_rhealpix: geometry type "
+            f"{geom.get('type')!r} (Polygon/MultiPolygon)")
+
+    boxes = rhealpix_face_boxes(grid)
+    out = []
+    for rings in polys:
+        planar = []
+        for r in rings:
+            arr = np.asarray(r, dtype=np.float64)
+            x, y = fwd(arr[:, 0], arr[:, 1])
+            planar.append(np.column_stack([np.asarray(x, np.float64),
+                                           np.asarray(y, np.float64)]))
+        for box in boxes:
+            outer = clip_ring_to_box(planar[0], box)
+            if _ring_area(outer) <= 0.0:
+                continue
+            piece = [np.vstack([outer, outer[:1]]).tolist()]
+            for hole in planar[1:]:
+                hc = clip_ring_to_box(hole, box)
+                if _ring_area(hc) > 0.0:
+                    piece.append(np.vstack([hc, hc[:1]]).tolist())
+            out.append(piece)
+    return {"type": "MultiPolygon", "coordinates": out}
