@@ -15,16 +15,23 @@ loudly, matching the repo's codec policy):
   - Tier-2 (Annex B): tag trees, packet headers (inclusion, zero-bitplanes,
     pass counts Table B.4, Lblock length coding), bit-stuffing, single
     layer, default precincts (one precinct spanning each resolution).
-  - single tile, single tile-part; progression orders LRCP/RLCP/RPCL (the
+  - tiled codestreams (one tile-part per tile, any tile order, tile sizes a
+    multiple of 2^NL so every tile origin stays even at every synthesis
+    scale; code-block grids anchored on the band canvas per B.7), single
+    tile-part per tile; progression orders LRCP/RLCP/RPCL (the
     resolution-major families) with resolution-progressive truncated decode
     (`reduce=k` stops after resolution NL-k packets — 1/4^k of the Tier-1
-    work per step, the standard resolution-scalability path).
+    work per step, the standard resolution-scalability path).  Tiles are
+    independently decodable: `jp2_tile_spans` + `decode_jp2_tile` expose
+    them as the Ray fan-out unit for huge scenes (each task needs only the
+    small main header plus its own tile-part bytes).
   - JP2 container boxes (jP/ftyp/jp2h/ihdr/colr/jp2c) and GeoJP2
     georeferencing (the b14bf8bd… UUID box holding a degenerate GeoTIFF),
     read and written via tiffio's tag parser.
 
 Out of scope (explicit NotImplementedError): 9/7 irreversible wavelet,
-multiple tiles/tile-parts, user precincts smaller than a subband, multiple
+multiple tile-parts per tile, tile sizes not a multiple of 2^NL, per-tile
+COD/QCD overrides, user precincts smaller than a subband, multiple
 layers, COC/QCC per-component overrides, PPM/PPT packed headers, RGN, and
 arbitrary progression beyond the five standard orders.
 """
@@ -813,6 +820,7 @@ class _Codestream:
 
     def __init__(self):
         self.W = self.H = 0
+        self.XT = self.YT = 0
         self.ncomp = 0
         self.depth = 8
         self.signed = False
@@ -845,9 +853,8 @@ def _parse_main_header(buf: bytes, p: int) -> tuple[_Codestream, int]:
                 ">HIIIIIIIIH", buf, body)
             if (xo, yo, xto, yto) != (0, 0, 0, 0):
                 raise NotImplementedError("non-zero image/tile offsets")
-            if xt < xs or yt < ys:
-                raise NotImplementedError("multiple tiles")
             cs.W, cs.H, cs.ncomp = xs, ys, nc
+            cs.XT, cs.YT = min(xt, xs), min(yt, ys)
             for c in range(nc):
                 ss, xr, yr = struct.unpack_from(
                     "BBB", buf, body + 36 + 3 * c)
@@ -883,8 +890,8 @@ def _parse_main_header(buf: bytes, p: int) -> tuple[_Codestream, int]:
                 for r in range(ndec + 1):
                     pp = buf[body + 9 + r]
                     pw, ph = 1 << (pp & 0x0F), 1 << (pp >> 4)
-                    rw = _ceil_div(cs.W, 1 << (ndec - r))
-                    rh = _ceil_div(cs.H, 1 << (ndec - r))
+                    rw = _ceil_div(cs.XT or cs.W, 1 << (ndec - r))
+                    rh = _ceil_div(cs.YT or cs.H, 1 << (ndec - r))
                     if pw < rw or ph < rh:
                         raise NotImplementedError(
                             "precincts smaller than the resolution")
@@ -918,37 +925,63 @@ def _packet_order(cs: _Codestream, max_r: int):
             for r in range(cs.NL + 1) if r <= max_r], False
 
 
-def decode_codestream(buf: bytes, p0: int = 0, reduce: int = 0):
-    """Decode a JPEG2000 codestream -> list of (H', W') int64 component
-    arrays (pre-DC-shift samples), plus the parsed header.  reduce=k drops
-    the k finest resolutions (output is ceil(dim / 2^k))."""
-    cs, p = _parse_main_header(buf, p0)
-    reduce = min(reduce, cs.NL)
-    max_r = cs.NL - reduce
-    # SOT
+def _anchored_grid(b0: int, bsz: int, cb: int) -> tuple[int, int]:
+    """Code-block grid of a tile-band whose canvas origin along one axis is
+    b0 and extent bsz: blocks are anchored at multiples of cb from band
+    coordinate 0 (T.800 B.7), so an interior tile's FIRST block may be
+    narrower than cb.  -> (first block index g0, block count)."""
+    g0 = b0 // cb
+    return g0, _ceil_div(b0 + bsz, cb) - g0
+
+
+def _check_tile_grid(cs: _Codestream):
+    ntx, nty = _ceil_div(cs.W, cs.XT), _ceil_div(cs.H, cs.YT)
+    if ntx * nty > 1:
+        step = 1 << cs.NL
+        if cs.XT % step or cs.YT % step:
+            raise NotImplementedError(
+                f"tile size {cs.XT}x{cs.YT} not a multiple of "
+                f"2^NL={step} (multi-tile decode needs even tile origins "
+                "at every synthesis scale)")
+    return ntx, nty
+
+
+def _tile_part(buf: bytes, p: int) -> tuple[int, int, int]:
+    """Parse one SOT segment + tile-part header at p -> (isot, sod_body_p,
+    tile_end).  Raises loudly on the unsupported tile-part shapes."""
     _, lsot, isot, psot, tpsot, tnsot = struct.unpack_from(
         ">HHHIBB", buf, p)
     if tpsot != 0 or tnsot not in (0, 1):
-        raise NotImplementedError("multiple tile-parts")
-    tile_end = p + psot if psot else len(buf)
+        raise NotImplementedError("multiple tile-parts per tile")
+    tile_end = p + psot if psot else len(buf) - 2
     p += 2 + lsot
     m, = struct.unpack_from(">H", buf, p)
-    while m != _SOD:                      # skip tile-part header markers
-        ln, = struct.unpack_from(">H", buf, p + 2)
+    while m != _SOD:                      # tile-part header markers
         if m in _UNSUPPORTED:
             raise NotImplementedError(f"JPEG2000 {_UNSUPPORTED[m]}")
+        if m in (_COD, _QCD):
+            raise NotImplementedError("per-tile COD/QCD override")
+        ln, = struct.unpack_from(">H", buf, p + 2)
         p += 2 + ln
         m, = struct.unpack_from(">H", buf, p)
-    p += 2
-    # per-component subband coefficient arrays
+    return isot, p + 2, tile_end
+
+
+def _decode_tile_body(buf: bytes, p: int, tile_end: int, cs: _Codestream,
+                      tx0: int, ty0: int, tw: int, th: int, max_r: int):
+    """Decode one tile's packet stream -> per-component synthesized arrays
+    (ceil(tw/2^reduce) x ceil(th/2^reduce)), NO multi-component transform.
+    Valid because the tile origin is a multiple of 2^NL: every resolution
+    origin is even, so origin-0 lifting math applies to the tile dims; only
+    the code-block grid needs canvas anchoring (band origin = t0 >> lvl,
+    identical for low and high subbands as t0 is divisible by 2^lvl)."""
     bands = {}
     for c in range(cs.ncomp):
         for r in range(cs.NL + 1):
             for name, lvl in _res_bands(cs.NL, r):
-                bw, bh = _band_dims(cs.W, cs.H, lvl, name)
+                bw, bh = _band_dims(tw, th, lvl, name)
                 bands[(c, r, name)] = np.zeros((bh, bw), np.int64)
     order, res_major = _packet_order(cs, cs.NL)
-    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
     for (r, c) in order:
         if r > max_r:
             if res_major:
@@ -961,10 +994,11 @@ def decode_codestream(buf: bytes, p0: int = 0, reduce: int = 0):
         blocks = []
         if rdr.bit():                     # non-empty packet
             for name, lvl in _res_bands(cs.NL, r):
-                bw, bh = _band_dims(cs.W, cs.H, lvl, name)
+                bw, bh = _band_dims(tw, th, lvl, name)
                 if bw == 0 or bh == 0:
                     continue
-                nbx, nby = _cblk_grid(bw, bh, cs.cbw, cs.cbh)
+                _, nbx = _anchored_grid(tx0 >> lvl, bw, cs.cbw)
+                _, nby = _anchored_grid(ty0 >> lvl, bh, cs.cbh)
                 incl = TagTree(nbx, nby)
                 zbps = TagTree(nbx, nby)
                 ei = _band_eps_index(r)
@@ -991,10 +1025,13 @@ def decode_codestream(buf: bytes, p0: int = 0, reduce: int = 0):
             p += 2
         for name, lvl, bx, by, nplanes, npass, ln in blocks:
             if r <= max_r:
-                bw, bh = _band_dims(cs.W, cs.H, lvl, name)
-                x0, y0 = bx * cs.cbw, by * cs.cbh
-                w = min(cs.cbw, bw - x0)
-                h = min(cs.cbh, bh - y0)
+                bw, bh = _band_dims(tw, th, lvl, name)
+                bo_x, bo_y = tx0 >> lvl, ty0 >> lvl
+                gx0, gy0 = bo_x // cs.cbw, bo_y // cs.cbh
+                x0 = max(bo_x, (gx0 + bx) * cs.cbw) - bo_x
+                y0 = max(bo_y, (gy0 + by) * cs.cbh) - bo_y
+                w = min(bw, (gx0 + bx + 1) * cs.cbw - bo_x) - x0
+                h = min(bh, (gy0 + by + 1) * cs.cbh - bo_y) - y0
                 coef = cblk_decode(buf[p:p + ln], w, h, nplanes, npass,
                                    name)
                 bands[(c, r, name)][y0:y0 + h, x0:x0 + w] = coef
@@ -1009,30 +1046,122 @@ def decode_codestream(buf: bytes, p0: int = 0, reduce: int = 0):
             ll = synth53_level(ll, bands[(c, r, "HL")],
                                bands[(c, r, "LH")], bands[(c, r, "HH")])
         comps.append(ll)
+    return comps
+
+
+def decode_codestream(buf: bytes, p0: int = 0, reduce: int = 0):
+    """Decode a JPEG2000 codestream -> list of (H', W') int64 component
+    arrays (pre-DC-shift samples), plus the parsed header.  reduce=k drops
+    the k finest resolutions (output is ceil(dim / 2^k)).  Tiled
+    codestreams decode tile by tile (any tile order) and assemble."""
+    cs, p = _parse_main_header(buf, p0)
+    reduce = min(reduce, cs.NL)
+    max_r = cs.NL - reduce
+    ntx, nty = _check_tile_grid(cs)
+    k = 1 << reduce
+    comps = [np.zeros((_ceil_div(cs.H, k), _ceil_div(cs.W, k)), np.int64)
+             for _ in range(cs.ncomp)]
+    seen = set()
+    while True:
+        m, = struct.unpack_from(">H", buf, p)
+        if m == _EOC:
+            break
+        if m != _SOT:
+            raise ValueError(f"expected SOT or EOC, got 0x{m:04x}")
+        isot, q, tile_end = _tile_part(buf, p)
+        if isot >= ntx * nty or isot in seen:
+            raise ValueError(f"bad or repeated tile index {isot}")
+        seen.add(isot)
+        ti, tj = divmod(isot, ntx)
+        tx0, ty0 = tj * cs.XT, ti * cs.YT
+        tw, th = min(cs.W, tx0 + cs.XT) - tx0, min(cs.H, ty0 + cs.YT) - ty0
+        tc = _decode_tile_body(buf, q, tile_end, cs, tx0, ty0, tw, th,
+                               max_r)
+        for c in range(cs.ncomp):
+            a = tc[c]
+            comps[c][ty0 // k:ty0 // k + a.shape[0],
+                     tx0 // k:tx0 // k + a.shape[1]] = a
+        p = tile_end
+    if len(seen) != ntx * nty:
+        raise ValueError(f"codestream has {len(seen)} of {ntx * nty} tiles")
     if cs.mct and cs.ncomp >= 3:
         comps[0], comps[1], comps[2] = rct_inverse(comps[0], comps[1],
                                                    comps[2])
     return comps, cs
 
 
-def encode_codestream(comps: list[np.ndarray], depth: int = 8,
-                      signed: bool = False, levels: int | None = None,
-                      mct: bool | None = None) -> bytes:
-    """Lossless single-tile RPCL codestream from int component arrays."""
-    H, W = comps[0].shape
-    ncomp = len(comps)
-    if levels is None:
-        levels = max(0, min(5, _ilog2(max(1, min(W, H)))))
-    NL = levels
-    if mct is None:
-        mct = ncomp == 3
-    dc = 0 if signed else 1 << (depth - 1)
-    planes = [c.astype(np.int64) - dc for c in comps]
-    if mct:
-        planes[0], planes[1], planes[2] = rct_forward(planes[0], planes[1],
-                                                      planes[2])
-    # forward DWT per component: split from the finest decomposition level
-    # (resolution NL) down; decomposition level lvl = NL - r + 1
+def jp2_tile_spans(buf: bytes, p0: int | None = None):
+    """Scan markers only (no entropy decode) -> (main_header_bytes, spans,
+    cs) where each span is {"isot", "start", "end", "x0", "y0", "w", "h"}
+    with start/end absolute file offsets of the tile-part (SOT..next SOT).
+    Each span decodes independently via `decode_jp2_tile(header,
+    buf[start:end])` — the Ray fan-out unit for huge scenes: a task ships
+    only the ~100-byte main header plus its own tile bytes, never the whole
+    file.  Accepts a raw codestream or a JP2 container (p0=None locates the
+    jp2c box)."""
+    if p0 is None:
+        if buf[:4] == b"\xff\x4f\xff\x51":
+            p0 = 0
+        else:
+            p0 = next((a for typ, a, _ in _boxes(buf, 0, len(buf))
+                       if typ == b"jp2c"), None)
+            if p0 is None:
+                raise ValueError("JP2 file has no jp2c codestream box")
+    cs, p = _parse_main_header(buf, p0)
+    ntx, nty = _check_tile_grid(cs)
+    header = bytes(buf[p0:p])
+    spans = []
+    while True:
+        m, = struct.unpack_from(">H", buf, p)
+        if m == _EOC:
+            break
+        if m != _SOT:
+            raise ValueError(f"expected SOT or EOC, got 0x{m:04x}")
+        isot, _, tile_end = _tile_part(buf, p)
+        ti, tj = divmod(isot, ntx)
+        tx0, ty0 = tj * cs.XT, ti * cs.YT
+        spans.append({"isot": isot, "start": p, "end": tile_end,
+                      "x0": tx0, "y0": ty0,
+                      "w": min(cs.W, tx0 + cs.XT) - tx0,
+                      "h": min(cs.H, ty0 + cs.YT) - ty0})
+        p = tile_end
+    if len(spans) != ntx * nty:
+        raise ValueError(f"codestream has {len(spans)} of {ntx * nty} tiles")
+    return header, spans, cs
+
+
+def decode_jp2_tile(main_header: bytes, tile_bytes: bytes,
+                    reduce: int = 0):
+    """Decode ONE tile-part given the codestream main header and the tile's
+    own bytes (a `jp2_tile_spans` span) -> (component arrays for the tile,
+    (x0', y0') paste origin at the reduced scale).  Applies the
+    multi-component transform (pointwise, so per-tile == whole-image)."""
+    # trailing EOC so a psot=0 (to-end-of-stream) tile-part still ends
+    # exactly at the tile boundary
+    buf = main_header + tile_bytes + struct.pack(">H", _EOC)
+    cs, hp = _parse_main_header(buf, 0)
+    ntx, _ = _check_tile_grid(cs)
+    reduce = min(reduce, cs.NL)
+    isot, q, tile_end = _tile_part(buf, hp)
+    ti, tj = divmod(isot, ntx)
+    tx0, ty0 = tj * cs.XT, ti * cs.YT
+    tw, th = min(cs.W, tx0 + cs.XT) - tx0, min(cs.H, ty0 + cs.YT) - ty0
+    comps = _decode_tile_body(buf, q, min(tile_end, len(buf) - 2), cs,
+                              tx0, ty0, tw, th, cs.NL - reduce)
+    if cs.mct and cs.ncomp >= 3:
+        comps[0], comps[1], comps[2] = rct_inverse(comps[0], comps[1],
+                                                   comps[2])
+    k = 1 << reduce
+    return comps, (tx0 // k, ty0 // k)
+
+
+def _encode_tile_body(planes: list[np.ndarray], tx0: int, ty0: int,
+                      NL: int, Mb_of: dict) -> bytes:
+    """Packet stream (RPCL, single layer/precinct) for one tile whose
+    subimage `planes` sits at canvas origin (tx0, ty0) — code-block grids
+    anchored on the band canvas, mirroring _decode_tile_body."""
+    th, tw = planes[0].shape
+    ncomp = len(planes)
     bands = {}
     for c, a in enumerate(planes):
         ll = a
@@ -1043,30 +1172,7 @@ def encode_codestream(comps: list[np.ndarray], depth: int = 8,
             bands[(c, r, "LH")] = lh
             bands[(c, r, "HH")] = hh
         bands[(c, 0, "LL")] = ll
-    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
-    guard = 2
-    eps = [depth + gain["LL"]]
-    for r in range(1, NL + 1):
-        eps += [depth + gain[b] for b in ("HL", "LH", "HH")]
-    out = bytearray()
-    out += struct.pack(">H", _SOC)
-    siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * ncomp, 0, W, H, 0, 0, W, H,
-                      0, 0, ncomp)
-    siz += bytes([(depth - 1) | (0x80 if signed else 0), 1, 1]) * ncomp
-    out += struct.pack(">H", _SIZ) + siz
-    cod = struct.pack(">HBBHBBBBBB", 12, 0, 2, 1, 1 if mct else 0, NL,
-                      4, 4, 0, 1)
-    out += struct.pack(">H", _COD) + cod
-    qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in eps)
-    out += struct.pack(">HH", _QCD, 2 + len(qcd)) + qcd
-    # encode all code-blocks, assemble packets in RPCL order
     tile = bytearray()
-    Mb_of = {}
-    for r in range(NL + 1):
-        ei = _band_eps_index(r)
-        for bi, (name, lvl) in enumerate(_res_bands(NL, r)):
-            e = eps[ei if r == 0 else ei[bi]]
-            Mb_of[(r, name)] = guard + e - 1
     for r in range(NL + 1):
         for c in range(ncomp):
             wtr = _HdrWriter()
@@ -1074,19 +1180,22 @@ def encode_codestream(comps: list[np.ndarray], depth: int = 8,
             any_block = False
             pend = []
             for name, lvl in _res_bands(NL, r):
-                bw, bh = _band_dims(W, H, lvl, name)
+                bw, bh = _band_dims(tw, th, lvl, name)
                 if bw == 0 or bh == 0:
                     continue
-                nbx, nby = _cblk_grid(bw, bh, 64, 64)
+                bo_x, bo_y = tx0 >> lvl, ty0 >> lvl
+                gx0, nbx = _anchored_grid(bo_x, bw, 64)
+                gy0, nby = _anchored_grid(bo_y, bh, 64)
                 segs = {}
                 vals = []
                 Mb = Mb_of[(r, name)]
                 for by in range(nby):
                     for bx in range(nbx):
-                        x0, y0 = bx * 64, by * 64
-                        blk = bands[(c, r, name)][
-                            y0:y0 + min(64, bh - y0),
-                            x0:x0 + min(64, bw - x0)]
+                        x0 = max(bo_x, (gx0 + bx) * 64) - bo_x
+                        y0 = max(bo_y, (gy0 + by) * 64) - bo_y
+                        w = min(bw, (gx0 + bx + 1) * 64 - bo_x) - x0
+                        h = min(bh, (gy0 + by + 1) * 64 - bo_y) - y0
+                        blk = bands[(c, r, name)][y0:y0 + h, x0:x0 + w]
                         data, nplanes, npass = cblk_encode(blk, name)
                         if nplanes > Mb:
                             raise AssertionError(
@@ -1126,10 +1235,72 @@ def encode_codestream(comps: list[np.ndarray], depth: int = 8,
                             wtr.putbits(len(data), nbits)
                             body += data
             tile += wtr.align() + bytes(body)
-    psot = 12 + 2 + len(tile)
-    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
-    out += struct.pack(">H", _SOD)
-    out += tile
+    return bytes(tile)
+
+
+def encode_codestream(comps: list[np.ndarray], depth: int = 8,
+                      signed: bool = False, levels: int | None = None,
+                      mct: bool | None = None,
+                      tile_size: int | tuple[int, int] | None = None
+                      ) -> bytes:
+    """Lossless RPCL codestream from int component arrays.  tile_size
+    (int or (XTsiz, YTsiz), multiples of 2^levels) splits the image into
+    independently-decodable tiles, one tile-part each."""
+    H, W = comps[0].shape
+    ncomp = len(comps)
+    if levels is None:
+        levels = max(0, min(5, _ilog2(max(1, min(W, H)))))
+    NL = levels
+    if mct is None:
+        mct = ncomp == 3
+    if tile_size is None:
+        XT, YT = W, H
+    else:
+        XT, YT = ((tile_size, tile_size) if isinstance(tile_size, int)
+                  else tile_size)
+        XT, YT = min(XT, W), min(YT, H)
+    ntx, nty = _ceil_div(W, XT), _ceil_div(H, YT)
+    if ntx * nty > 1 and (XT % (1 << NL) or YT % (1 << NL)):
+        raise ValueError(
+            f"tile_size {XT}x{YT} must be a multiple of 2^levels="
+            f"{1 << NL} (or pass a smaller `levels`)")
+    dc = 0 if signed else 1 << (depth - 1)
+    planes = [c.astype(np.int64) - dc for c in comps]
+    if mct:
+        planes[0], planes[1], planes[2] = rct_forward(planes[0], planes[1],
+                                                      planes[2])
+    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    guard = 2
+    eps = [depth + gain["LL"]]
+    for r in range(1, NL + 1):
+        eps += [depth + gain[b] for b in ("HL", "LH", "HH")]
+    Mb_of = {}
+    for r in range(NL + 1):
+        ei = _band_eps_index(r)
+        for bi, (name, lvl) in enumerate(_res_bands(NL, r)):
+            e = eps[ei if r == 0 else ei[bi]]
+            Mb_of[(r, name)] = guard + e - 1
+    out = bytearray()
+    out += struct.pack(">H", _SOC)
+    siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * ncomp, 0, W, H, 0, 0,
+                      XT, YT, 0, 0, ncomp)
+    siz += bytes([(depth - 1) | (0x80 if signed else 0), 1, 1]) * ncomp
+    out += struct.pack(">H", _SIZ) + siz
+    cod = struct.pack(">HBBHBBBBBB", 12, 0, 2, 1, 1 if mct else 0, NL,
+                      4, 4, 0, 1)
+    out += struct.pack(">H", _COD) + cod
+    qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in eps)
+    out += struct.pack(">HH", _QCD, 2 + len(qcd)) + qcd
+    for isot in range(ntx * nty):
+        ti, tj = divmod(isot, ntx)
+        tx0, ty0 = tj * XT, ti * YT
+        tx1, ty1 = min(W, tx0 + XT), min(H, ty0 + YT)
+        tile = _encode_tile_body(
+            [p[ty0:ty1, tx0:tx1] for p in planes], tx0, ty0, NL, Mb_of)
+        psot = 12 + 2 + len(tile)
+        out += struct.pack(">HHHIBB", _SOT, 10, isot, psot, 0, 1)
+        out += struct.pack(">H", _SOD)
+        out += tile
     out += struct.pack(">H", _EOC)
     return bytes(out)
 
@@ -1230,9 +1401,11 @@ def read_jp2_raster(path: str, reduce: int = 0) -> GeoTiff:
                    None, tags)
 
 
-def write_jp2(path: str, g: GeoTiff, levels: int | None = None):
+def write_jp2(path: str, g: GeoTiff, levels: int | None = None,
+              tile_size: int | tuple[int, int] | None = None):
     """GeoTiff -> lossless JP2 with a GeoJP2 uuid box (bit-exact roundtrip
-    through read_jp2_raster)."""
+    through read_jp2_raster).  tile_size splits into independently
+    decodable tiles (see encode_codestream)."""
     data = g.data
     if data.dtype == np.uint8:
         depth, signed = 8, False
@@ -1245,7 +1418,7 @@ def write_jp2(path: str, g: GeoTiff, levels: int | None = None):
             f"JP2 write for dtype {data.dtype} (uint8/int16/uint16 only)")
     comps = [data[i].astype(np.int64) for i in range(data.shape[0])]
     code = encode_codestream(comps, depth=depth, signed=signed,
-                             levels=levels)
+                             levels=levels, tile_size=tile_size)
     nc = len(comps)
     H, W = comps[0].shape
 

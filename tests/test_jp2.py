@@ -208,3 +208,149 @@ class TestLoudFailures:
             f.write(whole[:len(whole) // 3])
         with pytest.raises(Exception):
             J.read_jp2_raster(p)
+
+
+class TestMultiTile:
+    """Tiled codestreams (one tile-part per tile, tile sizes a multiple of
+    2^NL).  Tiles transform independently (T.800 tile-wise DWT), so tiled
+    and untiled FULL decodes are pixel-identical, while reduced decodes
+    legitimately differ near tile edges — their oracle is the per-tile
+    forward-DWT LL pasted on the reduced grid."""
+
+    @pytest.mark.parametrize("shape,ts,nl,nc", [
+        ((64, 128), 64, 1, 1),
+        ((64, 72), 64, 3, 1),            # 8-px edge tile
+        ((150, 200), 64, 3, 3),          # 12 tiles, RGB + RCT
+        ((150, 200), (64, 128), 2, 2),   # rectangular tiles
+        ((100, 100), 40, 3, 1),          # non-power-of-two tile size
+    ])
+    def test_roundtrip_and_equals_untiled(self, shape, ts, nl, nc):
+        rng = np.random.default_rng(11)
+        comps = [rng.integers(0, 256, shape).astype(np.int64)
+                 for _ in range(nc)]
+        code = J.encode_codestream(comps, depth=8, levels=nl, tile_size=ts)
+        dec, cs = J.decode_codestream(code)
+        assert all(np.array_equal(a, b + 128) for a, b in zip(comps, dec))
+        dec1, _ = J.decode_codestream(
+            J.encode_codestream(comps, depth=8, levels=nl))
+        assert all(np.array_equal(a, b) for a, b in zip(dec, dec1))
+
+    @pytest.mark.parametrize("reduce", [1, 2, 3])
+    def test_reduced_decode_is_per_tile_ll(self, reduce):
+        rng = np.random.default_rng(7)
+        H, W, TS = 150, 200, 64
+        img = rng.integers(0, 256, (H, W)).astype(np.int64)
+        code = J.encode_codestream([img], depth=8, levels=3, tile_size=TS,
+                                   mct=False)
+        dec, _ = J.decode_codestream(code, reduce=reduce)
+        k = 1 << reduce
+        exp = np.zeros((-(-H // k), -(-W // k)), np.int64)
+        for ty0 in range(0, H, TS):
+            for tx0 in range(0, W, TS):
+                ll = img[ty0:min(H, ty0 + TS),
+                         tx0:min(W, tx0 + TS)] - 128
+                for _ in range(reduce):
+                    ll = J.fwd53_level(ll)[0]
+                exp[ty0 // k:ty0 // k + ll.shape[0],
+                    tx0 // k:tx0 // k + ll.shape[1]] = ll
+        assert np.array_equal(dec[0], exp)
+
+    def test_span_decode_assembles_to_full(self):
+        rng = np.random.default_rng(13)
+        H, W = 150, 200
+        comps = [rng.integers(0, 256, (H, W)).astype(np.int64)
+                 for _ in range(3)]
+        code = J.encode_codestream(comps, depth=8, levels=3, tile_size=64)
+        hdr, spans, cs = J.jp2_tile_spans(code)
+        assert len(spans) == 12
+        assert len(hdr) < 200            # a task ships ~100 B + its tile
+        for red in (0, 2):
+            full, _ = J.decode_codestream(code, reduce=red)
+            acc = [np.zeros_like(full[0]) for _ in range(3)]
+            for s in spans:
+                tc, (x0, y0) = J.decode_jp2_tile(
+                    hdr, code[s["start"]:s["end"]], reduce=red)
+                for c in range(3):
+                    acc[c][y0:y0 + tc[c].shape[0],
+                           x0:x0 + tc[c].shape[1]] = tc[c]
+            assert all(np.array_equal(a, b) for a, b in zip(acc, full))
+
+    def test_spans_from_jp2_container(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff
+        rng = np.random.default_rng(17)
+        data = rng.integers(0, 256, (1, 100, 130)).astype(np.uint8)
+        p = str(tmp_path / "t.jp2")
+        J.write_jp2(p, GeoTiff(data, 10.0, 50.0, 0.1, 0.1), levels=2,
+                    tile_size=64)
+        buf = open(p, "rb").read()
+        hdr, spans, cs = J.jp2_tile_spans(buf)
+        assert len(spans) == 6 and (cs.XT, cs.YT) == (64, 64)
+        g = J.read_jp2_raster(p)          # whole-file read still works
+        assert np.array_equal(g.data, data)
+        acc = np.zeros((100, 130), np.int64)
+        for s in spans:
+            tc, (x0, y0) = J.decode_jp2_tile(hdr, buf[s["start"]:s["end"]])
+            acc[y0:y0 + tc[0].shape[0], x0:x0 + tc[0].shape[1]] = tc[0]
+        assert np.array_equal(acc + 128, data[0])
+
+    def test_ray_parallel_tile_decode(self, ray_session, tmp_path):
+        """Tiles as the Ray fan-out unit: from_items over spans, each task
+        decodes from (header, tile bytes) only, assembly equals the full
+        decode.  The shape a 100 TB scene archive needs — no task ever
+        holds the whole file."""
+        import ray
+
+        from dggsray.core.tiffio import GeoTiff
+        rng = np.random.default_rng(19)
+        data = rng.integers(0, 256, (1, 256, 384)).astype(np.uint8)
+        p = str(tmp_path / "big.jp2")
+        J.write_jp2(p, GeoTiff(data, 0.0, 0.0, 1.0, 1.0), levels=3,
+                    tile_size=128)
+        buf = open(p, "rb").read()
+        hdr, spans, cs = J.jp2_tile_spans(buf)
+        assert len(spans) == 6
+        hdr_ref = ray.put(hdr)           # broadcast once, read per task
+
+        def decode_batch(batch):
+            import pyarrow as pa
+            h = ray.get(hdr_ref)
+            outs = {"x0": [], "y0": [], "h": [], "w": [], "px": []}
+            for st, en in zip(batch["start"].to_pylist(),
+                              batch["end"].to_pylist()):
+                with open(p, "rb") as f:     # range read: only this tile
+                    f.seek(st)
+                    tb = f.read(en - st)
+                tc, (x0, y0) = J.decode_jp2_tile(h, tb)
+                outs["x0"].append(x0)
+                outs["y0"].append(y0)
+                outs["h"].append(tc[0].shape[0])
+                outs["w"].append(tc[0].shape[1])
+                outs["px"].append((tc[0] + 128).astype(np.uint8)
+                                  .tobytes())
+            return pa.table(outs)
+
+        ds = ray.data.from_items(spans).map_batches(
+            decode_batch, batch_format="pyarrow", batch_size=2)
+        acc = np.zeros((256, 384), np.uint8)
+        for row in ds.iter_rows():
+            t = np.frombuffer(row["px"], np.uint8).reshape(row["h"],
+                                                           row["w"])
+            acc[row["y0"]:row["y0"] + row["h"],
+                row["x0"]:row["x0"] + row["w"]] = t
+        assert np.array_equal(acc, data[0])
+
+    def test_indivisible_tile_size_raises(self):
+        with pytest.raises(ValueError, match="multiple of 2\\^levels"):
+            J.encode_codestream([np.zeros((100, 100), np.int64)],
+                                depth=8, levels=5, tile_size=48)
+
+    def test_decoder_rejects_indivisible_tiles(self):
+        # craft: valid 2-tile stream, then shrink XTsiz in SIZ to 60
+        code = bytearray(J.encode_codestream(
+            [np.zeros((64, 128), np.int64)], depth=8, levels=2,
+            tile_size=64))
+        at = code.find(b"\xff\x51")
+        import struct as S
+        S.pack_into(">I", code, at + 4 + 18, 62)   # XTsiz: 62 % 2^2 != 0
+        with pytest.raises(NotImplementedError, match="multiple of"):
+            J.decode_codestream(bytes(code), 0)
