@@ -1130,6 +1130,86 @@ def jp2_tile_spans(buf: bytes, p0: int | None = None):
     return header, spans, cs
 
 
+def jp2_tile_spans_file(path: str):
+    """Seek-based `jp2_tile_spans`: reads the container's small boxes, the
+    codestream main header and each 12-byte SOT header — never a tile
+    payload.  -> (main_header, spans, cs, geo) where geo carries GeoJP2
+    georeferencing ({"left","top","res_x","res_y"[,"geokeys"]}) when
+    present.  Spanning an N-GB scene costs the driver O(header + n_tiles)
+    bytes, the access pattern a remote range-read fetcher needs."""
+    import os
+    size = os.path.getsize(path)
+    geo = {}
+    with open(path, "rb") as f:
+        sig = f.read(12)
+        if sig[:4] == b"\xff\x4f\xff\x51":
+            cs_at, cs_end = 0, size
+        else:
+            if sig[4:8] != b"jP  ":
+                raise ValueError("not a JP2 file (missing signature box)")
+            cs_at = cs_end = None
+            p = 0
+            while p + 8 <= size:          # box headers only
+                f.seek(p)
+                hdr = f.read(16)
+                ln, typ = struct.unpack_from(">I4s", hdr, 0)
+                h = 8
+                if ln == 1:
+                    ln, = struct.unpack_from(">Q", hdr, 8)
+                    h = 16
+                elif ln == 0:
+                    ln = size - p
+                if typ == b"jp2c":
+                    cs_at, cs_end = p + h, p + ln
+                elif typ == b"uuid":
+                    f.seek(p + h)
+                    body = f.read(ln - h)
+                    if body[:16] == _GEOJP2_UUID:
+                        geo = _geo_from_uuid(body[16:])
+                p += ln
+            if cs_at is None:
+                raise ValueError("JP2 file has no jp2c codestream box")
+        win = 1 << 16                     # grow until the main header parses
+        while True:
+            f.seek(cs_at)
+            head = f.read(min(win, cs_end - cs_at))
+            try:
+                cs, p_rel = _parse_main_header(head, 0)
+                break
+            except (struct.error, IndexError):
+                if cs_at + win >= cs_end:
+                    raise
+                win *= 2
+        header = bytes(head[:p_rel])
+        ntx, nty = _check_tile_grid(cs)
+        spans = []
+        p = cs_at + p_rel
+        while True:
+            f.seek(p)
+            mk = f.read(12)
+            m, = struct.unpack_from(">H", mk, 0)
+            if m == _EOC:
+                break
+            if m != _SOT:
+                raise ValueError(f"expected SOT or EOC, got 0x{m:04x}")
+            _, _, isot, psot, tpsot, tnsot = struct.unpack_from(
+                ">HHHIBB", mk, 0)
+            if tpsot != 0 or tnsot not in (0, 1):
+                raise NotImplementedError("multiple tile-parts per tile")
+            end = p + psot if psot else cs_end - 2
+            ti, tj = divmod(isot, ntx)
+            tx0, ty0 = tj * cs.XT, ti * cs.YT
+            spans.append({"isot": isot, "start": p, "end": end,
+                          "x0": tx0, "y0": ty0,
+                          "w": min(cs.W, tx0 + cs.XT) - tx0,
+                          "h": min(cs.H, ty0 + cs.YT) - ty0})
+            p = end
+        if len(spans) != ntx * nty:
+            raise ValueError(
+                f"codestream has {len(spans)} of {ntx * nty} tiles")
+    return header, spans, cs, geo
+
+
 def decode_jp2_tile(main_header: bytes, tile_bytes: bytes,
                     reduce: int = 0):
     """Decode ONE tile-part given the codestream main header and the tile's
@@ -1357,6 +1437,21 @@ def _degenerate_geotiff(left: float, top: float, res_x: float, res_y: float,
     return b"II*\x00" + struct.pack("<I", ifd_at) + ifd + blob
 
 
+def _geo_from_uuid(payload: bytes) -> dict:
+    """GeoJP2 uuid-box payload (degenerate GeoTIFF) -> geo dict."""
+    geo = {}
+    tags = parse_tiff_tags(bytes(payload))
+    scale = tags.get(33550)
+    tie = tags.get(33922)
+    if scale and tie:
+        geo["left"], geo["top"] = tie[3], tie[4]
+        geo["res_x"], geo["res_y"] = scale[0], scale[1]
+    gk = geokeys_from_tags(tags)
+    if gk is not None:
+        geo["geokeys"] = gk
+    return geo
+
+
 def read_jp2_raster(path: str, reduce: int = 0) -> GeoTiff:
     """JP2 file -> GeoTiff (bands, h, w) with GeoJP2 georeferencing.
     reduce=k decodes at 1/2^k resolution (pixel size scales by 2^k)."""
@@ -1373,15 +1468,7 @@ def read_jp2_raster(path: str, reduce: int = 0) -> GeoTiff:
             if typ == b"jp2c":
                 cs_at, cs_end = a, b
             elif typ == b"uuid" and buf[a:a + 16] == _GEOJP2_UUID:
-                tags = parse_tiff_tags(bytes(buf[a + 16:b]))
-                scale = tags.get(33550)
-                tie = tags.get(33922)
-                if scale and tie:
-                    geo["left"], geo["top"] = tie[3], tie[4]
-                    geo["res_x"], geo["res_y"] = scale[0], scale[1]
-                gk = geokeys_from_tags(tags)
-                if gk is not None:
-                    geo["geokeys"] = gk
+                geo = _geo_from_uuid(buf[a + 16:b])
         if cs_at is None:
             raise ValueError("JP2 file has no jp2c codestream box")
     comps, cs = decode_codestream(bytes(buf), cs_at, reduce=reduce)

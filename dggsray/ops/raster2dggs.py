@@ -415,6 +415,62 @@ def geotiff_to_tiles(path: str, grid: GridConfig = DEFAULT_GRID, tile: int = 512
     return rd.from_items(rows), meta
 
 
+def jp2_to_tiles(path: str, grid: GridConfig = DEFAULT_GRID):
+    """Tiled-JP2 variant of geotiff_to_tiles for a HUGE aligned rHEALPix
+    scene: the driver scans only headers (O(n_tiles) bytes via
+    jp2_tile_spans_file — it never decodes, or even reads, the pixel
+    payload); rows are tile byte spans, decoded inside downstream tasks by
+    range reads.  No node ever holds the whole scene — the shape a 100 TB
+    scene archive needs.  Composes as
+    `tiles_to_cells(ds, meta, tile=meta["tile"])`."""
+    import ray.data as rd
+
+    from ..core import jp2io as J
+
+    header, spans, cs, geo = J.jp2_tile_spans_file(path)
+    if cs.XT != cs.YT:
+        raise NotImplementedError(
+            f"non-square JP2 tiles {cs.XT}x{cs.YT} (tiles_to_cells keys "
+            "pixel offsets on one tile edge)")
+    res_x = geo.get("res_x", 1.0)
+    res_idx, _ = grid.get_closest_resolution(abs(res_x))
+    res_idx_y, _ = grid.get_closest_resolution(abs(geo.get("res_y", res_x)))
+    assert res_idx == res_idx_y, f"{path}: cells are not squares"
+    dt = np.dtype(np.uint8 if cs.depth <= 8 and not cs.signed else
+                  np.int16 if cs.signed else np.uint16)
+    meta = {"left": geo.get("left", 0.0), "top": geo.get("top", 0.0),
+            "right": geo.get("left", 0.0) + cs.W * res_x,
+            "bottom": geo.get("top", 0.0) - cs.H * geo.get("res_y", res_x),
+            "height": cs.H, "width": cs.W, "res": res_x, "res_idx": res_idx,
+            "nbands": cs.ncomp, "nodata": None,
+            "nodatavals": [None] * cs.ncomp, "store_nodata": False,
+            "dtypes": [dt.name] * cs.ncomp,
+            "rhealpixdggs": grid.to_meta(), "tile": cs.XT}
+    dc = 0 if cs.signed else 1 << (cs.depth - 1)
+    XT = cs.XT
+
+    def decode(b: pa.Table) -> pa.Table:
+        # closure ships the ~100-byte main header + the path, never pixels
+        rows = {"tile_row": [], "tile_col": [], "h": [], "w": [],
+                "data": []}
+        starts = b.column("start").to_pylist()
+        ends = b.column("end").to_pylist()
+        with open(path, "rb") as f:
+            for st, en in zip(starts, ends):
+                f.seek(st)
+                comps, (x0, y0) = J.decode_jp2_tile(header, f.read(en - st))
+                px = np.stack([c + dc for c in comps]).astype(dt)
+                rows["tile_row"].append(y0 // XT)
+                rows["tile_col"].append(x0 // XT)
+                rows["h"].append(px.shape[1])
+                rows["w"].append(px.shape[2])
+                rows["data"].append(px.tobytes())
+        return pa.table(rows)
+
+    tiles = rd.from_items(spans).map_batches(decode, batch_format="pyarrow")
+    return tiles, meta
+
+
 def images_to_cells(ds, dst_resolution_idx: int, grid: GridConfig = DEFAULT_GRID,
                     concurrency=(2, 8), batch_size: int = 64, verify: bool = False):
     """Pipeline stage: image table -> cell rows via an actor pool (decode state and

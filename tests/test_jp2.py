@@ -354,3 +354,78 @@ class TestMultiTile:
         S.pack_into(">I", code, at + 4 + 18, 62)   # XTsiz: 62 % 2^2 != 0
         with pytest.raises(NotImplementedError, match="multiple of"):
             J.decode_codestream(bytes(code), 0)
+
+
+class TestJp2ToCells:
+    def test_jp2_tiles_to_cells_equals_geotiff_path(self, ray_session,
+                                                    tmp_path):
+        """The reference Landsat rHPX scene, re-serialized as a TILED JP2,
+        explodes to the SAME cell table through the span pipeline (driver
+        scans headers only; tiles decode inside tasks via range reads) as
+        the whole-file GeoTIFF path."""
+        from dggsray.core.rhpx import GridConfig
+        from dggsray.core.tiffio import read_geotiff
+        from dggsray.ops.raster2dggs import (geotiff_to_tiles, jp2_to_tiles,
+                                             tiles_to_cells)
+
+        G3 = GridConfig(3, 1, 0)
+        src = ("/root/reference/tests/test_data/"
+               "landsat_image_small-rhpx-N1-S0-NSide3-res11.tif")
+        g = read_geotiff(src)
+        p = str(tmp_path / "scene.jp2")
+        J.write_jp2(p, g, levels=3, tile_size=64)
+
+        tiles_a, meta_a = geotiff_to_tiles(src, G3)
+        ref = tiles_to_cells(tiles_a, meta_a, G3,
+                             store_nodata=True).to_pandas()
+
+        tiles_b, meta_b = jp2_to_tiles(p, G3)
+        assert meta_b["res_idx"] == 11 and meta_b["tile"] == 64
+        assert (meta_b["width"], meta_b["height"]) == (237, 128)
+        got = tiles_to_cells(tiles_b, meta_b, G3,
+                             tile=meta_b["tile"]).to_pandas()
+
+        cols = ["cellid"] + [f"band{i+1}" for i in range(8)]
+        a = ref[cols].sort_values("cellid").reset_index(drop=True)
+        b = got[cols].sort_values("cellid").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_jp2_tiles_nodata_drop(self, ray_session, tmp_path):
+        """Setting nodatavals on the jp2 meta reproduces the GeoTIFF
+        default (nodata-dropping) explode exactly."""
+        from dggsray.core.rhpx import GridConfig
+        from dggsray.core.tiffio import read_geotiff
+        from dggsray.ops.raster2dggs import (geotiff_to_tiles, jp2_to_tiles,
+                                             tiles_to_cells)
+
+        G3 = GridConfig(3, 1, 0)
+        src = ("/root/reference/tests/test_data/"
+               "landsat_image_small-rhpx-N1-S0-NSide3-res11.tif")
+        p = str(tmp_path / "scene.jp2")
+        J.write_jp2(p, read_geotiff(src), levels=3, tile_size=64)
+
+        tiles_a, meta_a = geotiff_to_tiles(src, G3)
+        ref = tiles_to_cells(tiles_a, meta_a, G3).to_pandas()
+
+        tiles_b, meta_b = jp2_to_tiles(p, G3)
+        meta_b["nodatavals"] = meta_a["nodatavals"]
+        got = tiles_to_cells(tiles_b, meta_b, G3,
+                             tile=meta_b["tile"]).to_pandas()
+        assert len(got) == len(ref) and 0 < len(got) < 237 * 128
+        a = ref.sort_values("cellid").reset_index(drop=True)
+        b = got[a.columns].sort_values("cellid").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_spans_file_matches_buffer_scan(self, tmp_path):
+        from dggsray.core.tiffio import GeoTiff
+        rng = np.random.default_rng(23)
+        data = rng.integers(0, 256, (1, 100, 130)).astype(np.uint8)
+        p = str(tmp_path / "t.jp2")
+        J.write_jp2(p, GeoTiff(data, 10.0, 50.0, 0.1, 0.1), levels=2,
+                    tile_size=64)
+        buf = open(p, "rb").read()
+        h1, s1, _ = J.jp2_tile_spans(buf)
+        h2, s2, cs, geo = J.jp2_tile_spans_file(p)
+        assert h1 == h2 and s1 == s2
+        assert geo["left"] == 10.0 and geo["top"] == 50.0
+        assert geo["res_x"] == 0.1
