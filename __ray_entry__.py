@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": R.video_scene_cuts,
         "events_distinct_users_hll": R.events_distinct_users_hll,
         "events_value_quantiles_sketch": R.events_value_quantiles_sketch,
+        "scene_jp2_cells": R.scene_jp2_cells,
         "flagship_cell_join": _flagship,
     }
 

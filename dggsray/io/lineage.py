@@ -26,19 +26,16 @@ _FNV = 1099511628211
 _GOLD = 0x9E3779B97F4A7C15
 
 
-def _digest_table(tbl) -> str:
-    """Order-insensitive digest, fully vectorized: every row's joined string
-    form gets a 64-bit polynomial hash (position-weighted byte sum, wrapping
-    uint64), xor-reduced.  Xor makes the digest independent of row order AND of
-    batch/block boundaries, so a resumed run's digest equals a single-shot
-    run's.  Not cryptographic — it guards lineage records against accidental
-    corruption/drift, same as the reference row-repr scheme it replaces."""
+def row_hashes(tbl) -> "object":
+    """Per-row 64-bit polynomial hashes (wrapping uint64 numpy array) of each
+    row's sorted-column joined string form — the _digest_table kernel without
+    the xor-reduce, reusable for grouped equivalence fingerprints."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if tbl.num_rows == 0:
-        return "0" * 16
+        return np.zeros(0, np.uint64)
     cols = []
     for n in sorted(tbl.column_names):
         c = tbl.column(n)
@@ -67,8 +64,22 @@ def _digest_table(tbl) -> str:
         np.cumsum(terms, out=cs[1:])
         h = cs[off[1:]] - cs[off[:-1]]
         h ^= lens.astype(np.uint64) * np.uint64(_GOLD)
-        digest = np.bitwise_xor.reduce(h)
-    return f"{int(digest):016x}"
+    return h
+
+
+def _digest_table(tbl) -> str:
+    """Order-insensitive digest, fully vectorized: every row's joined string
+    form gets a 64-bit polynomial hash (position-weighted byte sum, wrapping
+    uint64), xor-reduced.  Xor makes the digest independent of row order AND of
+    batch/block boundaries, so a resumed run's digest equals a single-shot
+    run's.  Not cryptographic — it guards lineage records against accidental
+    corruption/drift, same as the reference row-repr scheme it replaces."""
+    import numpy as np
+
+    h = row_hashes(tbl)
+    if h.size == 0:
+        return "0" * 16
+    return f"{int(np.bitwise_xor.reduce(h)):016x}"
 
 
 class LineageLog:

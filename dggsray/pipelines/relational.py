@@ -2919,3 +2919,108 @@ def dormant_customers_by_nation(sf_dir: str,
                            "c_nationkey",
                            Sum("_b", alias_name="bal_cents"),
                            Sum("_n", alias_name="n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Huge-scene tiled-JP2 explode (round-4): jp2_to_tiles -> tiles_to_cells
+# ---------------------------------------------------------------------------
+
+def _ensure_scene_jp2(sf: float, root: str = "/tmp/dggsray_cache"):
+    """Synthesize (once, cached) a deterministic aligned rHEALPix scene for
+    a scale factor, serialized BOTH as a GeoTIFF and as a 64px-tiled JP2.
+    Side grows ~ sf^(1/3) in 64px steps (192px at sf0.001, 896px at sf0.1).
+    Returns (tif_path, jp2_path, side)."""
+    import os
+
+    from ..core.jp2io import write_jp2
+    from ..core.rhpx import align_point
+    from ..core.tiffio import GeoTiff, write_geotiff
+
+    side = 64 * max(3, round(192 * (sf / 0.001) ** (1 / 3) / 64))
+    d = os.path.join(root, f"scene_{side}")
+    tif, jp2 = os.path.join(d, "scene.tif"), os.path.join(d, "scene.jp2")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.exists(done):
+        return tif, jp2, side
+    os.makedirs(d, exist_ok=True)
+    res_idx = 11
+    res = DEFAULT_GRID.cell_width(res_idx)
+    # straddle the x=0 face boundary so the explode spans two faces
+    left, top = align_point(-side * res / 2.0, 1_000_000.0, res_idx,
+                            DEFAULT_GRID)
+    rr, cc = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    data = np.stack([(3 * rr + 5 * cc) % 251,
+                     (7 * rr + 2 * cc + 11) % 241,
+                     (rr * cc + 13) % 239]).astype(np.uint8)
+    g = GeoTiff(data, left, top, res, res, nodata=None)
+    write_geotiff(tif, g)
+    write_jp2(jp2, g, levels=3, tile_size=64)
+    with open(done, "w") as f:
+        f.write("ok")
+    return tif, jp2, side
+
+
+def _face_fingerprints(cells_ds):
+    """(face, n_cells, fp) per resolution-0 face: per-row 64-bit hashes of
+    the (cellid, bands) rows xor-folded per face — a combiner-first grouped
+    equivalence fingerprint (order/blocking independent), no shuffle join."""
+    import pandas as pd
+
+    from ..io.lineage import row_hashes
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = row_hashes(b)
+        faces = pc.utf8_slice_codeunits(
+            b.column("cellid"), 0, 1).to_numpy(zero_copy_only=False)
+        out = {"face": [], "n": [], "fp": []}
+        for f in np.unique(faces):
+            m = faces == f
+            out["face"].append(str(f))
+            out["n"].append(int(m.sum()))
+            out["fp"].append(int(np.bitwise_xor.reduce(h[m])))
+        return pa.table({"face": pa.array(out["face"], pa.string()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "fp": pa.array(out["fp"], pa.uint64())})
+
+    parts = cells_ds.map_batches(partial,
+                                 batch_format="pyarrow").to_pandas()
+    g = parts.groupby("face", sort=True)
+    return pd.DataFrame({
+        "n_cells": g["n"].sum(),
+        "fp": g["fp"].agg(lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy().astype(np.uint64)))),
+    }).reset_index()
+
+
+def scene_jp2_cells(sf_dir: str):
+    """ONE huge tiled-JP2 scene -> cell table without any node holding the
+    whole image: the driver scans tile byte spans only
+    (core.jp2io.jp2_tile_spans_file, O(header + n_tiles) bytes) and each
+    task range-reads + decodes its own tiles (ops.raster2dggs.jp2_to_tiles
+    -> tiles_to_cells).  In-row oracle (rows-only query): the same scene
+    exploded through the whole-file GeoTIFF path must produce identical
+    (cellid, band) rows — compared via per-face xor fingerprints of per-row
+    hashes (order-independent, combiner-first, no shuffle).  One output row
+    per face with check_ok."""
+    import pandas as pd
+
+    from ..ops.raster2dggs import (geotiff_to_tiles, jp2_to_tiles,
+                                   tiles_to_cells)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    tif, jp2, side = _ensure_scene_jp2(sf)
+
+    tiles_a, meta_a = geotiff_to_tiles(tif)
+    ref = _face_fingerprints(tiles_to_cells(tiles_a, meta_a,
+                                            store_nodata=True))
+    tiles_b, meta_b = jp2_to_tiles(jp2)
+    got = _face_fingerprints(tiles_to_cells(tiles_b, meta_b,
+                                            tile=meta_b["tile"]))
+
+    m = ref.merge(got, on="face", how="outer", suffixes=("", "_jp2"))
+    return pd.DataFrame({
+        "face": m["face"],
+        "n_cells": m["n_cells"].fillna(-1).astype("int64"),
+        "check_ok": ((m["n_cells"] == m["n_cells_jp2"])
+                     & (m["fp"] == m["fp_jp2"])).astype(bool),
+    }).sort_values("face").reset_index(drop=True)

@@ -61,3 +61,31 @@ class TestDormantCustomers:
         con = _con()
         n_cust = con.sql("SELECT COUNT(*) FROM customer").df().iloc[0, 0]
         assert out.n_customers.sum() == n_cust
+
+
+class TestSceneJp2Cells:
+    def test_two_paths_agree_across_faces(self, ray_session):
+        """The span-pipeline explode of the tiled JP2 must fingerprint-match
+        the whole-file GeoTIFF explode on every face (in-row oracle of the
+        rows-only query), and the scene straddles a face boundary."""
+        from dggsray.pipelines.relational import scene_jp2_cells
+        df = scene_jp2_cells(SF)
+        assert set(df.columns) == {"face", "n_cells", "check_ok"}
+        assert len(df) == 2                  # straddles x=0
+        assert bool(df.check_ok.all())
+        assert int(df.n_cells.sum()) == 192 * 192
+
+    def test_fingerprint_catches_value_drift(self, ray_session):
+        """A single flipped band value must flip that face's fingerprint —
+        the oracle is not vacuous."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from dggsray.pipelines.relational import _face_fingerprints
+        t = pa.table({"cellid": pa.array(["P1", "P2", "Q3"]),
+                      "band1": pa.array([1, 2, 3], pa.int64())})
+        a = _face_fingerprints(rd.from_arrow(t))
+        t2 = t.set_column(1, "band1", pa.array([1, 9, 3], pa.int64()))
+        b = _face_fingerprints(rd.from_arrow(t2))
+        assert (a.face.tolist() == b.face.tolist() == ["P", "Q"])
+        assert a.fp[0] != b.fp[0] and a.fp[1] == b.fp[1]
