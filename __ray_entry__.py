@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_delayed_by_priority": R.orders_delayed_by_priority,
         "promo_revenue_q14": R.promo_revenue_q14,
         "dormant_customers_by_nation": R.dormant_customers_by_nation,
+        "discount_revenue_q19": R.discount_revenue_q19,
+        "volume_shipping_q7": R.volume_shipping_q7,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -666,6 +668,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY 1",
+        "discount_revenue_q19":
+            "SELECT p_brand, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM lineitem, part WHERE l_partkey = p_partkey AND ("
+            "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 1 AND 15) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 "
+            "AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 50 "
+            "AND l_quantity BETWEEN 20 AND 50)) "
+            "GROUP BY p_brand ORDER BY p_brand",
+        "volume_shipping_q7":
+            "SELECT CAST(s_nationkey AS BIGINT) AS supp_nationkey, "
+            "CAST(c_nationkey AS BIGINT) AS cust_nationkey, "
+            "CAST(year(l_shipdate) AS BIGINT) AS ship_year, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM lineitem l "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE s_nationkey IN (1, 2) AND c_nationkey IN (1, 2) "
+            "AND s_nationkey <> c_nationkey "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
         "events_props_extract":
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "

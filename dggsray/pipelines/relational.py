@@ -3024,3 +3024,141 @@ def scene_jp2_cells(sf_dir: str):
         "check_ok": ((m["n_cells"] == m["n_cells_jp2"])
                      & (m["fp"] == m["fp_jp2"])).astype(bool),
     }).sort_values("face").reset_index(drop=True)
+
+
+def discount_revenue_q19(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive (brand, size-window, quantity-window)
+    predicates over lineitem x part, integer revenue per surviving branch.
+    The part side is pruned to the branch unions BEFORE it moves (brand +
+    size pushdown, 3 brands of 25), joined by measured size (adaptive_join:
+    broadcast under the cap, hash shuffle above), then each batch evaluates
+    its branch's quantity window vectorized and folds revenue partials —
+    the final exchange is O(branches x blocks) rows."""
+    from ray.data.aggregate import Sum
+
+    branches = [("Brand#1", 1, 10, 1, 15),
+                ("Brand#2", 5, 20, 10, 30),
+                ("Brand#3", 15, 50, 20, 50)]
+    brand_of = {br: i for i, (br, *_) in enumerate(branches)}
+    q_lo = np.array([b[3] for b in branches], np.float64)
+    q_hi = np.array([b[4] for b in branches], np.float64)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy()
+        code = np.full(len(brand), -1, np.int64)
+        for i, (br, s0, s1, _, _) in enumerate(branches):
+            code[(brand == br) & (size >= s0) & (size <= s1)] = i
+        keep = code >= 0
+        return pa.table({
+            "l_partkey": pc.cast(b.column("p_partkey"), pa.int64())
+            .filter(pa.array(keep)),
+            "branch": pa.array(code[keep])})
+
+    from ..ops.joins import adaptive_join, lowcard_groupby
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    joined = adaptive_join(li, part.map_batches(prune,
+                                                batch_format="pyarrow"),
+                           on="l_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        br = b.column("branch").to_numpy()
+        qty = b.column("l_quantity").to_numpy()
+        m = (qty >= q_lo[br]) & (qty <= q_hi[br])
+        price = b.column("l_extendedprice").to_numpy()[m]
+        disc = b.column("l_discount").to_numpy()[m]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * np.rint((1 - disc) * 100).astype(np.int64)
+        t = pa.table({"branch": pa.array(br[m]), "_r": pa.array(rev)})
+        g = t.group_by("branch").aggregate([("_r", "sum")])
+        return g.rename_columns(["branch", "_r"])
+
+    agg = lowcard_groupby(joined.map_batches(partial,
+                                             batch_format="pyarrow"),
+                          "branch", Sum("_r", alias_name="revenue_e4"))
+    import pandas as pd
+    out = agg.to_pandas()                      # <= len(branches) rows
+    if "branch" not in out.columns:            # no branch matched at all
+        out = pd.DataFrame({"branch": pd.Series([], dtype="int64"),
+                            "revenue_e4": pd.Series([], dtype="int64")})
+    names = {i: br for br, i in brand_of.items()}
+    out["p_brand"] = out["branch"].map(names)
+    return out[["p_brand", "revenue_e4"]].sort_values("p_brand") \
+        .reset_index(drop=True)
+
+
+def volume_shipping_q7(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
+    """TPC-H Q7 shape: revenue volume shipped between two nations by ship
+    year (supplier nation -> customer nation, both directions).  Both
+    dimension sides are pruned to the two nations BEFORE moving; lineitem
+    joins the supplier map and the (orders x customer) nation map via
+    adaptive_join (broadcast under the measured cap, hash shuffle above);
+    cross-nation filter + the (2 x 2 x years) grouped aggregate fold
+    combiner-first per batch."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, lowcard_groupby
+
+    pair = pa.array([nation_a, nation_b], pa.int64())
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "l_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "supp_nationkey": pc.cast(b.column("s_nationkey"), pa.int64())})
+            .filter(pc.is_in(pc.cast(b.column("s_nationkey"), pa.int64()),
+                             value_set=pair)),
+            batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "o_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "cust_nationkey": pc.cast(b.column("c_nationkey"), pa.int64())})
+            .filter(pc.is_in(pc.cast(b.column("c_nationkey"), pa.int64()),
+                             value_set=pair)),
+            batch_format="pyarrow")
+    omap = adaptive_join(_read(sf_dir, "orders",
+                               ["o_orderkey", "o_custkey"]),
+                         cust, on="o_custkey") \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "cust_nationkey": b.column("cust_nationkey")}),
+            batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    li = adaptive_join(li, supp, on="l_suppkey")
+    joined = adaptive_join(li, omap, on="l_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn = b.column("supp_nationkey").to_numpy()
+        cn = b.column("cust_nationkey").to_numpy()
+        m = sn != cn
+        price = b.column("l_extendedprice").to_numpy()[m]
+        disc = b.column("l_discount").to_numpy()[m]
+        yr = b.column("l_shipdate").to_numpy()[m] \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        rev = np.rint(price * 100).astype(np.int64) \
+            * np.rint((1 - disc) * 100).astype(np.int64)
+        key = sn[m] * 1_000_000 + cn[m] * 10_000 + yr  # packed low-card key
+        t = pa.table({"k": pa.array(key), "_r": pa.array(rev)})
+        g = t.group_by("k").aggregate([("_r", "sum")])
+        return g.rename_columns(["k", "_r"])
+
+    agg = lowcard_groupby(joined.map_batches(partial,
+                                             batch_format="pyarrow"),
+                          "k", Sum("_r", alias_name="revenue_e4"))
+    import pandas as pd
+    out = agg.to_pandas()                      # 2 x 2 x years rows
+    if "k" not in out.columns:                 # no cross-nation rows at all
+        out = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                            "revenue_e4": pd.Series([], dtype="int64")})
+    out["supp_nationkey"] = out["k"] // 1_000_000
+    out["cust_nationkey"] = (out["k"] // 10_000) % 100
+    out["ship_year"] = out["k"] % 10_000
+    return out[["supp_nationkey", "cust_nationkey", "ship_year",
+                "revenue_e4"]] \
+        .sort_values(["supp_nationkey", "cust_nationkey", "ship_year"]) \
+        .reset_index(drop=True)

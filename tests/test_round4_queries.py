@@ -1,7 +1,9 @@
-"""Round-4 query additions: TPC-H Q14 shape (broadcast promo lookup) and
-Q22-flavor dormant-customer anti join.  Both are oracled in __ray_entry__;
-these tests pin the semantics against direct DuckDB computation on the
-same parquet at sf0.001."""
+"""Round-4 query additions: TPC-H Q14 shape (broadcast promo lookup),
+Q22-flavor dormant-customer anti join, Q19 disjunctive-predicate revenue,
+Q7 two-nation volume shipping (all oracled in __ray_entry__), and the
+rows-only scene_jp2_cells tiled-scene explode with its face-fingerprint
+in-row oracle.  Tests pin semantics against direct DuckDB computation on
+the same parquet at sf0.001."""
 import duckdb
 import numpy as np
 
@@ -10,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ("lineitem", "part", "orders", "customer"):
+    for t in ("lineitem", "part", "orders", "customer", "supplier"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -89,3 +91,54 @@ class TestSceneJp2Cells:
         b = _face_fingerprints(rd.from_arrow(t2))
         assert (a.face.tolist() == b.face.tolist() == ["P", "Q"])
         assert a.fp[0] != b.fp[0] and a.fp[1] == b.fp[1]
+
+
+class TestQ19DiscountRevenue:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import discount_revenue_q19
+        out = discount_revenue_q19(SF)
+        con = _con()
+        ref = con.sql(
+            "SELECT p_brand, CAST(SUM(CAST(round(l_extendedprice*100) AS "
+            "BIGINT) * CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT)"
+            " AS r FROM lineitem, part WHERE l_partkey = p_partkey AND ("
+            "(p_brand='Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity "
+            "BETWEEN 1 AND 15) OR (p_brand='Brand#2' AND p_size BETWEEN 5 "
+            "AND 20 AND l_quantity BETWEEN 10 AND 30) OR (p_brand='Brand#3'"
+            " AND p_size BETWEEN 15 AND 50 AND l_quantity BETWEEN 20 AND "
+            "50)) GROUP BY 1 ORDER BY 1").df()
+        assert out.p_brand.tolist() == ref.p_brand.tolist()
+        assert out.revenue_e4.tolist() == ref.r.tolist()
+        assert (out.revenue_e4 > 0).all()
+
+
+class TestQ7VolumeShipping:
+    def test_matches_duckdb(self, ray_session):
+        # sf0.001 ships only 10 suppliers, so pick a pair with traffic here;
+        # the oracled default (1, 2) is exercised by the driver at sf0.01
+        from dggsray.pipelines.relational import volume_shipping_q7
+        out = volume_shipping_q7(SF, nation_a=11, nation_b=20)
+        con = _con()
+        ref = con.sql(
+            "SELECT CAST(s_nationkey AS BIGINT) sn, CAST(c_nationkey AS "
+            "BIGINT) cn, CAST(year(l_shipdate) AS BIGINT) y, "
+            "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT) r "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE s_nationkey IN (11,20) AND c_nationkey IN (11,20) "
+            "AND s_nationkey <> c_nationkey GROUP BY 1,2,3 "
+            "ORDER BY 1,2,3").df()
+        assert len(out) == len(ref) > 0
+        assert out.values.tolist() == ref.values.tolist()
+        assert (out.supp_nationkey != out.cust_nationkey).all()
+
+    def test_empty_pair_returns_typed_empty(self, ray_session):
+        # nations with no suppliers at sf0.001: result must be an EMPTY
+        # frame with the full schema, not a KeyError
+        from dggsray.pipelines.relational import volume_shipping_q7
+        out = volume_shipping_q7(SF, nation_a=1, nation_b=2)
+        assert list(out.columns) == ["supp_nationkey", "cust_nationkey",
+                                     "ship_year", "revenue_e4"]
+        assert len(out) == 0
