@@ -1371,18 +1371,71 @@ def encode_codestream(comps: list[np.ndarray], depth: int = 8,
     out += struct.pack(">H", _COD) + cod
     qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in eps)
     out += struct.pack(">HH", _QCD, 2 + len(qcd)) + qcd
+    bodies = _encode_tile_bodies(planes, W, H, XT, YT, ntx, nty, NL, Mb_of)
     for isot in range(ntx * nty):
-        ti, tj = divmod(isot, ntx)
-        tx0, ty0 = tj * XT, ti * YT
-        tx1, ty1 = min(W, tx0 + XT), min(H, ty0 + YT)
-        tile = _encode_tile_body(
-            [p[ty0:ty1, tx0:tx1] for p in planes], tx0, ty0, NL, Mb_of)
+        tile = bodies[isot]
         psot = 12 + 2 + len(tile)
         out += struct.pack(">HHHIBB", _SOT, 10, isot, psot, 0, 1)
         out += struct.pack(">H", _SOD)
         out += tile
     out += struct.pack(">H", _EOC)
     return bytes(out)
+
+
+def _encode_tile_bodies(planes, W, H, XT, YT, ntx, nty, NL, Mb_of):
+    """Encode every tile's packet stream.  Tiles are independent, and Tier-1
+    dominates encode cost, so when a Ray session exists (and we are on the
+    driver, not inside a task) the tiles fan out over Ray tasks: the plane
+    stack goes to the object store ONCE (zero-copy numpy view per task) and
+    each task returns only its compressed bytes.  Sequential otherwise;
+    both paths are bit-identical (tested)."""
+    def seq(isot):
+        ti, tj = divmod(isot, ntx)
+        tx0, ty0 = tj * XT, ti * YT
+        return _encode_tile_body(
+            [p[ty0:min(H, ty0 + YT), tx0:min(W, tx0 + XT)] for p in planes],
+            tx0, ty0, NL, Mb_of)
+
+    n = ntx * nty
+    use_ray = False
+    if n >= 4:
+        try:
+            import ray
+            use_ray = (ray.is_initialized()
+                       and ray.get_runtime_context().get_task_id() is None)
+        except Exception:
+            pass
+    if not use_ray:
+        return {i: seq(i) for i in range(n)}
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    ncomp = len(planes)
+    arr_ref = ray.put(np.stack(planes))       # (ncomp, H, W) int64, once
+
+    def kernel(b: pa.Table) -> pa.Table:
+        a = ray.get(arr_ref)
+        ids, outs = [], []
+        for i in b.column("id").to_pylist():
+            ti, tj = divmod(i, ntx)
+            tx0, ty0 = tj * XT, ti * YT
+            sub = [a[c, ty0:min(H, ty0 + YT), tx0:min(W, tx0 + XT)]
+                   for c in range(ncomp)]
+            ids.append(i)
+            outs.append(_encode_tile_body(sub, tx0, ty0, NL, Mb_of))
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "body": pa.array(outs, pa.large_binary())})
+
+    bodies = {}
+    res = rd.range(n).map_batches(kernel, batch_format="pyarrow",
+                                  batch_size=max(1, n // 64))
+    for b in res.iter_batches(batch_format="pyarrow"):
+        for i, body in zip(b.column("id").to_pylist(),
+                           b.column("body").to_pylist()):
+            bodies[i] = body
+    return bodies
 
 
 # ---------------------------------------------------------------------------

@@ -429,3 +429,20 @@ class TestJp2ToCells:
         assert h1 == h2 and s1 == s2
         assert geo["left"] == 10.0 and geo["top"] == 50.0
         assert geo["res_x"] == 0.1
+
+
+class TestDistributedEncode:
+    def test_parallel_encode_bit_identical(self, ray_session, monkeypatch):
+        """Tile bodies encoded over Ray tasks must be byte-for-byte what the
+        sequential path writes (tiles are independent; assembly order is
+        deterministic)."""
+        import ray
+        rng = np.random.default_rng(29)
+        comps = [rng.integers(0, 256, (200, 260)).astype(np.int64)
+                 for _ in range(3)]
+        par = J.encode_codestream(comps, depth=8, levels=3, tile_size=64)
+        monkeypatch.setattr(ray, "is_initialized", lambda: False)
+        seq = J.encode_codestream(comps, depth=8, levels=3, tile_size=64)
+        assert par == seq
+        dec, _ = J.decode_codestream(par)
+        assert all(np.array_equal(a, b + 128) for a, b in zip(comps, dec))
