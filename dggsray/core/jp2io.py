@@ -935,6 +935,9 @@ def _anchored_grid(b0: int, bsz: int, cb: int) -> tuple[int, int]:
 
 
 def _check_tile_grid(cs: _Codestream):
+    if cs.XT <= 0 or cs.YT <= 0 or cs.W <= 0 or cs.H <= 0:
+        raise ValueError(
+            f"invalid SIZ dimensions {cs.W}x{cs.H} tiles {cs.XT}x{cs.YT}")
     ntx, nty = _ceil_div(cs.W, cs.XT), _ceil_div(cs.H, cs.YT)
     if ntx * nty > 1:
         step = 1 << cs.NL

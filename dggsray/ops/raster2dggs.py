@@ -426,7 +426,9 @@ def jp2_to_tiles(path: str, grid: GridConfig = DEFAULT_GRID):
     import ray.data as rd
 
     from ..core import jp2io as J
+    from ..core.raster import localize_path
 
+    path = localize_path(path)    # scheme seam, same as parquet/raster reads
     header, spans, cs, geo = J.jp2_tile_spans_file(path)
     if cs.XT != cs.YT:
         raise NotImplementedError(
