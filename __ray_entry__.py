@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dormant_customers_by_nation": R.dormant_customers_by_nation,
         "discount_revenue_q19": R.discount_revenue_q19,
         "volume_shipping_q7": R.volume_shipping_q7,
+        "events_geofence_exact": R.events_geofence_exact,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -150,6 +151,40 @@ def _ann_sql(dim: int = 64) -> str:
             f"CAST(embedding AS DOUBLE[]), {lit}) "
             f"* 1000000) AS BIGINT) AS cos_micro FROM embeddings "
             f"ORDER BY cos_micro DESC, vec_id ASC LIMIT 10")
+
+
+def _geofence_exact_sql() -> str:
+    """Exact point-in-polygon oracle: the engine's PolygonProbe decision is
+    replayed as a SQL crossing-number test — planar point coordinates from
+    dggsray.oracle.planar_xy_sql (the cellid_sql closed form) against the
+    SAME planar vertex literals the engine's rings project to, even-odd over
+    the outer ring plus the hole."""
+    from dggsray.core.rhpx import DEFAULT_GRID, project_fwd
+    from dggsray.oracle import lonlat_sql, planar_xy_sql
+    from dggsray.pipelines.relational import _GEOFENCE_EXACT_RINGS
+
+    edges = []
+    for ring in _GEOFENCE_EXACT_RINGS:
+        x, y = project_fwd(ring[:, 0], ring[:, 1], DEFAULT_GRID)
+        for i in range(len(x) - 1):
+            edges.append((x[i], y[i], x[i + 1], y[i + 1]))
+    vals = ", ".join(f"({a!r}, {b!r}, {c!r}, {d!r})" for a, b, c, d in edges)
+    lon, lat = lonlat_sql("user_id")
+    px, py = planar_xy_sql(lon, lat)
+    return (
+        f"WITH e(x0, y0, x1, y1) AS (VALUES {vals}), "
+        f"p AS (SELECT event_id, event_type, value, {px} AS px, {py} AS py "
+        "FROM events), "
+        "c AS (SELECT p.event_id, any_value(p.event_type) AS et, "
+        "any_value(p.value) AS v, "
+        "SUM(CASE WHEN (e.y0 > p.py) <> (e.y1 > p.py) "
+        "AND p.px < e.x0 + (p.py - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0) "
+        "THEN 1 ELSE 0 END) AS cr "
+        "FROM p CROSS JOIN e GROUP BY p.event_id) "
+        "SELECT et AS event_type, "
+        "CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+        "COUNT(*) AS n_events "
+        "FROM c WHERE cr % 2 = 1 GROUP BY 1")
 
 
 def _decontaminate_sql(k: int = 5, mod: int = 10) -> str:
@@ -702,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
             "AS BIGINT) AS max_k, "
             "COUNT(*) AS n_events FROM events GROUP BY 1",
+        "events_geofence_exact": _geofence_exact_sql(),
         "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),

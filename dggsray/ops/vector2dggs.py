@@ -295,3 +295,64 @@ def vector_to_optimal_cuids(source, res: int, grid: GridConfig = DEFAULT_GRID,
     _auid, _hash, hash_b64, _comp, comp_b64, _trie = \
         generate_bp_auid_from_cuids(optimal)
     return optimal, comp_b64, hash_b64
+
+
+class PolygonProbe:
+    """Prepared-geometry point-in-polygon probe — the north-star's
+    'point-in-polygon tests via prepared-geometry STRtree probes'
+    re-expressed DGGS-first.  Build once per polygon set (driver, or actor
+    __init__ for map_batches pools), probe per batch:
+
+      * interior cells = center-cover MINUS the boundary supercover.  A cell
+        the boundary never enters is wholly inside or wholly outside, decided
+        by its center — so points in interior cells accept with ONE sorted-
+        array membership test, no geometry math;
+      * points in boundary-supercover cells refine with the exact vectorized
+        even-odd kernel against the planar rings;
+      * points in neither set are outside.
+
+    Exact (up to float64), not cover-approximate: the only geometry work is
+    the boundary-cell minority, which shrinks as res grows — the DGGS cover
+    plays the role an STRtree plays for prepared shapely geometries, and the
+    two sorted cell arrays broadcast in O(cover) bytes."""
+
+    def __init__(self, rings_lonlat: list, res: int,
+                 grid: GridConfig = DEFAULT_GRID):
+        rings = [np.asarray(r, dtype=np.float64) for r in rings_lonlat]
+        cover = burn_polygons_to_cells(
+            [{"feature_id": 1, "value": 1, "rings": rings}], res, grid)
+        cover_cells = cover.column("cellid").to_numpy(zero_copy_only=False)
+        closed = [np.vstack([r, r[:1]])
+                  if not np.array_equal(r[0], r[-1]) else r for r in rings]
+        bound = burn_lines_to_cells(
+            [{"feature_id": i, "value": 1, "coords": r}
+             for i, r in enumerate(closed)], res, grid)
+        bcells = bound.column("cellid").to_numpy(zero_copy_only=False)
+        self.boundary = np.unique(bcells)
+        self.interior = np.setdiff1d(np.sort(cover_cells), self.boundary)
+        self.res = res
+        self.grid = grid
+        self.planar_rings = [_ring_planar(r, grid) for r in closed]
+        self.n_refined = 0        # probe-side stats: exact-kernel points
+        self.n_fast = 0           # accepted/rejected by cell membership only
+
+    def planar_vertices(self):
+        """Planar ring vertex arrays — share with an external oracle so both
+        sides test against the identical polygon."""
+        return [r.copy() for r in self.planar_rings]
+
+    def contains_lonlat(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        px, py = project_fwd(np.asarray(lon, np.float64),
+                             np.asarray(lat, np.float64), self.grid)
+        cells = cell_from_point(self.res, px, py, self.grid)
+        inside = np.zeros(len(px), dtype=bool)
+        inside[np.isin(cells, self.interior)] = True
+        ref = np.isin(cells, self.boundary)
+        self.n_refined += int(ref.sum())
+        self.n_fast += int(len(px) - ref.sum())
+        if ref.any():
+            sub = np.zeros(int(ref.sum()), dtype=bool)
+            for ring in self.planar_rings:
+                sub ^= _points_in_ring(px[ref], py[ref], ring)
+            inside[ref] = sub
+        return inside

@@ -34,16 +34,25 @@ def lonlat_sql(key: str) -> tuple[str, str]:
     return lon, lat
 
 
-def cellid_sql(lon: str, lat: str, res: int, n_side: int = 3) -> str:
-    """SQL expression producing the same cellid string as
-    dggsray.core.rhpx.cells_from_lonlat for equatorial points."""
-    assert n_side == 3, "oracle SQL emitted for N_side=3 grids"
+def planar_xy_sql(lon: str, lat: str) -> tuple[str, str]:
+    """SQL (x, y) planar rHEALPix coordinates of an equatorial point — the
+    same closed-form expressions cellid_sql builds on, exposed for oracles
+    that need the projected point itself (e.g. exact point-in-polygon
+    crossing tests)."""
     s = f"sin(radians({lat}))"
     q = (f"((1.0 - {_E2!r}) * (({s}) / (1.0 - {_E2!r} * ({s}) * ({s}))"
          f" + (0.5 * ln((1.0 + {_E!r} * ({s})) / (1.0 - {_E!r} * ({s})))) / {_E!r}))")
     sinb = f"({q} / {_QP!r})"
     x = f"(radians({lon}) * {R_A!r})"
     y = f"({R_A!r} * (3.0 * {PI!r} / 8.0) * {sinb})"
+    return x, y
+
+
+def cellid_sql(lon: str, lat: str, res: int, n_side: int = 3) -> str:
+    """SQL expression producing the same cellid string as
+    dggsray.core.rhpx.cells_from_lonlat for equatorial points."""
+    assert n_side == 3, "oracle SQL emitted for N_side=3 grids"
+    x, y = planar_xy_sql(lon, lat)
     fidx = f"CAST(floor((({x}) + {2*F!r}) / {F!r}) AS BIGINT)"
     face = (f"(CASE {fidx} WHEN 0 THEN 'O' WHEN 1 THEN 'P' WHEN 2 THEN 'Q' "
             f"ELSE 'R' END)")

@@ -3162,3 +3162,44 @@ def volume_shipping_q7(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
                 "revenue_e4"]] \
         .sort_values(["supp_nationkey", "cust_nationkey", "ship_year"]) \
         .reset_index(drop=True)
+
+
+# outer ring + hole of the exact geofence — vertex latitudes all distinct so
+# no planar edge is horizontal (keeps the SQL crossing expression free of a
+# 0/0 branch); shared verbatim with the oracle builder in __ray_entry__
+_GEOFENCE_EXACT_RINGS = [
+    np.array([[-20.0, -10.0], [45.0, 5.0], [10.0, 30.0], [-20.0, -10.0]]),
+    np.array([[0.0, 2.0], [18.0, 8.0], [6.0, 16.0], [0.0, 2.0]]),
+]
+
+
+def events_geofence_exact(sf_dir: str, res: int = 3):
+    """EXACT point-in-polygon geofence (polygon with a hole) — the
+    north-star's prepared-geometry probe: ops.vector2dggs.PolygonProbe
+    accepts interior-cell points by one sorted-array membership test and
+    runs the even-odd kernel only on the boundary-cell minority (~9% of
+    points at res 3).  The oracle replays the identical planar crossing
+    test in SQL (dggsray.oracle.planar_xy_sql + the same vertex literals),
+    so inside/outside is value-checked per event, not cover-approximate."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.vector2dggs import PolygonProbe
+
+    probe = PolygonProbe(_GEOFENCE_EXACT_RINGS, res)
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("user_id").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        inside = probe.contains_lonlat(lon, lat)
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type").filter(
+                          pa.array(inside)),
+                      "cents": pa.array(cents[inside])})
+        g = t.group_by("event_type").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "_s", "_n"])
+
+    return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           "event_type", Sum("_s", alias_name="value_cents"),
+                           Sum("_n", alias_name="n_events"))

@@ -142,3 +142,44 @@ class TestQ7VolumeShipping:
         assert list(out.columns) == ["supp_nationkey", "cust_nationkey",
                                      "ship_year", "revenue_e4"]
         assert len(out) == 0
+
+
+class TestPolygonProbeExact:
+    def test_probe_equals_brute_force(self):
+        """Interior-cell fast path + boundary-cell even-odd refinement must
+        equal the all-points even-odd kernel exactly, hole included."""
+        from dggsray.core.rhpx import DEFAULT_GRID, project_fwd
+        from dggsray.ops.vector2dggs import PolygonProbe, _points_in_ring
+        from dggsray.pipelines.relational import _GEOFENCE_EXACT_RINGS
+        probe = PolygonProbe(_GEOFENCE_EXACT_RINGS, res=3)
+        assert np.intersect1d(probe.interior, probe.boundary).size == 0
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-40.0, 60.0, 30000)
+        lat = rng.uniform(-34.0, 34.0, 30000)
+        got = probe.contains_lonlat(lon, lat)
+        px, py = project_fwd(lon, lat, DEFAULT_GRID)
+        exp = np.zeros(len(px), dtype=bool)
+        for ring in probe.planar_rings:
+            exp ^= _points_in_ring(px, py, ring)
+        assert np.array_equal(got, exp)
+        assert 0 < got.sum() < len(got)
+        # the point of the structure: most points never touch geometry math
+        assert probe.n_fast > 4 * probe.n_refined
+        # hole actually removes points: some interior-of-outer points excluded
+        outer_only = _points_in_ring(px, py, probe.planar_rings[0])
+        assert (outer_only & ~exp).sum() > 0
+
+    def test_geofence_exact_matches_duckdb(self, ray_session):
+        import __ray_entry__ as E
+        from dggsray.pipelines.relational import events_geofence_exact
+        out = events_geofence_exact(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        con = _con()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+        ref = con.sql(E.oracle_sql()["events_geofence_exact"]
+                      + " ORDER BY 1").df()
+        assert out.event_type.tolist() == ref.event_type.tolist()
+        assert out.value_cents.tolist() == ref.value_cents.tolist()
+        assert out.n_events.tolist() == ref.n_events.tolist()
+        assert out.n_events.sum() > 0
