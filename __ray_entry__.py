@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_revenue_q19": R.discount_revenue_q19,
         "volume_shipping_q7": R.volume_shipping_q7,
         "events_geofence_exact": R.events_geofence_exact,
+        "events_region_assign": R.events_region_assign,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -185,6 +186,46 @@ def _geofence_exact_sql() -> str:
         "CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
         "COUNT(*) AS n_events "
         "FROM c WHERE cr % 2 = 1 GROUP BY 1")
+
+
+def _region_assign_sql() -> str:
+    """Exact many-polygon assignment oracle: per-feature crossing parities
+    in ONE scan over a feature-tagged edge VALUES table, then the engine's
+    paint-order (later feature wins) as a CASE, -1 outside."""
+    from dggsray.core.rhpx import DEFAULT_GRID, project_fwd
+    from dggsray.oracle import lonlat_sql, planar_xy_sql
+    from dggsray.pipelines.relational import _REGION_ASSIGN_FEATURES
+
+    edges = []
+    fids = []
+    for f in _REGION_ASSIGN_FEATURES:
+        fids.append(int(f["feature_id"]))
+        for ring in f["rings"]:
+            x, y = project_fwd(ring[:, 0], ring[:, 1], DEFAULT_GRID)
+            for i in range(len(x) - 1):
+                edges.append((f["feature_id"], x[i], y[i], x[i + 1],
+                              y[i + 1]))
+    vals = ", ".join(f"({f}, {a!r}, {b!r}, {c!r}, {d!r})"
+                     for f, a, b, c, d in edges)
+    lon, lat = lonlat_sql("user_id")
+    px, py = planar_xy_sql(lon, lat)
+    cross = ("(e.y0 > p.py) <> (e.y1 > p.py) AND p.px < e.x0 + "
+             "(p.py - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0)")
+    crs = ", ".join(
+        f"SUM(CASE WHEN e.fid = {f} AND {cross} THEN 1 ELSE 0 END) AS c{f}"
+        for f in fids)
+    paint = " ".join(f"WHEN c{f} % 2 = 1 THEN {f}"
+                     for f in sorted(fids, reverse=True))
+    return (
+        f"WITH e(fid, x0, y0, x1, y1) AS (VALUES {vals}), "
+        f"p AS (SELECT event_id, event_type, value, {px} AS px, {py} AS py "
+        "FROM events), "
+        "c AS (SELECT p.event_id, any_value(p.event_type) AS et, "
+        f"any_value(p.value) AS v, {crs} "
+        "FROM p CROSS JOIN e GROUP BY p.event_id) "
+        f"SELECT CASE {paint} ELSE -1 END AS region_id, et AS event_type, "
+        "CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+        "COUNT(*) AS n_events FROM c GROUP BY 1, 2")
 
 
 def _decontaminate_sql(k: int = 5, mod: int = 10) -> str:
@@ -738,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS max_k, "
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_geofence_exact": _geofence_exact_sql(),
+        "events_region_assign": _region_assign_sql(),
         "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),

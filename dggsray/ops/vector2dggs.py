@@ -356,3 +356,40 @@ class PolygonProbe:
                 sub ^= _points_in_ring(px[ref], py[ref], ring)
             inside[ref] = sub
         return inside
+
+
+class RegionAssigner:
+    """Exact many-polygon point assignment (spatial join: point -> containing
+    feature_id, paint order = later feature wins on overlap, -1 outside) —
+    one PolygonProbe-style prepared structure per feature, probed in paint
+    order.  The per-feature interior/boundary cell arrays broadcast in
+    O(total cover) bytes; geometry math runs only for points in a feature's
+    boundary cells.  Features: [{"feature_id": int, "rings": [lonlat ring,
+    ...]}] with even-odd hole semantics per feature."""
+
+    def __init__(self, features: list[dict], res: int,
+                 grid: GridConfig = DEFAULT_GRID):
+        self.res = res
+        self.grid = grid
+        self.probes = [(int(f["feature_id"]),
+                        PolygonProbe(f["rings"], res, grid))
+                       for f in features]
+
+    def assign_lonlat(self, lon: np.ndarray,
+                      lat: np.ndarray) -> np.ndarray:
+        px, py = project_fwd(np.asarray(lon, np.float64),
+                             np.asarray(lat, np.float64), self.grid)
+        cells = cell_from_point(self.res, px, py, self.grid)
+        fid = np.full(len(px), -1, dtype=np.int64)
+        for f, probe in self.probes:          # paint order: later wins
+            hit = np.isin(cells, probe.interior)
+            ref = np.isin(cells, probe.boundary)
+            probe.n_refined += int(ref.sum())
+            probe.n_fast += int(len(px) - ref.sum())
+            if ref.any():
+                sub = np.zeros(int(ref.sum()), dtype=bool)
+                for ring in probe.planar_rings:
+                    sub ^= _points_in_ring(px[ref], py[ref], ring)
+                hit[np.flatnonzero(ref)[sub]] = True
+            fid[hit] = f
+        return fid

@@ -3203,3 +3203,64 @@ def events_geofence_exact(sf_dir: str, res: int = 3):
     return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
                            "event_type", Sum("_s", alias_name="value_cents"),
                            Sum("_n", alias_name="n_events"))
+
+
+# three regions for the exact assignment query — region 2 overlaps region 1
+# (paint order: LATER feature wins, the engine's established burn semantics);
+# all vertex latitudes distinct so no planar edge is horizontal
+_REGION_ASSIGN_FEATURES = [
+    {"feature_id": 1, "rings": [np.array(
+        [[-30.0, -20.0], [20.0, -8.0], [-5.0, 24.0], [-30.0, -20.0]])]},
+    {"feature_id": 2, "rings": [np.array(
+        [[-10.0, -5.0], [40.0, 3.0], [15.0, 28.0], [-10.0, -5.0]])]},
+    {"feature_id": 3, "rings": [np.array(
+        [[50.0, -30.0], [90.0, -22.0], [70.0, 6.0], [50.0, -30.0]])]},
+]
+
+
+def events_region_assign(sf_dir: str, res: int = 3):
+    """Exact spatial join: every event is assigned the feature_id of its
+    containing region (ops.vector2dggs.RegionAssigner — per-feature
+    interior/boundary cell prefilter, even-odd refinement only in boundary
+    cells, paint order = later feature wins on overlap, -1 outside), then
+    (region_id, event_type) counts and value cents aggregate combiner-first.
+    The oracle replays per-feature crossing parities in one SQL scan over a
+    feature-tagged edge table and applies the same paint-order CASE."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.vector2dggs import RegionAssigner
+
+    ra = RegionAssigner(_REGION_ASSIGN_FEATURES, res)
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("user_id").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        fid = ra.assign_lonlat(lon, lat)
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table({"region_id": pa.array(fid),
+                      "event_type": b.column("event_type"),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["region_id", "event_type"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["region_id", "event_type", "_s", "_n"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        # single low-card composite key for the final fold
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column("region_id"), pa.string()),
+            b.column("event_type"), "\x1f")
+        return pa.table({"k": k, "_s": b.column("_s"), "_n": b.column("_n")})
+
+    agg = lowcard_groupby(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .map_batches(pack, batch_format="pyarrow"),
+        "k", Sum("_s", alias_name="value_cents"),
+        Sum("_n", alias_name="n_events"))
+    import pandas as pd
+    out = agg.to_pandas()
+    parts = out["k"].str.split("\x1f", expand=True)
+    out["region_id"] = parts[0].astype("int64")
+    out["event_type"] = parts[1]
+    return out[["region_id", "event_type", "value_cents", "n_events"]] \
+        .sort_values(["region_id", "event_type"]).reset_index(drop=True)

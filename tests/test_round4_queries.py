@@ -183,3 +183,49 @@ class TestPolygonProbeExact:
         assert out.value_cents.tolist() == ref.value_cents.tolist()
         assert out.n_events.tolist() == ref.n_events.tolist()
         assert out.n_events.sum() > 0
+
+
+class TestRegionAssigner:
+    def test_paint_order_and_exactness(self):
+        """Overlap of regions 1 and 2 assigns to 2 (later wins); assignment
+        equals the per-feature brute-force even-odd with the same order."""
+        from dggsray.core.rhpx import DEFAULT_GRID, project_fwd
+        from dggsray.ops.vector2dggs import RegionAssigner, _points_in_ring
+        from dggsray.pipelines.relational import _REGION_ASSIGN_FEATURES
+        ra = RegionAssigner(_REGION_ASSIGN_FEATURES, res=3)
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-40.0, 95.0, 30000)
+        lat = rng.uniform(-34.0, 34.0, 30000)
+        got = ra.assign_lonlat(lon, lat)
+        px, py = project_fwd(lon, lat, DEFAULT_GRID)
+        exp = np.full(len(px), -1, np.int64)
+        for f in _REGION_ASSIGN_FEATURES:
+            inside = np.zeros(len(px), bool)
+            for ring in f["rings"]:
+                r = np.asarray(ring, float)
+                xs, ys = project_fwd(r[:, 0], r[:, 1], DEFAULT_GRID)
+                inside ^= _points_in_ring(px, py, np.column_stack([xs, ys]))
+            exp[inside] = f["feature_id"]
+        assert np.array_equal(got, exp)
+        # regions 1 and 2 genuinely overlap and the overlap went to 2
+        assert (exp == 1).sum() > 0 and (exp == 2).sum() > 0
+        probes = dict(ra.probes)
+        both = np.zeros(len(px), bool)
+        for fid in (1, 2):
+            m = np.zeros(len(px), bool)
+            for ring in probes[fid].planar_rings:
+                m ^= _points_in_ring(px, py, ring)
+            both = both & m if fid == 2 else m
+        assert both.sum() > 0 and (got[both] == 2).all()
+
+    def test_query_matches_duckdb(self, ray_session):
+        import __ray_entry__ as E
+        from dggsray.pipelines.relational import events_region_assign
+        out = events_region_assign(SF)
+        con = _con()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+        ref = con.sql(E.oracle_sql()["events_region_assign"]
+                      + " ORDER BY 1, 2").df()
+        assert out.values.tolist() == ref.values.tolist()
+        assert set(out.region_id) >= {-1}
