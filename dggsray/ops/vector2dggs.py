@@ -85,15 +85,31 @@ def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndar
 
 def burn_polygons_to_cells(features: list[dict], res: int,
                            grid: GridConfig = DEFAULT_GRID,
-                           all_touched: bool = False) -> pa.Table:
+                           all_touched: bool = False,
+                           clip_to_cube: bool = False) -> pa.Table:
     """Burn a list of features onto the res lattice.  Each feature:
     {"feature_id": int, "value": int, "rings": [np.ndarray (k,2) lonlat, ...]}
     (first ring outer, rest holes — even-odd combines them for free).
     Returns (cellid, value) with paint-order semantics (later feature wins).
     all_touched=True additionally includes cells whose bounding box the ring's
-    bbox-expanded edges touch (approximation of rasterio all_touched)."""
+    bbox-expanded edges touch (approximation of rasterio all_touched).
+
+    clip_to_cube=True additionally mirrors the reference's explicit
+    project_and_clip_to_rhealpix step before rasterization
+    (vector_to_rhpx.py:224): rings Sutherland-Hodgman-clip to each
+    resolution-0 face square and the even-odd test runs per face.  The
+    reference NEEDS that step because rasterio burns onto a face-blind
+    rectangular grid; here it is provably redundant — for any point p in
+    face f, even-odd parity wrt the ring equals parity wrt ring ∩ f, and
+    cell_from_point returns '' for points outside every face (dropped by
+    the burn) — so both settings emit identical cells for ANY input,
+    including polygons whose straight planar edges cross the unfolded
+    cross's empty quadrants (equivalence pinned in test_project_clip)."""
+    from .vectorwarp import clip_ring_to_box, rhealpix_face_boxes
+
     cw = grid.cell_width(res)
     cell_to_val: dict = {}
+    boxes = rhealpix_face_boxes(grid) if clip_to_cube else None
     for feat in features:
         rings = [_ring_planar(np.asarray(r, dtype=np.float64), grid)
                  for r in feat["rings"]]
@@ -110,8 +126,20 @@ def burn_polygons_to_cells(features: list[dict], res: int,
         inside = np.zeros(px.shape[0], dtype=bool)
         closed = [np.vstack([r, r[:1]]) if not np.array_equal(r[0], r[-1]) else r
                   for r in rings]
-        for ring in closed:
-            inside ^= _points_in_ring(px, py, ring)
+        if clip_to_cube:
+            for box in boxes:
+                face_in = None
+                for r in closed:
+                    cr = clip_ring_to_box(r, box)
+                    if cr.shape[0] < 3:
+                        continue
+                    hit = _points_in_ring(px, py, np.vstack([cr, cr[:1]]))
+                    face_in = hit if face_in is None else face_in ^ hit
+                if face_in is not None:
+                    inside |= face_in
+        else:
+            for ring in closed:
+                inside ^= _points_in_ring(px, py, ring)
         if all_touched:
             # include any cell whose center is within half a cell diagonal of an edge
             near = np.zeros(px.shape[0], dtype=bool)

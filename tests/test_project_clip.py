@@ -169,3 +169,50 @@ class TestProjectAndClip:
         with pytest.raises(NotImplementedError):
             project_and_clip_to_rhealpix(
                 {"type": "LineString", "coordinates": [[0, 0], [1, 1]]})
+
+
+class TestBurnClipToCube:
+    def test_noop_for_equatorial_multiface_polygon(self):
+        """For geometry inside the contiguous equatorial band the per-face
+        clip changes nothing (cell centers never sit on face edges)."""
+        from dggsray.ops.vector2dggs import burn_polygons_to_cells
+        tri = np.array([[-20.0, -10.0], [45.0, 5.0], [10.0, 30.0],
+                        [-20.0, -10.0]])
+        feats = [{"feature_id": 1, "value": 1, "rings": [tri]}]
+        a = burn_polygons_to_cells(feats, 3, clip_to_cube=True)
+        b = burn_polygons_to_cells(feats, 3, clip_to_cube=False)
+        ca = sorted(a.column("cellid").to_pylist())
+        cb = sorted(b.column("cellid").to_pylist())
+        assert ca == cb and len(ca) > 0
+
+    def test_polar_spanning_polygon_clip_is_implicit(self):
+        """Polygons with vertices in the N face and in far equatorial faces
+        draw straight planar edges through the EMPTY quadrants of the
+        unfolded cross.  The reference must clip first
+        (vector_to_rhpx.py:224) because rasterio burns a face-blind grid;
+        this engine's burn is equivalent WITHOUT the explicit clip: parity
+        at a face point wrt the ring equals parity wrt ring ∩ face, and
+        cell_from_point drops out-of-face centers.  Pin the equivalence on
+        adversarial polar-spanning polygons, and pin the dropping behavior
+        itself."""
+        from dggsray.core.rhpx import DEFAULT_GRID, cell_from_point
+        from dggsray.ops.vector2dggs import burn_polygons_to_cells
+        rng = np.random.default_rng(11)
+        for _ in range(10):
+            k = int(rng.integers(3, 6))
+            lon = rng.uniform(-179, 179, k)
+            lat = np.concatenate([rng.uniform(60, 88, max(1, k // 2)),
+                                  rng.uniform(-30, 30, k - max(1, k // 2))])
+            rng.shuffle(lat)
+            ring = np.vstack([np.column_stack([lon, lat]),
+                              [[lon[0], lat[0]]]])
+            feats = [{"feature_id": 1, "value": 1, "rings": [ring]}]
+            a = burn_polygons_to_cells(feats, 3, clip_to_cube=True)
+            b = burn_polygons_to_cells(feats, 3, clip_to_cube=False)
+            assert sorted(a.column("cellid").to_pylist()) \
+                == sorted(b.column("cellid").to_pylist())
+        # the mechanism: empty-quadrant points get no cell at all
+        got = cell_from_point(3, np.array([0.5 * F, 1.5 * F, -1.5 * F]),
+                              np.array([0.9 * F, 0.9 * F, 0.9 * F]),
+                              DEFAULT_GRID)
+        assert list(got) == ["", "", ""]
