@@ -154,6 +154,29 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_TAG_TYPES = {1: (1, "B"), 2: (1, "c"), 3: (2, "H"), 4: (4, "I"),
+              12: (8, "d"), 11: (4, "f"), 16: (8, "Q"), 17: (8, "q")}
+
+
+def _decode_tag(tag: int, typ: int, cnt: int, raw: bytes):
+    size, fmt = _TAG_TYPES.get(typ, (1, "B"))
+    total = size * cnt
+    if typ == 2:
+        return raw.rstrip(b"\x00").decode("latin1")
+    if typ in _TAG_TYPES:
+        # a corrupt count field can claim billions of values: validate
+        # against the bytes actually present (the slice is bounded by the
+        # file) BEFORE building the unpack format — `fmt * cnt` with a
+        # bogus cnt allocated gigabytes and stalled for minutes (caught by
+        # the codec fuzz tests)
+        if len(raw) != total:
+            raise ValueError(
+                f"TIFF tag {tag}: value claims {total} bytes but only "
+                f"{len(raw)} present — corrupt or truncated file")
+        return struct.unpack(f"<{cnt}{fmt}", raw)
+    return raw
+
+
 def parse_tiff_tags(d: bytes) -> dict:
     """Tag dict of a little-endian TIFF byte buffer (first IFD only) — shared
     by read_geotiff and the GeoJP2 degenerate-GeoTIFF reader in jp2io."""
@@ -162,30 +185,42 @@ def parse_tiff_tags(d: bytes) -> dict:
     off = struct.unpack(bo + "I", d[4:8])[0]
     n = struct.unpack(bo + "H", d[off:off + 2])[0]
     tags = {}
-    TYPES = {1: (1, "B"), 2: (1, "c"), 3: (2, "H"), 4: (4, "I"), 12: (8, "d"),
-             11: (4, "f"), 16: (8, "Q"), 17: (8, "q")}
     for i in range(n):
         e = d[off + 2 + i * 12: off + 14 + i * 12]
         tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
-        size, fmt = TYPES.get(typ, (1, "B"))
+        size, _ = _TAG_TYPES.get(typ, (1, "B"))
         total = size * cnt
         raw = e[8:8 + total] if total <= 4 \
             else d[struct.unpack(bo + "I", e[8:12])[0]:][:total]
-        if typ == 2:
-            tags[tag] = raw.rstrip(b"\x00").decode("latin1")
-        elif typ in TYPES and typ != 2:
-            # a corrupt count field can claim billions of values: validate
-            # against the bytes actually present (the slice above is bounded
-            # by the file) BEFORE building the unpack format — `fmt * cnt`
-            # with a bogus cnt allocated gigabytes and stalled for minutes
-            # (caught by the codec fuzz tests)
-            if len(raw) != total:
-                raise ValueError(
-                    f"TIFF tag {tag}: value claims {total} bytes but only "
-                    f"{len(raw)} present — corrupt or truncated file")
-            tags[tag] = struct.unpack(f"{bo}{cnt}{fmt}", raw)
+        tags[tag] = _decode_tag(tag, typ, cnt, raw)
+    return tags
+
+
+def parse_tiff_tags_file(f) -> dict:
+    """parse_tiff_tags over an open binary file using seeks: reads the
+    8-byte header, the first IFD, and each out-of-line tag payload (all
+    small) — never the strip data, so scanning an N-GB scene costs the
+    driver O(tags) bytes."""
+    f.seek(0)
+    hdr = f.read(8)
+    assert hdr[:2] == b"II", "only little-endian TIFFs supported"
+    off, = struct.unpack("<I", hdr[4:8])
+    f.seek(off)
+    n, = struct.unpack("<H", f.read(2))
+    raw_entries = f.read(12 * n)
+    tags = {}
+    for i in range(n):
+        e = raw_entries[i * 12:(i + 1) * 12]
+        tag, typ, cnt = struct.unpack("<HHI", e[:8])
+        size, _ = _TAG_TYPES.get(typ, (1, "B"))
+        total = size * cnt
+        if total <= 4:
+            raw = e[8:8 + total]
         else:
-            tags[tag] = raw
+            at, = struct.unpack("<I", e[8:12])
+            f.seek(at)
+            raw = f.read(total)
+        tags[tag] = _decode_tag(tag, typ, cnt, raw)
     return tags
 
 
@@ -264,6 +299,72 @@ def read_geotiff(path: str) -> GeoTiff:
                    ascii_tags)
 
 
+def geotiff_strip_spans(path: str):
+    """Header-only scan of a striped GeoTIFF -> (meta, spans) — the
+    per-strip analogue of jp2io.jp2_tile_spans_file.  Strips are whole-row
+    units and the horizontal predictor (tag 317) differences per row, so
+    every strip decodes independently via decode_geotiff_strip from its own
+    byte range; the driver reads only the IFD (O(tags + n_strips) bytes).
+    meta carries geometry + codec parameters; each span is
+    {"strip", "offset", "count", "row0", "rows"}."""
+    with open(path, "rb") as f:
+        tags = parse_tiff_tags_file(f)
+    w, h = tags[256][0], tags[257][0]
+    bands = tags.get(277, (1,))[0]
+    bits = tags.get(258, (8,) * bands)[0]
+    sfmt = tags.get(339, (1,) * bands)[0]
+    comp = tags.get(259, (1,))[0]
+    if comp not in (1, 5, 8, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if tags.get(284, (1,))[0] == 2:
+        raise NotImplementedError(
+            "strip spans for planar-separate (284=2) TIFFs")
+    offsets, counts = tags[273], tags[279]
+    rps = tags.get(278, (h,))[0]
+    scale = tags.get(33550)
+    tie = tags.get(33922)
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(tags[42113])
+        except ValueError:
+            pass
+    meta = {"w": w, "h": h, "bands": bands,
+            "dtype": np.dtype(_DTYPES[(bits, sfmt)]).newbyteorder("<").str,
+            "comp": comp, "predictor": tags.get(317, (1,))[0],
+            "rows_per_strip": rps,
+            "left": tie[3] if tie else 0.0, "top": tie[4] if tie else 0.0,
+            "res_x": scale[0] if scale else 1.0,
+            "res_y": scale[1] if scale else 1.0,
+            "nodata": nodata, "geokeys": geokeys_from_tags(tags)}
+    spans = [{"strip": i, "offset": int(o), "count": int(c),
+              "row0": i * rps, "rows": min(rps, h - i * rps)}
+             for i, (o, c) in enumerate(zip(offsets, counts))]
+    return meta, spans
+
+
+def decode_geotiff_strip(meta: dict, chunk: bytes, rows: int) -> np.ndarray:
+    """One strip's bytes -> (bands, rows, w) array, mirroring read_geotiff's
+    per-strip decompress + per-row predictor + interleave handling."""
+    comp = meta["comp"]
+    if comp == 8:
+        raw = zlib.decompress(chunk)
+    elif comp == 5:
+        raw = _lzw_decode(chunk)
+    elif comp == 32773:
+        raw = _packbits_decode(chunk)
+    else:
+        raw = chunk
+    dtype = np.dtype(meta["dtype"])
+    w, bands = meta["w"], meta["bands"]
+    arr = np.frombuffer(raw, dtype=dtype)[:rows * w * bands]
+    if meta["predictor"] == 2:
+        arr = np.cumsum(arr.reshape(-1, w, bands).astype(dtype), axis=1,
+                        dtype=dtype).ravel()
+    return np.ascontiguousarray(
+        np.moveaxis(arr.reshape(rows, w, bands), 2, 0))
+
+
 def epsg_from_geokeys(geokeys: dict) -> str | None:
     """Engine CRS name from GeoTIFF GeoKeys (ProjectedCSTypeGeoKey 3072 /
     GeographicTypeGeoKey 2048), for the families this engine projects:
@@ -284,21 +385,28 @@ def epsg_from_geokeys(geokeys: dict) -> str | None:
     return None
 
 
-def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True):
+def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
+                  rows_per_strip: int | None = None):
     """compress: True/"deflate" -> DEFLATE(8), "lzw" -> LZW(5),
-    "packbits"-style RLE is read-only; False -> uncompressed."""
+    "packbits"-style RLE is read-only; False -> uncompressed.
+    rows_per_strip splits the image into independently decodable strips
+    (each compressed on its own) so geotiff_strip_spans can fan the read
+    out over Ray tasks; default = one strip (the historical layout)."""
     bands, h, w = g.data.shape
     dt = g.data.dtype
-    pix = np.moveaxis(g.data, 0, 2).astype(dt, copy=False)  # interleaved
-    payload = pix.tobytes()
-    if compress == "lzw":
-        comp_tag = 5
-        payload = _lzw_encode(payload)
-    elif compress:
-        comp_tag = 8
-        payload = zlib.compress(payload, 6)
-    else:
-        comp_tag = 1
+    pix = np.ascontiguousarray(
+        np.moveaxis(g.data, 0, 2).astype(dt, copy=False))  # interleaved
+    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+    payloads = []
+    for r0 in range(0, h, rps):
+        seg = pix[r0:r0 + rps].tobytes()
+        if compress == "lzw":
+            seg = _lzw_encode(seg)
+        elif compress:
+            seg = zlib.compress(seg, 6)
+        payloads.append(seg)
+    comp_tag = 5 if compress == "lzw" else 8 if compress else 1
+    n_strips = len(payloads)
 
     entries = []
     extra = bytearray()
@@ -330,10 +438,10 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True):
     add(258, 3, [bits] * bands, "H")
     add(259, 3, [comp_tag], "H")
     add(262, 3, [1], "H")
-    add(273, 4, [0], "I")          # patched below
+    add(273, 4, [0] * n_strips, "I")   # patched below
     add(277, 3, [bands], "H")
-    dim(278, h)
-    add(279, 4, [len(payload)], "I")
+    dim(278, rps)
+    add(279, 4, [len(p) for p in payloads], "I")
     add(339, 3, [sf] * bands, "H")
     add(33550, 12, [g.res_x, g.res_y, 0.0], "d")
     add(33922, 12, [0.0, 0.0, 0.0, g.left, g.top, 0.0], "d")
@@ -355,23 +463,36 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True):
     ifd_size = 2 + len(entries) * 12 + 4
     extra_off = ifd_off + ifd_size
     body = bytearray()
+    body_pos = {}
     out_entries = []
     for tag, typ, cnt, packed in entries:
         if len(packed) <= 4:
             val = packed + b"\x00" * (4 - len(packed))
         else:
             val = struct.pack("<I", extra_off + len(body))
+            body_pos[tag] = len(body)
             body += packed
         out_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
     data_off = extra_off + len(body)
-    # patch StripOffsets (tag 273)
-    for i, (tag, typ, cnt, packed) in enumerate(entries):
-        if tag == 273:
-            out_entries[i] = struct.pack("<HHI", 273, 4, 1) + struct.pack("<I", data_off)
+    # patch StripOffsets (tag 273) now that the data start is known
+    strip_offs = []
+    at = data_off
+    for p in payloads:
+        strip_offs.append(at)
+        at += len(p)
+    if n_strips == 1:
+        for i, (tag, typ, cnt, packed) in enumerate(entries):
+            if tag == 273:
+                out_entries[i] = struct.pack("<HHI", 273, 4, 1) \
+                    + struct.pack("<I", strip_offs[0])
+    else:
+        o = body_pos[273]
+        body[o:o + 4 * n_strips] = struct.pack(f"<{n_strips}I", *strip_offs)
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", ifd_off))
         f.write(struct.pack("<H", len(entries)))
         f.write(b"".join(out_entries))
         f.write(struct.pack("<I", 0))
         f.write(bytes(body))
-        f.write(payload)
+        for p in payloads:
+            f.write(p)

@@ -473,6 +473,56 @@ def jp2_to_tiles(path: str, grid: GridConfig = DEFAULT_GRID):
     return tiles, meta
 
 
+def geotiff_to_tiles_spans(path: str, grid: GridConfig = DEFAULT_GRID):
+    """Striped-GeoTIFF variant of jp2_to_tiles: the driver scans only the
+    IFD (tiffio.geotiff_strip_spans — O(tags + n_strips) bytes, no pixel
+    reads); each strip decompresses inside a downstream task from its own
+    byte range (strips are whole-row units, the horizontal predictor is
+    per-row, so strips never depend on each other).  Composes as
+    `tiles_to_cells(ds, meta, tile=meta["tile"])` — strip i is tile_row i,
+    tile_col 0, and `tile` = rows_per_strip keys the row offsets."""
+    import ray.data as rd
+
+    from ..core.raster import localize_path
+    from ..core.tiffio import decode_geotiff_strip, geotiff_strip_spans
+
+    path = localize_path(path)
+    smeta, spans = geotiff_strip_spans(path)
+    res_idx, _ = grid.get_closest_resolution(abs(smeta["res_x"]))
+    res_idx_y, _ = grid.get_closest_resolution(abs(smeta["res_y"]))
+    assert res_idx == res_idx_y, f"{path}: cells are not squares"
+    nbands, H, W = smeta["bands"], smeta["h"], smeta["w"]
+    nd = smeta["nodata"]
+    meta = {"left": smeta["left"], "top": smeta["top"],
+            "right": smeta["left"] + W * smeta["res_x"],
+            "bottom": smeta["top"] - H * smeta["res_y"],
+            "height": H, "width": W, "res": smeta["res_x"],
+            "res_idx": res_idx, "nbands": nbands, "nodata": nd,
+            "nodatavals": [nd] * nbands, "store_nodata": False,
+            "dtypes": [np.dtype(smeta["dtype"]).name] * nbands,
+            "rhealpixdggs": grid.to_meta(),
+            "tile": smeta["rows_per_strip"]}
+
+    def decode(b: pa.Table) -> pa.Table:
+        rows = {"tile_row": [], "tile_col": [], "h": [], "w": [], "data": []}
+        with open(path, "rb") as f:
+            for k in range(b.num_rows):
+                off = b.column("offset")[k].as_py()
+                cnt = b.column("count")[k].as_py()
+                nr = b.column("rows")[k].as_py()
+                f.seek(off)
+                px = decode_geotiff_strip(smeta, f.read(cnt), nr)
+                rows["tile_row"].append(b.column("strip")[k].as_py())
+                rows["tile_col"].append(0)
+                rows["h"].append(nr)
+                rows["w"].append(W)
+                rows["data"].append(px.tobytes())
+        return pa.table(rows)
+
+    tiles = rd.from_items(spans).map_batches(decode, batch_format="pyarrow")
+    return tiles, meta
+
+
 def images_to_cells(ds, dst_resolution_idx: int, grid: GridConfig = DEFAULT_GRID,
                     concurrency=(2, 8), batch_size: int = 64, verify: bool = False):
     """Pipeline stage: image table -> cell rows via an actor pool (decode state and
