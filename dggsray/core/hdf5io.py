@@ -563,13 +563,39 @@ class H5Dataset:
         return None
 
 
+def decode_h5_chunk(meta: dict, raw: bytes) -> np.ndarray:
+    """One stored chunk's bytes -> full-cshape array: reversed filter
+    pipeline (deflate, shuffle) then reshape.  Pure function of
+    (chunk_spans meta, chunk bytes) so Ray tasks decode chunks from range
+    reads without touching the rest of the file."""
+    dtype = np.dtype(meta["dtype"])
+    for fid, _cd in reversed(meta["filters"]):
+        if fid == _FILTER_DEFLATE:
+            raw = zlib.decompress(raw)
+        elif fid == _FILTER_SHUFFLE:
+            raw = _unshuffle(raw, dtype.itemsize)
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return np.frombuffer(raw, dtype).reshape(meta["cshape"])
+
+
 class NetCDF4:
     """HDF5-backed NetCDF-4 file with the NetCDFClassic interface:
     .variables / .attrs / .read(name) / .subdatasets()."""
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self.buf = f.read()
+        # mmap so the metadata walk (superblock, B-trees, object headers,
+        # small coordinate variables) lazily pages in O(touched bytes) —
+        # the driver never faults the chunk payload of an N-GB file unless
+        # read() is called; chunk_spans + decode_chunk keep payload reads
+        # inside Ray tasks
+        import mmap
+        self._f = open(path, "rb")
+        try:
+            self.buf = mmap.mmap(self._f.fileno(), 0,
+                                 access=mmap.ACCESS_READ)
+        except (ValueError, OSError):       # empty file etc.
+            self.buf = self._f.read()
         if self.buf[:8] != _SIG:
             raise ValueError(f"{path}: not an HDF5 file")
         ver = self.buf[8]
@@ -741,7 +767,9 @@ class NetCDF4:
         p = at + 8
         for _ in range(nsym):
             name_off, oh = struct.unpack_from("<QQ", self.buf, p)
-            e = self.buf.index(b"\x00", heap_data + name_off)
+            e = self.buf.find(b"\x00", heap_data + name_off)
+            if e < 0:
+                raise ValueError("unterminated symbol name in local heap")
             out.append((self.buf[heap_data + name_off:e].decode(), oh))
             p += 40
         return out
@@ -975,6 +1003,50 @@ class NetCDF4:
                 d.dim_names = tuple(dn)
 
     # -- data ---------------------------------------------------------------
+    def _chunks(self, d: H5Dataset):
+        """(coords, file offset, stored nbytes) of every chunk of a chunked
+        dataset, across all supported chunk-index kinds."""
+        kind = d.layout[0]
+        if kind == "chunked":
+            _k, bt, cshape = d.layout
+            # b-tree keys carry rank+1 offsets (trailing element offset)
+            return cshape, self._walk_chunk_btree(bt, len(cshape) + 1)
+        if kind == "single":
+            _k, addr, cshape, fsize = d.layout
+            nb = fsize if fsize is not None \
+                else int(np.prod(cshape)) * d.dtype.itemsize
+            return cshape, ([((0,) * len(cshape), addr, nb)]
+                            if addr != _UNDEF else [])
+        if kind == "implicit":
+            _k, base, cshape = d.layout
+            cb = int(np.prod(cshape)) * d.dtype.itemsize
+            return cshape, ([(c, base + i * cb, cb) for i, c in
+                             enumerate(self._grid_coords(d.shape, cshape))]
+                            if base != _UNDEF else [])
+        if kind == "farray":
+            _k, at, cshape = d.layout
+            return cshape, self._walk_fixed_array(at, d.shape, cshape,
+                                                  d.dtype.itemsize)
+        raise NotImplementedError(f"layout kind {kind}")
+
+    def chunk_spans(self, name: str):
+        """Header-only chunk enumeration -> (meta, spans): each span is
+        {"coords", "offset", "count"} and decodes independently via
+        decode_h5_chunk(meta, bytes) — the HDF5/NetCDF-4 analogue of
+        jp2_tile_spans_file / geotiff_strip_spans.  Thanks to the mmap'd
+        walk the driver touches only metadata pages, never chunk payload."""
+        d = self.variables[name]
+        if d.layout is None or d.layout[0] == "contiguous":
+            raise ValueError(f"{name}: not a chunked dataset")
+        cshape, chunks = self._chunks(d)
+        meta = {"dtype": d.dtype.str, "cshape": tuple(int(c) for c in cshape),
+                "shape": tuple(int(s) for s in d.shape),
+                "filters": [(int(f), tuple(cd)) for f, cd in d.filters]}
+        spans = [{"coords": tuple(int(c) for c in coords),
+                  "offset": int(addr), "count": int(nbytes)}
+                 for coords, addr, nbytes in chunks]
+        return meta, spans
+
     def read(self, name: str) -> np.ndarray:
         d = self.variables[name]
         if d.layout is None:
@@ -984,45 +1056,24 @@ class NetCDF4:
             n = int(np.prod(d.shape)) if d.shape else 1
             return np.frombuffer(self.buf, d.dtype, count=n,
                                  offset=a).reshape(d.shape).copy()
-        kind = d.layout[0]
-        if kind == "chunked":
-            _k, bt, cshape = d.layout
-            # b-tree keys carry rank+1 offsets (trailing element offset)
-            chunks = self._walk_chunk_btree(bt, len(cshape) + 1)
-        elif kind == "single":
-            _k, addr, cshape, fsize = d.layout
-            nb = fsize if fsize is not None \
-                else int(np.prod(cshape)) * d.dtype.itemsize
-            chunks = [((0,) * len(cshape), addr, nb)] \
-                if addr != _UNDEF else []
-        elif kind == "implicit":
-            _k, base, cshape = d.layout
-            cb = int(np.prod(cshape)) * d.dtype.itemsize
-            chunks = [(c, base + i * cb, cb) for i, c in
-                      enumerate(self._grid_coords(d.shape, cshape))] \
-                if base != _UNDEF else []
-        elif kind == "farray":
-            _k, at, cshape = d.layout
-            chunks = self._walk_fixed_array(at, d.shape, cshape,
-                                            d.dtype.itemsize)
-        else:
-            raise NotImplementedError(f"layout kind {kind}")
+        cshape, chunks = self._chunks(d)
+        meta = {"dtype": d.dtype.str, "cshape": cshape,
+                "filters": d.filters}
         out = np.zeros(d.shape, d.dtype)
         for coords, addr, nbytes in chunks:
-            raw = self.buf[addr:addr + nbytes]
-            for fid, cd in reversed(d.filters):
-                if fid == _FILTER_DEFLATE:
-                    raw = zlib.decompress(raw)
-                elif fid == _FILTER_SHUFFLE:
-                    raw = _unshuffle(raw, d.dtype.itemsize)
-                else:
-                    raise NotImplementedError(f"HDF5 filter id {fid}")
-            chunk = np.frombuffer(raw, d.dtype).reshape(cshape)
+            chunk = decode_h5_chunk(meta, self.buf[addr:addr + nbytes])
             sl = tuple(slice(o, min(o + c, s))
                        for o, c, s in zip(coords, cshape, d.shape))
             part = tuple(slice(0, s.stop - s.start) for s in sl)
             out[sl] = chunk[part]
         return out
+
+    def close(self):
+        try:
+            self.buf.close()
+        except AttributeError:
+            pass
+        self._f.close()
 
     def _walk_chunk_btree(self, at: int, rank1: int):
         assert self.buf[at:at + 4] == b"TREE", "chunk b-tree"

@@ -523,6 +523,95 @@ def geotiff_to_tiles_spans(path: str, grid: GridConfig = DEFAULT_GRID):
     return tiles, meta
 
 
+def nc4_to_tiles(path: str, var: str | None = None,
+                 grid: GridConfig = DEFAULT_GRID):
+    """NetCDF-4/HDF5 variant of the span pipelines: the mmap'd metadata
+    walk (core.hdf5io.NetCDF4 + chunk_spans) touches only superblock /
+    B-tree / object-header pages plus the tiny 1D coordinate variables;
+    every data chunk decompresses inside a downstream task from its own
+    byte range (HDF5 chunks are independent stored objects).  Composes as
+    `tiles_to_cells(ds, meta, tile=meta["tile"])`.  Scope: north-up
+    (descending y) 2D variables (leading dims size 1) with square chunks —
+    everything else raises loudly; the whole-file open_raster path covers
+    those shapes."""
+    import ray.data as rd
+
+    from ..core.hdf5io import NetCDF4, decode_h5_chunk
+    from ..core.raster import localize_path
+
+    path = localize_path(path)
+    nc = NetCDF4(path)
+    if var is None:
+        subs = nc.subdatasets()
+        if not subs:
+            raise ValueError(f"{path}: no 2D+ variables")
+        var = subs[0]
+    v = nc.variables[var]
+    if len(v.shape) < 2 or any(s != 1 for s in v.shape[:-2]):
+        raise NotImplementedError(
+            f"nc4_to_tiles: {var} dims {v.shape} (need 2D, leading dims 1)")
+    H, W = int(v.shape[-2]), int(v.shape[-1])
+    cmeta, spans = nc.chunk_spans(var)
+    cshape = cmeta["cshape"]
+    if any(c != 1 for c in cshape[:-2]) or cshape[-2] != cshape[-1]:
+        raise NotImplementedError(
+            f"nc4_to_tiles: chunk shape {cshape} (need square trailing "
+            "chunks with leading extents 1)")
+    tile = int(cshape[-2])
+    ydim, xdim = v.dim_names[-2], v.dim_names[-1]
+
+    def axis(dim, length):
+        if dim in nc.variables and nc.variables[dim].shape == (length,):
+            return nc.read(dim).astype(np.float64)
+        return np.arange(length, dtype=np.float64)
+
+    ys, xs = axis(ydim, H), axis(xdim, W)
+    res_x = float(xs[1] - xs[0]) if xs.size > 1 else 1.0
+    res_y_signed = float(ys[1] - ys[0]) if ys.size > 1 else -1.0
+    if res_y_signed > 0:
+        raise NotImplementedError(
+            "nc4_to_tiles: ascending y (row flips couple chunks; use "
+            "open_raster for this file)")
+    left = float(xs[0]) - res_x / 2.0
+    top = float(ys[0]) - res_y_signed / 2.0
+    res_idx, _ = grid.get_closest_resolution(abs(res_x))
+    res_idx_y, _ = grid.get_closest_resolution(abs(res_y_signed))
+    assert res_idx == res_idx_y, f"{path}:{var}: cells are not squares"
+    nd = v.nodata
+    dt = np.dtype(cmeta["dtype"])
+    meta = {"left": left, "top": top, "right": left + W * res_x,
+            "bottom": top - H * res_x, "height": H, "width": W,
+            "res": res_x, "res_idx": res_idx, "nbands": 1, "nodata": nd,
+            "nodatavals": [nd], "store_nodata": False,
+            "dtypes": [dt.name], "rhealpixdggs": grid.to_meta(),
+            "tile": tile}
+    nc.close()
+
+    def decode(b: pa.Table) -> pa.Table:
+        rows = {"tile_row": [], "tile_col": [], "h": [], "w": [], "data": []}
+        with open(path, "rb") as f:
+            for k in range(b.num_rows):
+                coords = b.column("coords")[k].as_py()
+                off = b.column("offset")[k].as_py()
+                cnt = b.column("count")[k].as_py()
+                f.seek(off)
+                chunk = decode_h5_chunk(cmeta, f.read(cnt))
+                chunk = chunk.reshape(cshape[-2], cshape[-1])
+                row0, col0 = int(coords[-2]), int(coords[-1])
+                h = min(tile, H - row0)
+                w = min(tile, W - col0)
+                rows["tile_row"].append(row0 // tile)
+                rows["tile_col"].append(col0 // tile)
+                rows["h"].append(h)
+                rows["w"].append(w)
+                rows["data"].append(
+                    np.ascontiguousarray(chunk[:h, :w])[None].tobytes())
+        return pa.table(rows)
+
+    tiles = rd.from_items(spans).map_batches(decode, batch_format="pyarrow")
+    return tiles, meta
+
+
 def images_to_cells(ds, dst_resolution_idx: int, grid: GridConfig = DEFAULT_GRID,
                     concurrency=(2, 8), batch_size: int = 64, verify: bool = False):
     """Pipeline stage: image table -> cell rows via an actor pool (decode state and

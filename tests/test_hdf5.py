@@ -350,3 +350,80 @@ class TestLayoutV4:
             outs.append(read_geotiff(out))
         assert np.array_equal(outs[0].data, outs[1].data)
         assert (outs[0].left, outs[0].top) == (outs[1].left, outs[1].top)
+
+
+class TestChunkSpans:
+    """chunk_spans + decode_h5_chunk: the HDF5/NetCDF-4 analogue of the JP2
+    tile-span and GeoTIFF strip-span pipelines — the driver walks metadata
+    through the mmap (no payload pages), tasks range-read chunks."""
+
+    @pytest.mark.parametrize("libver,cidx", [("earliest", "btree1"),
+                                             ("latest", "btree1"),
+                                             ("latest", "v4")])
+    def test_nc4_to_tiles_equals_geotiff_path(self, ray_session, tmp_path,
+                                              libver, cidx):
+        from dggsray.core.rhpx import GridConfig
+        from dggsray.core.tiffio import GeoTiff, write_geotiff
+        from dggsray.ops.raster2dggs import (geotiff_to_tiles, nc4_to_tiles,
+                                             tiles_to_cells)
+        G3 = GridConfig(3, 1, 0)
+        rng = np.random.default_rng(9)
+        H, W = 128, 237
+        data = rng.integers(0, 4000, (H, W)).astype(np.int16)
+        res = 56.52463295099575
+        left, top = -8411600.203336531, 4394309.752559836
+        xs = left + (np.arange(W) + 0.5) * res
+        ys = top - (np.arange(H) + 0.5) * res
+        p = str(tmp_path / f"{libver}_{cidx}.nc")
+        write_netcdf4(p, {"band": (data, ("y", "x"),
+                                   {"_FillValue": np.int16(-9999)}),
+                          "y": (ys, ("y",), {}), "x": (xs, ("x",), {})},
+                      {"y": H, "x": W}, chunks=(32, 32), libver=libver,
+                      chunk_index=cidx)
+        tiles, meta = nc4_to_tiles(p, "band", G3)
+        assert meta["res_idx"] == 11 and meta["tile"] == 32
+        got = tiles_to_cells(tiles, meta, G3, store_nodata=True,
+                             tile=meta["tile"]).to_pandas()
+        tp = str(tmp_path / "ref.tif")
+        write_geotiff(tp, GeoTiff(data[None], left, top, res, res,
+                                  nodata=-9999))
+        ta, ma = geotiff_to_tiles(tp, G3)
+        ref = tiles_to_cells(ta, ma, G3, store_nodata=True).to_pandas()
+        a = ref.sort_values("cellid").reset_index(drop=True)
+        b = got[a.columns].sort_values("cellid").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_chunk_spans_reassemble_fixture(self, tmp_path):
+        """Span decode reassembles a chunked+shuffled+deflated variable
+        bit-exactly from raw byte ranges."""
+        from dggsray.core.hdf5io import NetCDF4, decode_h5_chunk
+        rng = np.random.default_rng(4)
+        arr = rng.normal(size=(45, 57)).astype(np.float32)
+        p = str(tmp_path / "c.nc")
+        write_netcdf4(p, {"v": (arr, ("y", "x"), {}),
+                          "y": (np.arange(45.0), ("y",), {}),
+                          "x": (np.arange(57.0), ("x",), {})},
+                      {"y": 45, "x": 57}, chunks=(16, 16))
+        nc = NetCDF4(p)
+        meta, spans = nc.chunk_spans("v")
+        assert len(spans) == 12          # ceil(45/16) * ceil(57/16)
+        nc.close()
+        acc = np.zeros((45, 57), np.float32)
+        with open(p, "rb") as f:
+            for s in spans:
+                f.seek(s["offset"])
+                ch = decode_h5_chunk(meta, f.read(s["count"]))
+                r0, c0 = s["coords"][-2], s["coords"][-1]
+                h = min(16, 45 - r0)
+                w = min(16, 57 - c0)
+                acc[r0:r0 + h, c0:c0 + w] = ch[:h, :w]
+        assert np.array_equal(acc, arr)
+
+    def test_contiguous_dataset_rejected(self, tmp_path):
+        from dggsray.core.hdf5io import NetCDF4
+        p = str(tmp_path / "c1.nc")
+        write_netcdf4(p, {"y": (np.arange(5.0), ("y",), {})}, {"y": 5})
+        nc = NetCDF4(p)
+        with pytest.raises(ValueError, match="not a chunked"):
+            nc.chunk_spans("y")
+        nc.close()
