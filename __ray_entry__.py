@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping_q7": R.volume_shipping_q7,
         "events_geofence_exact": R.events_geofence_exact,
         "events_region_assign": R.events_region_assign,
+        "returned_item_revenue_q10": R.returned_item_revenue_q10,
+        "large_quantity_orders_q18": R.large_quantity_orders_q18,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -780,6 +782,28 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_geofence_exact": _geofence_exact_sql(),
         "events_region_assign": _region_assign_sql(),
+        "returned_item_revenue_q10":
+            "WITH rev AS (SELECT o.o_custkey AS ck, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round((1 - l_discount) * 100) AS BIGINT)) AS r "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l_returnflag = 'R' GROUP BY 1) "
+            "SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, "
+            "CAST(c.c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(rev.r AS BIGINT) AS revenue_e4 "
+            "FROM rev JOIN customer c ON rev.ck = c.c_custkey "
+            "ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20",
+        "large_quantity_orders_q18":
+            "WITH q AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS tq "
+            "FROM lineitem GROUP BY 1 "
+            "HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300) "
+            "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(o.o_custkey AS BIGINT) AS c_custkey, "
+            "CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents, "
+            "q.tq AS total_qty "
+            "FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey "
+            "ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100",
         "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),

@@ -3264,3 +3264,115 @@ def events_region_assign(sf_dir: str, res: int = 3):
     out["event_type"] = parts[1]
     return out[["region_id", "event_type", "value_cents", "n_events"]] \
         .sort_values(["region_id", "event_type"]).reset_index(drop=True)
+
+
+def returned_item_revenue_q10(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top-k.
+    Returnflag filter + per-order revenue partials fold inside the lineitem
+    scan; the order->customer key map joins by measured size
+    (adaptive_join); per-customer revenue re-aggregates combiner-first; the
+    k winners (tiny) become a broadcast is_in filter over the customer scan
+    so no side is shuffled for the detail join."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, sized_groupby
+    from ..ops.topk import partial_topk
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("l_returnflag"), "R")
+        sub = b.filter(m)
+        price = sub.column("l_extendedprice").to_numpy()
+        disc = sub.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) \
+            * np.rint((1 - disc) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": pc.cast(sub.column("l_orderkey"),
+                                            pa.int64()),
+                      "_r": pa.array(rev)})
+        g = t.group_by("l_orderkey").aggregate([("_r", "sum")])
+        return g.rename_columns(["l_orderkey", "_r"])
+
+    per_order = sized_groupby(li.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              "l_orderkey", Sum("_r", alias_name="_r"))
+    omap = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "c_custkey": pc.cast(b.column("o_custkey"), pa.int64())}),
+            batch_format="pyarrow")
+    joined = adaptive_join(per_order, omap, on="l_orderkey")
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": b.column("c_custkey"),
+                      "_r": b.column("_r")})
+        g = t.group_by("c_custkey").aggregate([("_r", "sum")])
+        return g.rename_columns(["c_custkey", "_r"])
+
+    per_cust = sized_groupby(joined.map_batches(cust_partial,
+                                                batch_format="pyarrow"),
+                             "c_custkey", Sum("_r", alias_name="revenue_e4"))
+    top = partial_topk(per_cust, ["revenue_e4", "c_custkey"],
+                       [True, False], k).to_pandas()
+    keyset = pa.array(top["c_custkey"].to_numpy(), pa.int64())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            pc.cast(b.column("c_custkey"), pa.int64()), value_set=keyset)),
+            batch_format="pyarrow").to_pandas()
+    cust["c_custkey"] = cust["c_custkey"].astype("int64")
+    cust["c_nationkey"] = cust["c_nationkey"].astype("int64")
+    out = top.merge(cust, on="c_custkey")
+    return out[["c_custkey", "c_nationkey", "revenue_e4"]] \
+        .sort_values(["revenue_e4", "c_custkey"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def large_quantity_orders_q18(sf_dir: str, min_qty: int = 300,
+                              k: int = 100):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds min_qty.
+    Quantity partials fold per order inside the scan, the (small, measured)
+    winner set joins orders via adaptive_join, and the top-k by total price
+    avoids a global sort."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, sized_groupby
+    from ..ops.topk import partial_topk
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": pc.cast(b.column("l_orderkey"),
+                                            pa.int64()),
+                      "_q": pa.array(np.rint(
+                          b.column("l_quantity").to_numpy())
+                          .astype(np.int64))})
+        g = t.group_by("o_orderkey").aggregate([("_q", "sum")])
+        return g.rename_columns(["o_orderkey", "_q"])
+
+    per_order = sized_groupby(li.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              "o_orderkey", Sum("_q", alias_name="total_qty"))
+    winners = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b.column("total_qty"), min_qty)),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "c_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "price_cents": pa.array(np.rint(
+                b.column("o_totalprice").to_numpy() * 100)
+                .astype(np.int64))}), batch_format="pyarrow")
+    joined = adaptive_join(orders, winners, on="o_orderkey")
+    import pandas as pd
+    out = partial_topk(joined, ["price_cents", "o_orderkey"],
+                       [True, False], k).to_pandas()
+    cols = ["o_orderkey", "c_custkey", "price_cents", "total_qty"]
+    if out.empty and not set(cols) <= set(out.columns):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    return out[cols].sort_values(["price_cents", "o_orderkey"],
+                                 ascending=[False, True]) \
+        .reset_index(drop=True)

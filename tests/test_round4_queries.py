@@ -229,3 +229,49 @@ class TestRegionAssigner:
                       + " ORDER BY 1, 2").df()
         assert out.values.tolist() == ref.values.tolist()
         assert set(out.region_id) >= {-1}
+
+
+class TestQ10ReturnedRevenue:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import returned_item_revenue_q10
+        out = returned_item_revenue_q10(SF)
+        con = _con()
+        ref = con.sql(
+            "WITH rev AS (SELECT o.o_custkey ck, "
+            "SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT)) r "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l_returnflag = 'R' GROUP BY 1) "
+            "SELECT CAST(c.c_custkey AS BIGINT) ck, "
+            "CAST(c.c_nationkey AS BIGINT) nk, CAST(rev.r AS BIGINT) r "
+            "FROM rev JOIN customer c ON rev.ck = c.c_custkey "
+            "ORDER BY r DESC, ck ASC LIMIT 20").df()
+        assert out.values.tolist() == ref.values.tolist()
+        assert len(out) == 20
+
+
+class TestQ18LargeOrders:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import large_quantity_orders_q18
+        # sf0.001 orders are small: lower the threshold so winners exist
+        out = large_quantity_orders_q18(SF, min_qty=150)
+        con = _con()
+        ref = con.sql(
+            "WITH q AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) tq "
+            "FROM lineitem GROUP BY 1 "
+            "HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150) "
+            "SELECT CAST(o.o_orderkey AS BIGINT) ok, "
+            "CAST(o.o_custkey AS BIGINT) ck, "
+            "CAST(round(o.o_totalprice*100) AS BIGINT) pc, q.tq "
+            "FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey "
+            "ORDER BY pc DESC, ok ASC LIMIT 100").df()
+        assert len(out) == len(ref) > 0
+        assert out.values.tolist() == ref.values.tolist()
+
+    def test_impossible_threshold_empty(self, ray_session):
+        from dggsray.pipelines.relational import large_quantity_orders_q18
+        out = large_quantity_orders_q18(SF, min_qty=10**9)
+        assert len(out) == 0
+        assert list(out.columns) == ["o_orderkey", "c_custkey",
+                                     "price_cents", "total_qty"]
