@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_region_assign": R.events_region_assign,
         "returned_item_revenue_q10": R.returned_item_revenue_q10,
         "large_quantity_orders_q18": R.large_quantity_orders_q18,
+        "customer_order_counts_q13": R.customer_order_counts_q13,
+        "top_supplier_q15": R.top_supplier_q15,
+        "small_quantity_revenue_q17": R.small_quantity_revenue_q17,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -804,6 +807,38 @@ def oracle_sql() -> dict[str, str]:
             "q.tq AS total_qty "
             "FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey "
             "ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100",
+        "customer_order_counts_q13":
+            "WITH pc AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT OUTER JOIN orders o "
+            "ON c.c_custkey = o.o_custkey GROUP BY 1) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "COUNT(*) AS custdist FROM pc GROUP BY 1 "
+            "ORDER BY custdist DESC, c_count DESC",
+        "top_supplier_q15":
+            "WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_revenue_e4 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT r.s_suppkey, s.s_name, r.total_revenue_e4 "
+            "FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey "
+            "WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) "
+            "FROM rev) ORDER BY r.s_suppkey",
+        "small_quantity_revenue_q17":
+            "WITH bl AS (SELECT l.l_partkey, "
+            "CAST(round(l.l_quantity) AS BIGINT) AS q, "
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_brand = 'Brand#1'), "
+            "agg AS (SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS n "
+            "FROM bl GROUP BY 1) "
+            "SELECT CAST(COALESCE(SUM(bl.cents), 0) AS BIGINT) "
+            "AS total_cents, "
+            "CAST(COALESCE(SUM(bl.cents), 0) // 7 AS BIGINT) "
+            "AS avg_yearly_cents "
+            "FROM bl JOIN agg ON bl.l_partkey = agg.l_partkey "
+            "WHERE 5 * bl.q * agg.n < agg.sq",
         "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),

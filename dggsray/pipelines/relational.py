@@ -3376,3 +3376,168 @@ def large_quantity_orders_q18(sf_dir: str, min_qty: int = 300,
     return out[cols].sort_values(["price_cents", "o_orderkey"],
                                  ascending=[False, True]) \
         .reset_index(drop=True)
+
+
+def customer_order_counts_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): histogram of
+    customers by how many orders they placed, INCLUDING the zero-order
+    bucket of the LEFT OUTER join.  No join materializes: per-customer
+    order counts fold combiner-first inside the orders scan (bounded by
+    #customers, not #orders), the histogram is a second tiny groupby over
+    those counts, and the zero bucket is #customers minus #customers seen
+    in orders — outer-join semantics from two aggregates and one scalar.
+    Output: (c_count, custdist)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby, sized_groupby
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def per_cust(b: pa.Table) -> pa.Table:
+        t = pa.table({"c": pc.cast(b.column("o_custkey"), pa.int64())})
+        g = t.group_by("c").aggregate([([], "count_all")])
+        return g.rename_columns(["c", "_n"])
+
+    counts = sized_groupby(orders.map_batches(per_cust,
+                                              batch_format="pyarrow"),
+                           "c", Sum("_n", alias_name="c_count"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_count": b.column("c_count")})
+        g = t.group_by("c_count").aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "_d"])
+
+    out = lowcard_groupby(counts.map_batches(hist, batch_format="pyarrow"),
+                          "c_count",
+                          Sum("_d", alias_name="custdist")).to_pandas()
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = n_cust - int(out["custdist"].sum())
+    if zero > 0:
+        import pandas as pd
+        out = pd.concat([out, pd.DataFrame(
+            {"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+def top_supplier_q15(sf_dir: str, start: str = "1996-01-01",
+                     end: str = "1996-04-01"):
+    """TPC-H Q15 shape (top supplier): revenue per supplier over one
+    quarter, then the supplier(s) achieving the maximum — the
+    aggregate-then-argmax-then-detail-join chain.  Revenue partials fold
+    per suppkey inside the pruned lineitem scan (bounded by #suppliers);
+    the max and the winner filter run on that small table; winner names
+    come from a broadcast is_in probe of the supplier scan, so nothing
+    shuffles.  Output: (s_suppkey, s_name, total_revenue_e4)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import sized_groupby
+
+    D0 = datetime.datetime.fromisoformat(start)
+    D1 = datetime.datetime.fromisoformat(end)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= D0)
+        & (pads.field("l_shipdate") < D1))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = np.rint(b.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64) \
+            * np.rint((1 - b.column("l_discount").to_numpy()) * 100) \
+            .astype(np.int64)
+        t = pa.table({"s_suppkey": pc.cast(b.column("l_suppkey"),
+                                           pa.int64()),
+                      "_r": pa.array(rev)})
+        g = t.group_by("s_suppkey").aggregate([("_r", "sum")])
+        return g.rename_columns(["s_suppkey", "_r"])
+
+    per_supp = sized_groupby(li.map_batches(partial,
+                                            batch_format="pyarrow"),
+                             "s_suppkey",
+                             Sum("_r", alias_name="total_revenue_e4")) \
+        .to_pandas()
+    best = per_supp[per_supp.total_revenue_e4
+                    == per_supp.total_revenue_e4.max()]
+    keyset = pa.array(best["s_suppkey"].to_numpy(), pa.int64())
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            pc.cast(b.column("s_suppkey"), pa.int64()), value_set=keyset)),
+            batch_format="pyarrow").to_pandas()
+    supp["s_suppkey"] = supp["s_suppkey"].astype("int64")
+    out = best.merge(supp, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue_e4"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+def small_quantity_revenue_q17(sf_dir: str, brand: str = "Brand#1"):
+    """TPC-H Q17 shape (small-quantity order revenue): among one brand's
+    parts, revenue from lines whose quantity is under 20% of that part's
+    average line quantity.  The brand's partkeys broadcast as an is_in
+    probe; per-part (sum_qty, n_lines) folds combiner-first in the first
+    pruned scan (bounded by the brand's part count); the threshold test
+    runs EXACT in integers on the second scan — qty < sum/(5*n) iff
+    5*qty*n < sum — so engine and oracle can never diverge on float
+    rounding.  Output one row: (total_cents, avg_yearly_cents)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import sized_groupby
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
+        .map_batches(lambda b: b.filter(pc.equal(b.column("p_brand"),
+                                                 brand)),
+                     batch_format="pyarrow").to_pandas()
+    keys = part["p_partkey"].to_numpy().astype(np.int64) \
+        if "p_partkey" in part.columns else np.zeros(0, np.int64)
+    keyset = pa.array(keys, pa.int64())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64())
+        sub = b.filter(pc.is_in(pk, value_set=keyset))
+        t = pa.table({"p": pc.cast(sub.column("l_partkey"), pa.int64()),
+                      "_q": pa.array(np.rint(
+                          sub.column("l_quantity").to_numpy())
+                          .astype(np.int64))})
+        g = t.group_by("p").aggregate([("_q", "sum"), ([], "count_all")])
+        return g.rename_columns(["p", "_q", "_n"])
+
+    per_part = sized_groupby(li.map_batches(stats, batch_format="pyarrow"),
+                             "p", Sum("_q", alias_name="sq"),
+                             Sum("_n", alias_name="n")).to_pandas()
+    has_rows = len(per_part) and "p" in per_part.columns
+    npk = int(per_part.p.max()) + 1 if has_rows else 1
+    sumq = np.zeros(npk, dtype=np.int64)
+    cnt = np.zeros(npk, dtype=np.int64)
+    if has_rows:
+        sumq[per_part.p.to_numpy()] = per_part.sq.to_numpy()
+        cnt[per_part.p.to_numpy()] = per_part.n.to_numpy()
+    import ray
+    ref = ray.put((sumq, cnt))
+
+    def revenue(b: pa.Table) -> pa.Table:
+        sq, n = ray.get(ref)
+        pk = b.column("l_partkey").to_numpy().astype(np.int64)
+        qty = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        ok = pk < sq.size
+        pk_c = np.minimum(pk, sq.size - 1)
+        hit = ok & (n[pk_c] > 0) & (5 * qty * n[pk_c] < sq[pk_c])
+        cents = np.rint(
+            b.column("l_extendedprice").to_numpy()[hit] * 100) \
+            .astype(np.int64)
+        return pa.table({"_c": pa.array([int(cents.sum())], pa.int64())})
+
+    agg = li.map_batches(revenue, batch_format="pyarrow").aggregate(
+        Sum("_c", alias_name="_c"))
+    total = int(agg["_c"])
+    return pa.table({"total_cents": pa.array([total], pa.int64()),
+                     "avg_yearly_cents": pa.array([total // 7],
+                                                  pa.int64())})
