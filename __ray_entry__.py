@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts_q13": R.customer_order_counts_q13,
         "top_supplier_q15": R.top_supplier_q15,
         "small_quantity_revenue_q17": R.small_quantity_revenue_q17,
+        "market_share_q8": R.market_share_q8,
+        "last_shipper_blame_q21": R.last_shipper_blame_q21,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -839,6 +841,41 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_yearly_cents "
             "FROM bl JOIN agg ON bl.l_partkey = agg.l_partkey "
             "WHERE 5 * bl.q * agg.n < agg.sq",
+        "market_share_q8":
+            "WITH lo AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) "
+            "AS o_year, "
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS rev, "
+            "s.s_nationkey = 7 AS isn "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE p.p_type = 'ECONOMY' AND n.n_regionkey = 3) "
+            "SELECT o_year, "
+            "CAST(SUM(CASE WHEN isn THEN rev ELSE 0 END) AS BIGINT) "
+            "AS nation_e4, "
+            "CAST(SUM(rev) AS BIGINT) AS total_e4, "
+            "CAST(SUM(CASE WHEN isn THEN rev ELSE 0 END) * 1000 "
+            "// GREATEST(SUM(rev), 1) AS BIGINT) AS share_permille "
+            "FROM lo GROUP BY 1 ORDER BY 1",
+        "last_shipper_blame_q21":
+            "WITH pairs AS (SELECT l_orderkey o, l_suppkey s, "
+            "MAX(CAST(l_shipdate AS DATE)) maxd "
+            "FROM lineitem GROUP BY 1, 2), "
+            "pero AS (SELECT o, MAX(maxd) lastd, COUNT(*) n_supp "
+            "FROM pairs GROUP BY 1), "
+            "sole AS (SELECT p.o, MIN(p.s) AS s FROM pairs p "
+            "JOIN pero e ON p.o = e.o "
+            "WHERE e.n_supp >= 2 AND p.maxd = e.lastd "
+            "GROUP BY 1 HAVING COUNT(*) = 1) "
+            "SELECT CAST(sole.s AS BIGINT) AS s_suppkey, sup.s_name, "
+            "COUNT(*) AS numwait "
+            "FROM sole JOIN supplier sup ON sole.s = sup.s_suppkey "
+            "GROUP BY 1, 2 "
+            "ORDER BY numwait DESC, s_suppkey ASC LIMIT 20",
         "embed_knn_join": _knn_join_sql(),
         "knn_cells_customer": _knn_sql(),
         "docs_lang_id": _lang_id_sql(),

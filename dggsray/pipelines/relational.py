@@ -3541,3 +3541,172 @@ def small_quantity_revenue_q17(sf_dir: str, brand: str = "Brand#1"):
     return pa.table({"total_cents": pa.array([total], pa.int64()),
                      "avg_yearly_cents": pa.array([total // 7],
                                                   pa.int64())})
+
+
+def market_share_q8(sf_dir: str, region: int = 3, supp_nation: int = 7,
+                    p_type: str = "ECONOMY"):
+    """TPC-H Q8 shape (national market share): within one region's customer
+    orders and one part type, the per-order-year share of revenue supplied
+    by one nation.  All three dimension filters broadcast as bitmaps
+    (partkey->is_type, custkey->in_region via the nation->region map,
+    suppkey->is_nation); the only wide step is lineitem->orders on
+    orderkey, done AFTER lineitem folds to per-order (rev_total,
+    rev_nation) partials — the join input is bounded by #orders, not
+    #lineitems.  Output: (o_year, nation_e4, total_e4, share_permille)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    is_type = np.zeros(int(part.p_partkey.max()) + 1, dtype=bool)
+    is_type[part.p_partkey.to_numpy()] = \
+        part.p_type.to_numpy() == p_type
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    is_nat = np.zeros(int(supp.s_suppkey.max()) + 1, dtype=bool)
+    is_nat[supp.s_suppkey.to_numpy()] = \
+        supp.s_nationkey.to_numpy() == supp_nation
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
+        .to_pandas()
+    rmap = np.zeros(int(nation.n_nationkey.max()) + 1, dtype=np.int64)
+    rmap[nation.n_nationkey.to_numpy()] = nation.n_regionkey.to_numpy()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    in_reg = np.zeros(int(cust.c_custkey.max()) + 1, dtype=bool)
+    in_reg[cust.c_custkey.to_numpy()] = \
+        rmap[cust.c_nationkey.to_numpy()] == region
+
+    refs = ray.put((is_type, is_nat))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def per_order(b: pa.Table) -> pa.Table:
+        ist, isn = ray.get(refs)
+        pk = b.column("l_partkey").to_numpy().astype(np.int64)
+        keep = (pk < ist.size) & ist[np.minimum(pk, ist.size - 1)]
+        sub = b.filter(pa.array(keep))
+        sk = sub.column("l_suppkey").to_numpy().astype(np.int64)
+        rev = np.rint(sub.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64) \
+            * np.rint((1 - sub.column("l_discount").to_numpy()) * 100) \
+            .astype(np.int64)
+        nat = (sk < isn.size) & isn[np.minimum(sk, isn.size - 1)]
+        t = pa.table({"o_orderkey": pc.cast(sub.column("l_orderkey"),
+                                            pa.int64()),
+                      "_t": pa.array(rev),
+                      "_n": pa.array(np.where(nat, rev, 0))})
+        g = t.group_by("o_orderkey").aggregate([("_t", "sum"),
+                                                ("_n", "sum")])
+        return g.rename_columns(["o_orderkey", "_t", "_n"])
+
+    per_o = sized_groupby(li.map_batches(per_order,
+                                         batch_format="pyarrow"),
+                          "o_orderkey", Sum("_t", alias_name="_t"),
+                          Sum("_n", alias_name="_n"))
+    reg_ref = ray.put(in_reg)
+    omap = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_dim(b: pa.Table) -> pa.Table:
+        ir = ray.get(reg_ref)
+        ck = b.column("o_custkey").to_numpy().astype(np.int64)
+        keep = (ck < ir.size) & ir[np.minimum(ck, ir.size - 1)]
+        sub = b.filter(pa.array(keep))
+        return pa.table({"o_orderkey": pc.cast(sub.column("o_orderkey"),
+                                               pa.int64()),
+                         "o_year": pc.cast(pc.year(
+                             sub.column("o_orderdate")), pa.int64())})
+
+    joined = adaptive_join(per_o,
+                           omap.map_batches(order_dim,
+                                            batch_format="pyarrow"),
+                           on="o_orderkey")
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_year": b.column("o_year"),
+                      "_t": b.column("_t"), "_n": b.column("_n")})
+        g = t.group_by("o_year").aggregate([("_t", "sum"), ("_n", "sum")])
+        return g.rename_columns(["o_year", "_t", "_n"])
+
+    out = lowcard_groupby(joined.map_batches(year_partial,
+                                             batch_format="pyarrow"),
+                          "o_year", Sum("_t", alias_name="total_e4"),
+                          Sum("_n", alias_name="nation_e4")).to_pandas()
+    out["share_permille"] = (out.nation_e4 * 1000
+                             // out.total_e4.clip(lower=1)).astype("int64")
+    return out[["o_year", "nation_e4", "total_e4", "share_permille"]] \
+        .sort_values("o_year").reset_index(drop=True)
+
+
+def last_shipper_blame_q21(sf_dir: str, k: int = 20):
+    """TPC-H Q21 flavor (suppliers who kept orders waiting), adapted to
+    this schema: the test tables carry no commit/receipt dates, so 'kept
+    the order waiting' is realized as 'SOLE last shipper of a
+    multi-supplier order' — the supplier whose latest line shipped
+    strictly after every other supplier's in that order.  Same
+    exists/not-exists join shape as Q21, expressed as three combiner-first
+    reductions and one keyed join: (order,supplier)->max shipdate partials
+    fold in the scan; per-order (latest, #suppliers) folds over THAT
+    (bounded by distinct pairs); the join-back + uniqueness filter blames
+    exactly one supplier per qualifying order.  Output: (s_suppkey,
+    s_name, numwait), top-k by numwait."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..ops.joins import adaptive_join, sized_groupby
+    from ..ops.topk import partial_topk
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        days = pc.cast(b.column("l_shipdate"), pa.int64())
+        t = pa.table({"o": pc.cast(b.column("l_orderkey"), pa.int64()),
+                      "s": pc.cast(b.column("l_suppkey"), pa.int64()),
+                      "_d": days})
+        g = t.group_by(["o", "s"]).aggregate([("_d", "max")])
+        return g.rename_columns(["o", "s", "_d"])
+
+    pairs = sized_groupby(li.map_batches(pair_partial,
+                                         batch_format="pyarrow"),
+                          ["o", "s"], Max("_d", alias_name="maxd"))
+
+    pero = sized_groupby(pairs, "o", Max("maxd", alias_name="lastd"),
+                         Count(alias_name="n_supp"))
+    multi = pero.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_supp"), 2)),
+        batch_format="pyarrow")
+    joined = adaptive_join(pairs, multi, on="o")
+    at_max = joined.map_batches(
+        lambda b: b.filter(pc.equal(b.column("maxd"),
+                                    b.column("lastd"))),
+        batch_format="pyarrow")
+    sole = sized_groupby(at_max, "o", Count(alias_name="n_at_max"),
+                         Min("s", alias_name="s")) \
+        .map_batches(lambda b: b.filter(pc.equal(b.column("n_at_max"), 1)),
+                     batch_format="pyarrow")
+
+    def blame_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"s_suppkey": b.column("s")})
+        g = t.group_by("s_suppkey").aggregate([([], "count_all")])
+        return g.rename_columns(["s_suppkey", "_n"])
+
+    blame = sized_groupby(sole.map_batches(blame_partial,
+                                           batch_format="pyarrow"),
+                          "s_suppkey", Sum("_n", alias_name="numwait"))
+    top = partial_topk(blame, ["numwait", "s_suppkey"], [True, False],
+                       k).to_pandas()
+    keyset = pa.array(top["s_suppkey"].to_numpy(), pa.int64())
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            pc.cast(b.column("s_suppkey"), pa.int64()), value_set=keyset)),
+            batch_format="pyarrow").to_pandas()
+    supp["s_suppkey"] = supp["s_suppkey"].astype("int64")
+    out = top.merge(supp, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "numwait"]] \
+        .sort_values(["numwait", "s_suppkey"], ascending=[False, True]) \
+        .reset_index(drop=True)

@@ -92,3 +92,76 @@ class TestSmallQuantityRevenueQ17:
         from dggsray.pipelines.relational import small_quantity_revenue_q17
         out = small_quantity_revenue_q17(SF, brand="Brand#999").to_pandas()
         assert out.total_cents[0] == 0
+
+
+class TestMarketShareQ8:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import market_share_q8
+        out = market_share_q8(SF)
+        con = _con()
+        con.sql(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{SF}/nation.parquet')")
+        ref = con.sql(
+            "WITH lo AS (SELECT year(o.o_orderdate) y, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) "
+            "* CAST(round((1-l_discount)*100) AS BIGINT) rev, "
+            "s.s_nationkey = 7 isn FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE p.p_type = 'ECONOMY' AND n.n_regionkey = 3) "
+            "SELECT y, SUM(CASE WHEN isn THEN rev ELSE 0 END) nrev, "
+            "SUM(rev) te FROM lo GROUP BY 1 ORDER BY 1").df()
+        assert out.o_year.tolist() == ref.y.tolist()
+        assert out.nation_e4.tolist() == ref.nrev.tolist()
+        assert out.total_e4.tolist() == ref.te.tolist()
+        assert (out.share_permille
+                == out.nation_e4 * 1000 // out.total_e4).all()
+
+    def test_share_bounded(self, ray_session):
+        from dggsray.pipelines.relational import market_share_q8
+        out = market_share_q8(SF, region=0, supp_nation=1,
+                              p_type="PROMO")
+        assert (out.share_permille >= 0).all()
+        assert (out.share_permille <= 1000).all()
+        assert (out.nation_e4 <= out.total_e4).all()
+
+
+class TestLastShipperBlameQ21:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import last_shipper_blame_q21
+        out = last_shipper_blame_q21(SF)
+        con = _con()
+        ref = con.sql(
+            "WITH pairs AS (SELECT l_orderkey o, l_suppkey s, "
+            "MAX(l_shipdate) maxd FROM lineitem GROUP BY 1, 2), "
+            "pero AS (SELECT o, MAX(maxd) lastd, COUNT(*) n FROM pairs "
+            "GROUP BY 1), "
+            "sole AS (SELECT p.o, MIN(p.s) s FROM pairs p JOIN pero e "
+            "ON p.o = e.o WHERE e.n >= 2 AND p.maxd = e.lastd "
+            "GROUP BY 1 HAVING COUNT(*) = 1) "
+            "SELECT CAST(s AS BIGINT) s, COUNT(*) w FROM sole GROUP BY 1 "
+            "ORDER BY w DESC, s ASC LIMIT 20").df()
+        assert out.s_suppkey.tolist() == ref.s.tolist()
+        assert out.numwait.tolist() == ref.w.tolist()
+        assert (out.s_name.str.len() > 0).all()
+
+    def test_single_supplier_orders_never_blamed(self, ray_session):
+        # Every blamed order has >=2 suppliers by construction; a blame
+        # count can therefore never exceed the supplier's multi-supplier
+        # order participation.
+        from dggsray.pipelines.relational import last_shipper_blame_q21
+        out = last_shipper_blame_q21(SF, k=5)
+        con = _con()
+        cap = con.sql(
+            "WITH pairs AS (SELECT l_orderkey o, l_suppkey s "
+            "FROM lineitem GROUP BY 1, 2), "
+            "multi AS (SELECT o FROM pairs GROUP BY 1 "
+            "HAVING COUNT(*) >= 2) "
+            "SELECT CAST(p.s AS BIGINT) s, COUNT(*) n FROM pairs p "
+            "JOIN multi m ON p.o = m.o GROUP BY 1").df() \
+            .set_index("s").n
+        for _, row in out.iterrows():
+            assert row.numwait <= cap[row.s_suppkey]
