@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue_q17": R.small_quantity_revenue_q17,
         "market_share_q8": R.market_share_q8,
         "last_shipper_blame_q21": R.last_shipper_blame_q21,
+        "events_cell_transitions": R.events_cell_transitions,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -308,6 +309,22 @@ def _geofence_sql(res: int = 3) -> str:
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
             "AS value_cents, COUNT(*) AS n_events FROM events "
             f"WHERE {cell} IN ({cover}) GROUP BY 1")
+
+
+def _cell_transitions_sql(res: int = 1) -> str:
+    """Mirror of relational.events_cell_transitions: the LAG window over
+    each user's (ts, event_id)-ordered path of event-derived cellids
+    (dggsray.oracle.cellid_sql on the event_id point), then the pair
+    groupby."""
+    lon, lat = lonlat_sql("event_id")
+    cell = cellid_sql(lon, lat, res)
+    return (f"WITH e AS (SELECT user_id, ts, event_id, {cell} AS cell "
+            "FROM events), "
+            "t AS (SELECT cell AS cell_to, "
+            "LAG(cell) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS cell_from FROM e) "
+            "SELECT cell_from, cell_to, COUNT(*) AS n_transitions "
+            "FROM t WHERE cell_from IS NOT NULL GROUP BY 1, 2")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -785,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
             "AS BIGINT) AS max_k, "
             "COUNT(*) AS n_events FROM events GROUP BY 1",
+        "events_cell_transitions": _cell_transitions_sql(),
         "events_geofence_exact": _geofence_exact_sql(),
         "events_region_assign": _region_assign_sql(),
         "returned_item_revenue_q10":

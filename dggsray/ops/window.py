@@ -242,3 +242,43 @@ def running_total(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return _with_part(ds, user_col, n_parts) \
         .groupby("_part").map_groups(kernel, batch_format="pyarrow")
+
+
+def transition_counts(ds, col: str = "cell", user_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      n_parts: int = 64):
+    """Origin-destination transition counts: for every pair of CONSECUTIVE
+    events of one user (ordered by ts, id), count (col_from, col_to)
+    occurrences over all users — the LAG-window idiom
+    `LAG(col) OVER (PARTITION BY user ORDER BY ts, id)` followed by a
+    pair groupby.  Same one-shuffle shape as sessionize: user-hash
+    partitions keep every user's rows together; per partition ONE sort,
+    a vectorized shift masked at user-run boundaries, and an in-kernel
+    Arrow group_by so only (from, to, partial_count) rows — bounded by
+    the value-pair cardinality, not event count — leave each task.
+    Emits (col_from, col_to, _n) partials; callers finish with one tiny
+    keyed aggregate."""
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table({f"{col}_from": pa.array([], pa.string()),
+                          f"{col}_to": pa.array([], pa.string()),
+                          "_n": pa.array([], pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[(user_col, "ascending"),
+                                              (ts_col, "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        u = g.column(user_col).to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        c = g.column(col)
+        idx_to = np.flatnonzero(same) + 1
+        t = pa.table({f"{col}_from": c.take(pa.array(idx_to - 1)),
+                      f"{col}_to": c.take(pa.array(idx_to))})
+        out = t.group_by([f"{col}_from", f"{col}_to"]).aggregate(
+            [([], "count_all")])
+        return out.rename_columns([f"{col}_from", f"{col}_to", "_n"])
+
+    return _with_part(ds, user_col, n_parts) \
+        .groupby("_part").map_groups(kernel, batch_format="pyarrow")

@@ -3710,3 +3710,31 @@ def last_shipper_blame_q21(sf_dir: str, k: int = 20):
     return out[["s_suppkey", "s_name", "numwait"]] \
         .sort_values(["numwait", "s_suppkey"], ascending=[False, True]) \
         .reset_index(drop=True)
+
+
+def events_cell_transitions(sf_dir: str, res: int = 1):
+    """Trajectory origin-destination matrix: each user's events, ordered by
+    (ts, event_id), form a path over DGGS cells (the event-derived point —
+    event_id, not user_id, so the path actually moves); every consecutive
+    pair contributes one (cell_from, cell_to) transition.  One user-hash
+    shuffle (ops.window.transition_counts) emits per-partition partial
+    pair counts bounded by the res-{res} cell-pair cardinality, then one
+    tiny keyed aggregate finishes.  The OD matrix is the standard
+    mobility-analytics shape (flows between zones) over the engine's own
+    cell encoder.  Output: (cell_from, cell_to, n_transitions)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.window import transition_counts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def with_cell(b: pa.Table) -> pa.Table:
+        keys = b.column("event_id").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = cells_from_lonlat(res, lon, lat, DEFAULT_GRID)
+        return b.append_column("cell", pa.array(cells, pa.string()))
+
+    partials = transition_counts(
+        ds.map_batches(with_cell, batch_format="pyarrow"), col="cell")
+    return lowcard_groupby(partials, ["cell_from", "cell_to"],
+                           Sum("_n", alias_name="n_transitions"))

@@ -1,0 +1,67 @@
+"""events_cell_transitions: the OD (origin-destination) transition matrix
+over each user's (ts, event_id)-ordered path of event-derived DGGS cells.
+Pinned against a direct DuckDB LAG-window computation at sf0.001,
+independent of the oracle_sql string, plus structural invariants (mass
+conservation: total transitions = total events - number of users with
+>=1 event ... precisely sum over users of max(n_events-1, 0))."""
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _engine(res=1):
+    from dggsray.pipelines.relational import events_cell_transitions
+    out = events_cell_transitions(SF, res=res)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return out.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
+
+
+def _duck(res=1):
+    from dggsray.oracle import cellid_sql, lonlat_sql
+    lon, lat = lonlat_sql("event_id")
+    cell = cellid_sql(lon, lat, res)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    return con.sql(
+        f"WITH e AS (SELECT user_id, ts, event_id, {cell} AS cell "
+        "FROM events), "
+        "t AS (SELECT cell AS cell_to, LAG(cell) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS cell_from FROM e) "
+        "SELECT cell_from, cell_to, COUNT(*) AS n FROM t "
+        "WHERE cell_from IS NOT NULL GROUP BY 1, 2 "
+        "ORDER BY 1, 2").df()
+
+
+class TestEventsCellTransitions:
+    def test_matches_duckdb_lag_window(self, ray_session):
+        out = _engine()
+        ref = _duck()
+        assert out.cell_from.tolist() == ref.cell_from.tolist()
+        assert out.cell_to.tolist() == ref.cell_to.tolist()
+        assert out.n_transitions.tolist() == ref.n.tolist()
+
+    def test_mass_conservation(self, ray_session):
+        # Each user with k events contributes exactly k-1 transitions.
+        out = _engine()
+        con = duckdb.connect()
+        expected = con.sql(
+            f"SELECT SUM(GREATEST(k - 1, 0)) FROM (SELECT COUNT(*) k "
+            f"FROM read_parquet('{SF}/events.parquet') "
+            "GROUP BY user_id)").fetchone()[0]
+        assert out.n_transitions.sum() == expected
+
+    def test_finer_resolution_refines(self, ray_session):
+        # At a finer resolution the transition mass is conserved and the
+        # pair cardinality can only grow (each coarse pair splits).
+        coarse, fine = _engine(res=1), _engine(res=2)
+        assert coarse.n_transitions.sum() == fine.n_transitions.sum()
+        assert len(fine) >= len(coarse)
+        # every fine pair truncates onto a coarse pair that exists
+        from dggsray.core.cells import truncate_to_resolution
+        cf = truncate_to_resolution(fine.cell_from.tolist(), 1)
+        ct = truncate_to_resolution(fine.cell_to.tolist(), 1)
+        coarse_pairs = set(zip(coarse.cell_from, coarse.cell_to))
+        assert set(zip(cf, ct)) <= coarse_pairs
