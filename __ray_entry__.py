@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share_q8": R.market_share_q8,
         "last_shipper_blame_q21": R.last_shipper_blame_q21,
         "events_cell_transitions": R.events_cell_transitions,
+        "local_supplier_volume_q5": R.local_supplier_volume_q5,
+        "product_profit_q9": R.product_profit_q9,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -803,6 +805,33 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS max_k, "
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_cell_transitions": _cell_transitions_sql(),
+        "local_supplier_volume_q5":
+            "SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, "
+            "n.n_name AS n_name, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "AND c.c_nationkey = s.s_nationkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey = 1 AND year(o.o_orderdate) = 1996 "
+            "GROUP BY 1, 2",
+        "product_profit_q9":
+            "SELECT n.n_name AS n_name, "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS profit_e4 "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_name LIKE '%widget%' "
+            "GROUP BY 1, 2",
         "events_geofence_exact": _geofence_exact_sql(),
         "events_region_assign": _region_assign_sql(),
         "returned_item_revenue_q10":

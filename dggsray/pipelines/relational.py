@@ -3738,3 +3738,192 @@ def events_cell_transitions(sf_dir: str, res: int = 1):
         ds.map_batches(with_cell, batch_format="pyarrow"), col="cell")
     return lowcard_groupby(partials, ["cell_from", "cell_to"],
                            Sum("_n", alias_name="n_transitions"))
+
+
+def local_supplier_volume_q5(sf_dir: str, region: int = 1,
+                             year: int = 1996):
+    """TPC-H Q5 shape (local supplier volume): revenue from lineitems whose
+    supplier and ordering customer sit in the SAME nation of one region,
+    for orders placed in one year, grouped by nation.  The supplier map
+    (suppkey -> nationkey, -1 outside the region) broadcasts once via
+    ray.put; lineitem folds to per-(orderkey, supp_nation) revenue
+    partials INSIDE the scan — the only wide step joins those partials
+    (bounded by #orders x region-nation count, never #lineitems) to the
+    year-pruned (orderkey -> cust_nation) map.  Output: (n_nationkey,
+    n_name, revenue_e4) revenue-descending, int-cents^2 exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    in_region = set(nation.n_nationkey[nation.n_regionkey == region]
+                    .astype("int64"))
+    names = dict(zip(nation.n_nationkey.astype("int64"), nation.n_name))
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = np.full(int(supp.s_suppkey.max()) + 1, -1, dtype=np.int64)
+    in_reg_supp = supp.s_nationkey.astype("int64").isin(in_region)
+    smap[supp.s_suppkey[in_reg_supp].to_numpy()] = \
+        supp.s_nationkey[in_reg_supp].to_numpy()
+    smap_ref = ray.put(smap)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cmap = np.full(int(cust.c_custkey.max()) + 1, -1, dtype=np.int64)
+    in_reg_cust = cust.c_nationkey.astype("int64").isin(in_region)
+    cmap[cust.c_custkey[in_reg_cust].to_numpy()] = \
+        cust.c_nationkey[in_reg_cust].to_numpy()
+    cmap_ref = ray.put(cmap)
+
+    def per_order_supp(b: pa.Table) -> pa.Table:
+        sm = ray.get(smap_ref)
+        sk = b.column("l_suppkey").to_numpy().astype(np.int64)
+        sn = np.where(sk < sm.size, sm[np.minimum(sk, sm.size - 1)], -1)
+        keep = sn >= 0
+        sub = b.filter(pa.array(keep))
+        rev = np.rint(sub.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64) \
+            * np.rint((1 - sub.column("l_discount").to_numpy()) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_orderkey": pc.cast(sub.column("l_orderkey"),
+                                            pa.int64()),
+                      "supp_nation": pa.array(sn[keep]),
+                      "_r": pa.array(rev)})
+        g = t.group_by(["o_orderkey", "supp_nation"]).aggregate(
+            [("_r", "sum")])
+        return g.rename_columns(["o_orderkey", "supp_nation", "_r"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    per_os = sized_groupby(li.map_batches(per_order_supp,
+                                          batch_format="pyarrow"),
+                           ["o_orderkey", "supp_nation"],
+                           Sum("_r", alias_name="_r"))
+
+    def order_dim(b: pa.Table) -> pa.Table:
+        cm = ray.get(cmap_ref)
+        yr = pc.year(b.column("o_orderdate")).to_numpy()
+        ck = b.column("o_custkey").to_numpy().astype(np.int64)
+        cn = np.where(ck < cm.size, cm[np.minimum(ck, cm.size - 1)], -1)
+        keep = (yr == year) & (cn >= 0)
+        sub = b.filter(pa.array(keep))
+        return pa.table({"o_orderkey": pc.cast(sub.column("o_orderkey"),
+                                               pa.int64()),
+                         "cust_nation": pa.array(cn[keep])})
+
+    omap = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_dim, batch_format="pyarrow")
+    joined = adaptive_join(per_os, omap, on="o_orderkey")
+
+    def local_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("supp_nation"), b.column("cust_nation"))
+        sub = b.filter(m)
+        t = pa.table({"n_nationkey": sub.column("supp_nation"),
+                      "_r": sub.column("_r")})
+        g = t.group_by("n_nationkey").aggregate([("_r", "sum")])
+        return g.rename_columns(["n_nationkey", "_r"])
+
+    import pandas as pd
+    out = lowcard_groupby(joined.map_batches(local_partial,
+                                             batch_format="pyarrow"),
+                          "n_nationkey",
+                          Sum("_r", alias_name="revenue_e4")).to_pandas()
+    if "n_nationkey" not in out.columns:
+        out = pd.DataFrame({"n_nationkey": pd.Series([], dtype="int64"),
+                            "revenue_e4": pd.Series([], dtype="int64")})
+    out["n_name"] = out.n_nationkey.map(names)
+    return out[["n_nationkey", "n_name", "revenue_e4"]] \
+        .sort_values(["revenue_e4", "n_nationkey"],
+                     ascending=[False, True]).reset_index(drop=True)
+
+
+def product_profit_q9(sf_dir: str, name_sub: str = "widget"):
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted to
+    this schema: the test tables carry no partsupp/supplycost, so profit
+    is the discounted revenue sum(l_extendedprice * (1 - l_discount))
+    over lineitems of parts whose name contains `name_sub`.  Part
+    membership and the supplier nation map broadcast once as bitmaps
+    (ray.put); lineitem folds to per-(orderkey, supp_nation) integer
+    partials in the scan; the single wide step joins those to the
+    (orderkey -> order year) map.  Output: (n_name, o_year, profit_e4),
+    nation ascending / year descending (the Q9 sort)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    is_sub = np.zeros(int(part.p_partkey.max()) + 1, dtype=bool)
+    is_sub[part.p_partkey.to_numpy()] = \
+        part.p_name.str.contains(name_sub, regex=False).to_numpy()
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = np.full(int(supp.s_suppkey.max()) + 1, -1, dtype=np.int64)
+    smap[supp.s_suppkey.to_numpy()] = \
+        supp.s_nationkey.astype("int64").to_numpy()
+    refs = ray.put((is_sub, smap))
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation.n_nationkey.astype("int64"), nation.n_name))
+
+    def per_order_supp(b: pa.Table) -> pa.Table:
+        isb, sm = ray.get(refs)
+        pk = b.column("l_partkey").to_numpy().astype(np.int64)
+        keep = (pk < isb.size) & isb[np.minimum(pk, isb.size - 1)]
+        sub = b.filter(pa.array(keep))
+        sk = sub.column("l_suppkey").to_numpy().astype(np.int64)
+        sn = np.where(sk < sm.size, sm[np.minimum(sk, sm.size - 1)], -1)
+        rev = np.rint(sub.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64) \
+            * np.rint((1 - sub.column("l_discount").to_numpy()) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_orderkey": pc.cast(sub.column("l_orderkey"),
+                                            pa.int64()),
+                      "supp_nation": pa.array(sn),
+                      "_r": pa.array(rev)})
+        g = t.group_by(["o_orderkey", "supp_nation"]).aggregate(
+            [("_r", "sum")])
+        return g.rename_columns(["o_orderkey", "supp_nation", "_r"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    per_os = sized_groupby(li.map_batches(per_order_supp,
+                                          batch_format="pyarrow"),
+                           ["o_orderkey", "supp_nation"],
+                           Sum("_r", alias_name="_r"))
+
+    omap = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                              pa.int64())}), batch_format="pyarrow")
+    joined = adaptive_join(per_os, omap, on="o_orderkey")
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(b.column("supp_nation"),
+                                 pa.scalar(10_000, pa.int64())),
+                     b.column("o_year"))
+        t = pa.table({"k": key, "_r": b.column("_r")})
+        g = t.group_by("k").aggregate([("_r", "sum")])
+        return g.rename_columns(["k", "_r"])
+
+    import pandas as pd
+    out = lowcard_groupby(joined.map_batches(year_partial,
+                                             batch_format="pyarrow"),
+                          "k", Sum("_r", alias_name="profit_e4")).to_pandas()
+    if "k" not in out.columns:
+        out = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                            "profit_e4": pd.Series([], dtype="int64")})
+    out["n_nationkey"] = out.k // 10_000
+    out["o_year"] = out.k % 10_000
+    out["n_name"] = out.n_nationkey.map(names)
+    return out[["n_name", "o_year", "profit_e4"]] \
+        .sort_values(["n_name", "o_year"], ascending=[True, False]) \
+        .reset_index(drop=True)
