@@ -287,6 +287,150 @@ def resample_grid(data: np.ndarray, fc: np.ndarray, fr: np.ndarray,
     raise ValueError(f"unsupported resampling {resampling!r}")
 
 
+# one-slot per-process memo for the summed-area tables: the driver fill loop
+# (and each Ray warp task) calls resample_grid_average once per row chunk on
+# the SAME source array, so the O(H*W) prefix sums build once, not per chunk
+_SAT_MEMO: dict = {}
+
+
+def _sats(data: np.ndarray, src_nd):
+    key = (data.__array_interface__["data"][0], data.shape, str(src_nd))
+    hit = _SAT_MEMO.get("k") == key
+    if not hit:
+        nbands, H, W = data.shape
+        if src_nd is not None:
+            valid = data != src_nd
+            vals = np.where(valid, data, 0).astype(np.float64)
+        else:
+            valid = np.ones(data.shape, dtype=np.float64)
+            vals = data.astype(np.float64)
+        sat = np.zeros((nbands, H + 1, W + 1), dtype=np.float64)
+        np.cumsum(np.cumsum(vals, axis=1), axis=2, out=sat[:, 1:, 1:])
+        vsat = np.zeros((nbands, H + 1, W + 1), dtype=np.float64)
+        np.cumsum(np.cumsum(valid.astype(np.float64), axis=1), axis=2,
+                  out=vsat[:, 1:, 1:])
+        _SAT_MEMO.clear()
+        _SAT_MEMO["k"] = key
+        _SAT_MEMO["v"] = (sat, vsat)
+    return _SAT_MEMO["v"]
+
+
+def _sat_at(sat: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Bilinear sample of one band's SAT at continuous coords — EXACT
+    cumulative integral of the piecewise-constant image (the integral
+    function of a pixel grid is piecewise bilinear)."""
+    H, W = sat.shape[0] - 1, sat.shape[1] - 1
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, W - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 1)
+    tx = x - x0
+    ty = y - y0
+    return (sat[y0, x0] * (1 - tx) * (1 - ty)
+            + sat[y0, x0 + 1] * tx * (1 - ty)
+            + sat[y0 + 1, x0] * (1 - tx) * ty
+            + sat[y0 + 1, x0 + 1] * tx * ty)
+
+
+def resample_grid_average(data: np.ndarray, fc: np.ndarray, fr: np.ndarray,
+                          bw: np.ndarray, bh: np.ndarray,
+                          src_nd, dst_nd) -> np.ndarray:
+    """Area-weighted average resample (GDAL Resampling.average upgraded to
+    EXACT fractional-pixel overlap): destination point i takes the mean of
+    the source image over the axis-aligned box of extent (bw[i], bh[i])
+    source-pixel units centered at (fc[i], fr[i]), each source pixel
+    weighted by its exact overlap area with the box — the north-star's
+    'area-weighted resampling'.  Implementation: two summed-area tables
+    (values with nodata zeroed, and the valid mask); the box integral of a
+    piecewise-constant image is an exact 4-corner bilinear read of its SAT,
+    so per point this is O(1) regardless of how many source pixels the box
+    covers.  Boxes clip to the raster; points whose clipped box covers no
+    valid area get dst_nd.  Degenerate (sub-pixel) boxes reduce to the
+    containing pixel's value.  Treats the inverse mapping as locally
+    axis-aligned (first-order for curved CRSs, exact for scale warps)."""
+    nbands = data.shape[0]
+    H, W = data.shape[1], data.shape[2]
+    n = fc.shape[0]
+    out = np.full((nbands, n), dst_nd, dtype=data.dtype)
+    eps = 1e-9
+    x0 = np.clip(fc - np.maximum(bw, eps) / 2, 0.0, float(W))
+    x1 = np.clip(fc + np.maximum(bw, eps) / 2, 0.0, float(W))
+    y0 = np.clip(fr - np.maximum(bh, eps) / 2, 0.0, float(H))
+    y1 = np.clip(fr + np.maximum(bh, eps) / 2, 0.0, float(H))
+    ok = (x1 > x0) & (y1 > y0)
+    # boxes spanning at most 2x2 source pixels get the exact 4-term
+    # weighted mean directly: the SAT difference of a tiny box cancels
+    # catastrophically (prefix sums are large, the box integral is tiny),
+    # and sub-source-pixel boxes are exactly the regime where dest pixels
+    # are no coarser than source pixels
+    c0 = np.floor(x0).astype(np.int64)
+    r0 = np.floor(y0).astype(np.int64)
+    small = ok & (np.ceil(x1) - c0 <= 2) & (np.ceil(y1) - r0 <= 2)
+    boxed = ok & ~small
+    sat, vsat = _sats(data, src_nd)
+    xo0, xo1, yo0, yo1 = x0[boxed], x1[boxed], y0[boxed], y1[boxed]
+    is_int = np.issubdtype(data.dtype, np.integer)
+    info = np.iinfo(data.dtype) if is_int else None
+    # small-path geometry (shared across bands)
+    cs = np.clip(c0[small], 0, W - 1)
+    rs = np.clip(r0[small], 0, H - 1)
+    cs1 = np.minimum(cs + 1, W - 1)
+    rs1 = np.minimum(rs + 1, H - 1)
+    wx0 = np.clip(np.minimum(x1[small], cs + 1) - x0[small], 0, None)
+    wx1 = np.clip(x1[small] - (cs + 1), 0, None)
+    wy0 = np.clip(np.minimum(y1[small], rs + 1) - y0[small], 0, None)
+    wy1 = np.clip(y1[small] - (rs + 1), 0, None)
+    nd_out = np.asarray(dst_nd).astype(data.dtype)
+    for b in range(nbands):
+        s = (_sat_at(sat[b], xo1, yo1) - _sat_at(sat[b], xo0, yo1)
+             - _sat_at(sat[b], xo1, yo0) + _sat_at(sat[b], xo0, yo0))
+        va = (_sat_at(vsat[b], xo1, yo1) - _sat_at(vsat[b], xo0, yo1)
+              - _sat_at(vsat[b], xo1, yo0) + _sat_at(vsat[b], xo0, yo0))
+        box_area = (xo1 - xo0) * (yo1 - yo0)
+        has = va > box_area * 1e-12
+        mean = np.divide(s, va, out=np.full(s.shape, float(dst_nd)),
+                         where=has)
+        if is_int:
+            mean = np.clip(np.rint(mean), info.min, info.max)
+        vals = mean.astype(data.dtype)
+        out[b, boxed] = np.where(has, vals, nd_out)
+        # exact 4-term weighted mean for the small path
+        acc = np.zeros(cs.shape[0], dtype=np.float64)
+        area = np.zeros(cs.shape[0], dtype=np.float64)
+        for rr, wy in ((rs, wy0), (rs1, wy1)):
+            for cc, wx in ((cs, wx0), (cs1, wx1)):
+                v = data[b, rr, cc].astype(np.float64)
+                w = wx * wy
+                if src_nd is not None:
+                    w = np.where(data[b, rr, cc] == src_nd, 0.0, w)
+                acc += w * v
+                area += w
+        hs = area > 0
+        m = np.divide(acc, area, out=np.full(acc.shape, float(dst_nd)),
+                      where=hs)
+        if is_int:
+            m = np.clip(np.rint(m), info.min, info.max)
+        out[b, small] = np.where(hs, m.astype(data.dtype), nd_out)
+    return out
+
+
+def _grid_box_sizes(fc: np.ndarray, fr: np.ndarray, rows: int, cols: int):
+    """Per-point destination-footprint extents in source pixel units, from
+    finite differences of the inverse-mapped coordinate grid (captures the
+    spatially varying anisotropic stretch of curved CRSs).  Single-row /
+    single-column chunks fall back to the other axis's spacing."""
+    FC = fc.reshape(rows, cols)
+    FR = fr.reshape(rows, cols)
+    if cols >= 2:
+        bw = np.abs(np.gradient(FC, axis=1))
+    else:
+        bw = np.abs(np.gradient(FR, axis=0)) if rows >= 2 \
+            else np.ones((rows, cols))
+    if rows >= 2:
+        bh = np.abs(np.gradient(FR, axis=0))
+    else:
+        bh = bw
+    return bw.ravel(), bh.ravel()
+
+
 def raster_to_rhealpix(input_path: str, output_path: str,
                        grid: GridConfig = DEFAULT_GRID,
                        dst_resolution_idx: int = -1,
@@ -373,7 +517,13 @@ def raster_to_rhealpix(input_path: str, output_path: str,
             lon, lat = xs, ys
         fc = (lon - s_left) / s_rx
         fr = (s_top - lat) / s_ry
-        vals = resample_grid(src, fc, fr, resampling, set_src_nd, set_dst_nd)
+        if resampling == "average":
+            bw, bh = _grid_box_sizes(fc, fr, r1 - r0, ncols)
+            vals = resample_grid_average(src, fc, fr, bw, bh,
+                                         set_src_nd, set_dst_nd)
+        else:
+            vals = resample_grid(src, fc, fr, resampling,
+                                 set_src_nd, set_dst_nd)
         return vals.reshape(nbands, r1 - r0, ncols)
 
     out = np.full((nbands, nrows, ncols), set_dst_nd, dtype=g.data.dtype)
@@ -577,7 +727,13 @@ def reproject_raster(input_path: str, output_path: str, dst_crs: str,
         sx, sy = sfwd(lon, lat)
         fc = (sx - s_left) / s_rx
         fr = (s_top - sy) / s_ry
-        vals = resample_grid(src, fc, fr, resampling, set_src_nd, set_dst_nd)
+        if resampling == "average":
+            bw, bh = _grid_box_sizes(fc, fr, r1 - r0, ncols)
+            vals = resample_grid_average(src, fc, fr, bw, bh,
+                                         set_src_nd, set_dst_nd)
+        else:
+            vals = resample_grid(src, fc, fr, resampling,
+                                 set_src_nd, set_dst_nd)
         return vals.reshape(nbands, r1 - r0, ncols)
 
     out = np.full((nbands, nrows, ncols), set_dst_nd, dtype=g.data.dtype)

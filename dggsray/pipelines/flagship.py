@@ -14,7 +14,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.rhpx import DEFAULT_GRID, GridConfig
-from ..io.imagetable import ensure_image_table, _CLUSTER_LON, _CLUSTER_LAT
+from ..io.imagetable import (ensure_image_table, read_image_table,
+                             _CLUSTER_LON, _CLUSTER_LAT)
 from ..ops.raster2dggs import ImageToCells, images_to_cells
 from ..ops.vector2dggs import burn_polygons_to_cells, feature_class_values
 
@@ -320,7 +321,7 @@ def flagship_pipeline(sf: float, res: int = FLAGSHIP_RES,
     if concurrency is None:
         concurrency = _flagship_concurrency()
     blocks = _flagship_blocks(n_images, concurrency)
-    imgs = rd.read_parquet(path, override_num_blocks=blocks)
+    imgs = read_image_table(path, override_num_blocks=blocks)
     # nested-ref broadcast: plasma-shared, restart-safe (see ImageCellJoinAgg)
     poly_idx = [ray.put(vector_cells_sorted(res, grid))]
     return imgs.map_batches(
@@ -355,14 +356,14 @@ def flagship_epochs(sf: float, epochs: int, res: int = FLAGSHIP_RES,
     concurrency = _flagship_concurrency()
     blocks = _flagship_blocks(n_images, concurrency, epochs=epochs)
     if materialize_input:
-        base = rd.read_parquet(path, override_num_blocks=blocks).materialize()
+        base = read_image_table(path, override_num_blocks=blocks).materialize()
         ds = base
         for _ in range(epochs - 1):
             ds = ds.union(base)
     else:
-        ds = rd.read_parquet(path, override_num_blocks=blocks)
+        ds = read_image_table(path, override_num_blocks=blocks)
         for _ in range(epochs - 1):
-            ds = ds.union(rd.read_parquet(path, override_num_blocks=blocks))
+            ds = ds.union(read_image_table(path, override_num_blocks=blocks))
     poly_idx = [ray.put(vector_cells_sorted(res, grid))]
     import os
     cls = TimedImageCellJoinAgg if os.environ.get("GRAFT_CALLLOG") \
