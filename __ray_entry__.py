@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cell_transitions": R.events_cell_transitions,
         "local_supplier_volume_q5": R.local_supplier_volume_q5,
         "product_profit_q9": R.product_profit_q9,
+        "cell_embedding_centroid": R.cell_embedding_centroid,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -327,6 +328,25 @@ def _cell_transitions_sql(res: int = 1) -> str:
             "ORDER BY ts, event_id) AS cell_from FROM e) "
             "SELECT cell_from, cell_to, COUNT(*) AS n_transitions "
             "FROM t WHERE cell_from IS NOT NULL GROUP BY 1, 2")
+
+
+def _embedding_centroid_sql(res: int = 1) -> str:
+    """Mirror of relational.cell_embedding_centroid: per-(cell, dim) sums of
+    floor(x*1e6 + 0.5) micro-units (the exact arithmetic the engine applies
+    before summing, so both sides are order-independent), cell derived from
+    vec_id, dim from generate_subscripts (1-based -> 0-based)."""
+    lon, lat = lonlat_sql("vec_id")
+    cell = cellid_sql(lon, lat, res)
+    return (f"WITH e AS (SELECT vec_id, {cell} AS cell, embedding "
+            "FROM embeddings), "
+            "u AS (SELECT cell, "
+            "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim, "
+            "CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS v FROM e) "
+            "SELECT cell, dim, CAST(SUM(v) AS BIGINT) AS sum_e6, "
+            "COUNT(*) AS n_points, "
+            "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) "
+            "AS centroid_e6 FROM u GROUP BY 1, 2")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -805,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS max_k, "
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_cell_transitions": _cell_transitions_sql(),
+        "cell_embedding_centroid": _embedding_centroid_sql(),
         "local_supplier_volume_q5":
             "SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, "
             "n.n_name AS n_name, "

@@ -3927,3 +3927,48 @@ def product_profit_q9(sf_dir: str, name_sub: str = "widget"):
     return out[["n_name", "o_year", "profit_e4"]] \
         .sort_values(["n_name", "o_year"], ascending=[True, False]) \
         .reset_index(drop=True)
+
+
+def cell_embedding_centroid(sf_dir: str, res: int = 1):
+    """Per-cell embedding centroid: element-wise mean of the embedding
+    vectors of all points in each DGGS cell — the spatial-semantic
+    aggregate (one centroid per zone) a geo-aware retrieval index is
+    built from.  Integer-exact and order-independent: each float32
+    component maps to micro-units via floor(x*1e6 + 0.5) BEFORE summing
+    (the oracle replays the same arithmetic), so the distributed sum is
+    associative.  Per batch one vectorized sort+reduceat folds rows to
+    (cell, dim) partial sums — the shuffle is bounded by cells x D, never
+    by row count.  Output long-form: (cell, dim, sum_e6, n_points,
+    centroid_e6) with centroid_e6 = floor(sum/n)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("vec_id").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = np.asarray(cells_from_lonlat(res, lon, lat, DEFAULT_GRID))
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False))
+        v = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        order = np.argsort(cells, kind="stable")
+        cs, vs = cells[order], v[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        sums = np.add.reduceat(vs, bounds, axis=0)
+        ns = np.diff(np.r_[bounds, cs.size]).astype(np.int64)
+        g, D = sums.shape
+        return pa.table({
+            "cell": pa.array(np.repeat(cs[bounds], D), pa.string()),
+            "dim": pa.array(np.tile(np.arange(D, dtype=np.int64), g)),
+            "sum_e6": pa.array(sums.ravel()),
+            "_n": pa.array(np.repeat(ns, D))})
+
+    agg = lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["cell", "dim"],
+                          Sum("sum_e6", alias_name="sum_e6"),
+                          Sum("_n", alias_name="n_points"))
+    out = agg.to_pandas()
+    out["centroid_e6"] = (out.sum_e6 // out.n_points).astype("int64")
+    return out[["cell", "dim", "sum_e6", "n_points", "centroid_e6"]] \
+        .sort_values(["cell", "dim"]).reset_index(drop=True)
