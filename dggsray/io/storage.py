@@ -26,18 +26,42 @@ class _NpEncoder(json.JSONEncoder):
         return super().default(o)
 
 
-def write_cell_table(ds, path: str, meta: dict, fmt: str = "parquet"):
+def write_cell_table(ds, path: str, meta: dict, fmt: str = "parquet",
+                     partition_depth: int | None = None,
+                     cell_col: str = "cellid"):
     """Dataset (or pyarrow Table) + metadata -> parquet/feather directory +
     sidecar.  Feather (= Arrow IPC file) is written one file per block INSIDE
     the map tasks — distributed, no driver materialization (reference feather
-    output: tests_data.py:325-326 via GeoDataFrame.to_feather)."""
+    output: tests_data.py:325-326 via GeoDataFrame.to_feather).
+
+    partition_depth=N hive-partitions the parquet output by the cell-id
+    prefix of length N+1 (face char + N digits) — the resumable-output
+    layout for huge cell tables: each key-range directory is a unit a
+    re-run can skip (`finished_partitions`), a reader can prune, and a
+    downstream cell-keyed stage can consume shuffle-free.  The prefix
+    column is materialized per batch (vectorized slice) and dropped again
+    on read."""
     import pyarrow as pa
     import pyarrow.feather as paf
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
     if fmt == "parquet":
-        if isinstance(ds, pa.Table):
+        if partition_depth is not None:
+            import pyarrow.compute as pc
+
+            def add_part(b: pa.Table) -> pa.Table:
+                part = pc.utf8_slice_codeunits(
+                    pc.cast(b.column(cell_col), pa.string()), 0,
+                    partition_depth + 1)
+                return b.append_column("cell_part", part)
+
+            if isinstance(ds, pa.Table):
+                import ray.data as rd
+                ds = rd.from_arrow(ds)
+            ds.map_batches(add_part, batch_format="pyarrow") \
+                .write_parquet(path, partition_cols=["cell_part"])
+        elif isinstance(ds, pa.Table):
             pq.write_table(ds, os.path.join(path, "part-0.parquet"))
         else:
             ds.write_parquet(path)
@@ -58,8 +82,22 @@ def write_cell_table(ds, path: str, meta: dict, fmt: str = "parquet"):
     else:
         raise ValueError(f"unsupported format {fmt!r}")
     with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump({"spec": META_SPEC_URI, "attrs": meta, "format": fmt},
-                  f, cls=_NpEncoder)
+        json.dump({"spec": META_SPEC_URI, "attrs": meta, "format": fmt,
+                   "partition_depth": partition_depth}, f, cls=_NpEncoder)
+
+
+def finished_partitions(path: str) -> list[str]:
+    """Cell-prefix partitions already present in a hive-partitioned cell
+    table (directories `cell_part=<prefix>` containing at least one parquet
+    file) — the resume primitive: a restarted writer filters its input to
+    `~cellid.prefix in finished_partitions(out)` and appends only the
+    missing key ranges."""
+    import glob
+    out = []
+    for d in sorted(glob.glob(os.path.join(path, "cell_part=*"))):
+        if glob.glob(os.path.join(d, "*.parquet")):
+            out.append(os.path.basename(d).split("=", 1)[1])
+    return out
 
 
 def read_cell_table(path: str):
@@ -79,6 +117,11 @@ def read_cell_table(path: str):
     if side.get("format", "parquet") == "feather":
         files = sorted(glob.glob(os.path.join(path, "*.feather")))
         return _read_feather(files), meta
+    if side.get("partition_depth") is not None:
+        ds = rd.read_parquet(path)     # hive layout: ray derives cell_part
+        if "cell_part" in ds.schema().names:
+            ds = ds.drop_columns(["cell_part"])
+        return ds, meta
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     return rd.read_parquet(files), meta
 
