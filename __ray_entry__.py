@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume_q5": R.local_supplier_volume_q5,
         "product_profit_q9": R.product_profit_q9,
         "cell_embedding_centroid": R.cell_embedding_centroid,
+        "shipping_latency_q12": R.shipping_latency_q12,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -826,6 +827,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_cell_transitions": _cell_transitions_sql(),
         "cell_embedding_centroid": _embedding_centroid_sql(),
+        "shipping_latency_q12":
+            "WITH d AS (SELECT date_diff('day', CAST(o.o_orderdate AS DATE), "
+            "CAST(l.l_shipdate AS DATE)) AS days, "
+            "o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+            "SELECT CASE WHEN days < 0 THEN 'early' "
+            "WHEN days < 30 THEN '0-29d' WHEN days < 90 THEN '30-89d' "
+            "ELSE '90d+' END AS latency_bucket, "
+            "CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_line_count, "
+            "CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS low_line_count FROM d GROUP BY 1",
         "local_supplier_volume_q5":
             "SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, "
             "n.n_name AS n_name, "

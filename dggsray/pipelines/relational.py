@@ -3972,3 +3972,76 @@ def cell_embedding_centroid(sf_dir: str, res: int = 1):
     out["centroid_e6"] = (out.sum_e6 // out.n_points).astype("int64")
     return out[["cell", "dim", "sum_e6", "n_points", "centroid_e6"]] \
         .sort_values(["cell", "dim"]).reset_index(drop=True)
+
+
+def shipping_latency_q12(sf_dir: str):
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode/l_receiptdate):
+    lineitems bucketed by ship latency (calendar days from o_orderdate to
+    l_shipdate: <0 / 0-29 / 30-89 / >=90), counting high-priority
+    (1-URGENT, 2-HIGH) vs other orders' lines per bucket — Q12's
+    conditional split aggregate.  Lineitem folds to per-(orderkey,
+    shipdate) counts in the scan (bounded by distinct pairs, cheaper than
+    raw lines), one adaptive join brings the order date + priority class,
+    then (bucket, class) partials fold combiner-first.  Output:
+    (latency_bucket, high_line_count, low_line_count)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def fold_pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": pc.cast(b.column("l_orderkey"),
+                                            pa.int64()),
+                      "ship_day": pc.cast(
+                          pc.floor_temporal(b.column("l_shipdate"),
+                                            unit="day"),
+                          pa.timestamp("us"))})
+        g = t.group_by(["o_orderkey", "ship_day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["o_orderkey", "ship_day", "_n"])
+
+    pairs = sized_groupby(li.map_batches(fold_pairs,
+                                         batch_format="pyarrow"),
+                          ["o_orderkey", "ship_day"],
+                          Sum("_n", alias_name="_n"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "order_day": pc.cast(pc.floor_temporal(b.column("o_orderdate"),
+                                                   unit="day"),
+                                 pa.timestamp("us")),
+            "is_high": pc.is_in(b.column("o_orderpriority"),
+                                value_set=pa.array(["1-URGENT", "2-HIGH"]))}),
+            batch_format="pyarrow")
+
+    joined = adaptive_join(pairs, orders, on="o_orderkey")
+
+    _BUCKETS = ["early", "0-29d", "30-89d", "90d+"]
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        days = (b.column("ship_day").to_numpy().astype("datetime64[D]")
+                - b.column("order_day").to_numpy().astype("datetime64[D]")) \
+            .astype(np.int64)
+        idx = np.full(days.shape, 3, dtype=np.int64)
+        idx[days < 90] = 2
+        idx[days < 30] = 1
+        idx[days < 0] = 0
+        hi = b.column("is_high").to_numpy(zero_copy_only=False)
+        n = b.column("_n").to_numpy()
+        t = pa.table({"bidx": pa.array(idx),
+                      "_hi": pa.array(np.where(hi, n, 0)),
+                      "_lo": pa.array(np.where(hi, 0, n))})
+        g = t.group_by("bidx").aggregate([("_hi", "sum"), ("_lo", "sum")])
+        return g.rename_columns(["bidx", "_hi", "_lo"])
+
+    out = lowcard_groupby(joined.map_batches(bucket_partial,
+                                             batch_format="pyarrow"),
+                          "bidx",
+                          Sum("_hi", alias_name="high_line_count"),
+                          Sum("_lo", alias_name="low_line_count")).to_pandas()
+    out["latency_bucket"] = out.bidx.map(dict(enumerate(_BUCKETS)))
+    return out[["latency_bucket", "high_line_count", "low_line_count"]] \
+        .sort_values("latency_bucket").reset_index(drop=True)

@@ -99,3 +99,30 @@ class TestProductProfitQ9:
         got = sum(product_profit_q9(SF, name_sub=n).profit_e4.sum()
                   for n in nouns)
         assert got == total
+
+
+class TestShippingLatencyQ12:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import shipping_latency_q12
+        out = shipping_latency_q12(SF)
+        con = _con()
+        ref = con.sql(
+            "WITH d AS (SELECT date_diff('day', CAST(o_orderdate AS DATE), "
+            "CAST(l_shipdate AS DATE)) AS days, "
+            "o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+            "SELECT CASE WHEN days < 0 THEN 'early' WHEN days < 30 THEN "
+            "'0-29d' WHEN days < 90 THEN '30-89d' ELSE '90d+' END b, "
+            "SUM(CASE WHEN hi THEN 1 ELSE 0 END) h, "
+            "SUM(CASE WHEN hi THEN 0 ELSE 1 END) lo "
+            "FROM d GROUP BY 1 ORDER BY 1").df()
+        assert out.latency_bucket.tolist() == ref.b.tolist()
+        assert out.high_line_count.tolist() == ref.h.tolist()
+        assert out.low_line_count.tolist() == ref.lo.tolist()
+
+    def test_mass_equals_lineitem_count(self, ray_session):
+        from dggsray.pipelines.relational import shipping_latency_q12
+        out = shipping_latency_q12(SF)
+        con = _con()
+        n = con.sql("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+        assert (out.high_line_count + out.low_line_count).sum() == n
