@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit_q9": R.product_profit_q9,
         "cell_embedding_centroid": R.cell_embedding_centroid,
         "shipping_latency_q12": R.shipping_latency_q12,
+        "events_cell_dwell": R.events_cell_dwell,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -348,6 +349,29 @@ def _embedding_centroid_sql(res: int = 1) -> str:
             "COUNT(*) AS n_points, "
             "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) "
             "AS centroid_e6 FROM u GROUP BY 1, 2")
+
+
+def _cell_dwell_sql(res: int = 1) -> str:
+    """Mirror of relational.events_cell_dwell: gaps-and-islands — LAG
+    change flag over each user's (ts, event_id)-ordered cell stream,
+    running-sum island id, per-island MIN/MAX span, then the cell
+    rollup.  Integer-exact epoch microseconds."""
+    lon, lat = lonlat_sql("event_id")
+    cell = cellid_sql(lon, lat, res)
+    return (f"WITH e AS (SELECT user_id, ts, event_id, {cell} AS cell "
+            "FROM events), "
+            "t AS (SELECT *, CASE WHEN cell IS DISTINCT FROM LAG(cell) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "THEN 1 ELSE 0 END AS chg FROM e), "
+            "r AS (SELECT user_id, cell, ts, SUM(chg) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS island FROM t), "
+            "v AS (SELECT user_id, island, MIN(cell) AS cell, "
+            "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS d, "
+            "COUNT(*) AS n FROM r GROUP BY 1, 2) "
+            "SELECT cell, COUNT(*) AS n_visits, "
+            "CAST(SUM(d) AS BIGINT) AS total_dwell_us, "
+            "CAST(SUM(n) AS BIGINT) AS n_events FROM v GROUP BY 1")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -826,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS max_k, "
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_cell_transitions": _cell_transitions_sql(),
+        "events_cell_dwell": _cell_dwell_sql(),
         "cell_embedding_centroid": _embedding_centroid_sql(),
         "shipping_latency_q12":
             "WITH d AS (SELECT date_diff('day', CAST(o.o_orderdate AS DATE), "

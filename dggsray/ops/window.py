@@ -282,3 +282,49 @@ def transition_counts(ds, col: str = "cell", user_col: str = "user_id",
 
     return _with_part(ds, user_col, n_parts) \
         .groupby("_part").map_groups(kernel, batch_format="pyarrow")
+
+
+def run_dwell_aggregate(ds, col: str = "cell", user_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        n_parts: int = 64):
+    """Gaps-and-islands dwell aggregation: each maximal run of CONSECUTIVE
+    equal `col` values in one user's (ts, id)-ordered stream is a visit;
+    per visit the dwell is last_ts - first_ts (microseconds).  The SQL
+    equivalent is the LAG-change flag + running-sum island id + two
+    nested GROUP BYs; here it is the same one-shuffle shape as
+    sessionize: user-hash partitions, per partition ONE sort, vectorized
+    run-boundary detection (user change OR value change), reduceat
+    min/max/count per run, then an in-kernel fold by `col` so only
+    (col, n_visits, dwell_us, n_events) partials — bounded by value
+    cardinality — leave each task.  Callers finish with one tiny keyed
+    aggregate over the partials."""
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table({col: pa.array([], pa.string()),
+                          "_v": pa.array([], pa.int64()),
+                          "_d": pa.array([], pa.int64()),
+                          "_n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[(user_col, "ascending"),
+                                              (ts_col, "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        u = g.column(user_col).to_numpy()
+        c = np.asarray(g.column(col).to_pylist())
+        ts = g.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], c.size] - 1
+        dwell = ts[ends] - ts[starts]
+        n_ev = ends - starts + 1
+        t = pa.table({col: pa.array(c[starts], pa.string()),
+                      "_v": pa.array(np.ones(starts.size, dtype=np.int64)),
+                      "_d": pa.array(dwell),
+                      "_n": pa.array(n_ev.astype(np.int64))})
+        out = t.group_by(col).aggregate([("_v", "sum"), ("_d", "sum"),
+                                         ("_n", "sum")])
+        return out.rename_columns([col, "_v", "_d", "_n"])
+
+    return _with_part(ds, user_col, n_parts) \
+        .groupby("_part").map_groups(kernel, batch_format="pyarrow")

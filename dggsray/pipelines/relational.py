@@ -4045,3 +4045,32 @@ def shipping_latency_q12(sf_dir: str):
     out["latency_bucket"] = out.bidx.map(dict(enumerate(_BUCKETS)))
     return out[["latency_bucket", "high_line_count", "low_line_count"]] \
         .sort_values("latency_bucket").reset_index(drop=True)
+
+
+def events_cell_dwell(sf_dir: str, res: int = 1):
+    """Per-cell visit statistics from each user's trajectory: a visit is a
+    maximal run of consecutive events in the same DGGS cell (ordered by
+    ts, event_id), its dwell the first-to-last-event span.  The classic
+    gaps-and-islands shape — LAG change flag, running-sum island id, two
+    nested GROUP BYs in SQL — expressed as ONE user-hash shuffle with
+    vectorized run detection (ops.window.run_dwell_aggregate) and a tiny
+    keyed aggregate over (cell, partial) rows.  Output: (cell, n_visits,
+    total_dwell_us, n_events) — integer-exact microseconds."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.window import run_dwell_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def with_cell(b: pa.Table) -> pa.Table:
+        keys = b.column("event_id").to_numpy()
+        lon, lat = derived_lonlat(keys)
+        cells = cells_from_lonlat(res, lon, lat, DEFAULT_GRID)
+        return b.append_column("cell", pa.array(cells, pa.string()))
+
+    partials = run_dwell_aggregate(
+        ds.map_batches(with_cell, batch_format="pyarrow"), col="cell")
+    return lowcard_groupby(partials, "cell",
+                           Sum("_v", alias_name="n_visits"),
+                           Sum("_d", alias_name="total_dwell_us"),
+                           Sum("_n", alias_name="n_events"))

@@ -65,3 +65,58 @@ class TestEventsCellTransitions:
         ct = truncate_to_resolution(fine.cell_to.tolist(), 1)
         coarse_pairs = set(zip(coarse.cell_from, coarse.cell_to))
         assert set(zip(cf, ct)) <= coarse_pairs
+
+
+class TestEventsCellDwell:
+    def test_matches_duckdb_gaps_and_islands(self, ray_session):
+        from dggsray.oracle import cellid_sql, lonlat_sql
+        from dggsray.pipelines.relational import events_cell_dwell
+        out = events_cell_dwell(SF, res=1)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        out = out.sort_values("cell").reset_index(drop=True)
+        lon, lat = lonlat_sql("event_id")
+        cell = cellid_sql(lon, lat, 1)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+        ref = con.sql(
+            f"WITH e AS (SELECT user_id, ts, event_id, {cell} AS cell "
+            "FROM events), "
+            "t AS (SELECT *, CASE WHEN cell IS DISTINCT FROM LAG(cell) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "THEN 1 ELSE 0 END AS chg FROM e), "
+            "r AS (SELECT user_id, cell, ts, SUM(chg) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS island FROM t), "
+            "v AS (SELECT user_id, island, MIN(cell) AS cell, "
+            "epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS d, COUNT(*) AS n "
+            "FROM r GROUP BY 1, 2) "
+            "SELECT cell, COUNT(*) v, SUM(d) d, SUM(n) n FROM v "
+            "GROUP BY 1 ORDER BY 1").df()
+        assert out.cell.tolist() == ref.cell.tolist()
+        assert out.n_visits.tolist() == ref.v.tolist()
+        assert out.total_dwell_us.tolist() == ref.d.tolist()
+        assert out.n_events.tolist() == ref.n.tolist()
+
+    def test_visits_consistent_with_transitions(self, ray_session):
+        # each user's first event opens a visit; every cell-CHANGING
+        # transition opens one more: total visits = users + changing
+        # transitions.  Cross-checks two independent pipelines.
+        import duckdb as dk
+        from dggsray.pipelines.relational import (events_cell_dwell,
+                                                  events_cell_transitions)
+        dwell = events_cell_dwell(SF, res=1)
+        if not isinstance(dwell, pd.DataFrame):
+            dwell = dwell.to_pandas()
+        trans = events_cell_transitions(SF, res=1)
+        if not isinstance(trans, pd.DataFrame):
+            trans = trans.to_pandas()
+        changing = trans[trans.cell_from != trans.cell_to] \
+            .n_transitions.sum()
+        con = dk.connect()
+        n_users = con.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+        assert dwell.n_visits.sum() == n_users + changing
+        assert (dwell.total_dwell_us >= 0).all()
