@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_embedding_centroid": R.cell_embedding_centroid,
         "shipping_latency_q12": R.shipping_latency_q12,
         "events_cell_dwell": R.events_cell_dwell,
+        "events_user_anomalies": R.events_user_anomalies,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -851,6 +852,20 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_cell_transitions": _cell_transitions_sql(),
         "events_cell_dwell": _cell_dwell_sql(),
+        "events_user_anomalies":
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "w AS (SELECT user_id, v, COUNT(*) OVER pre AS n, "
+            "SUM(v) OVER pre AS s, SUM(v * v) OVER pre AS ss FROM x "
+            "WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT user_id, "
+            "CAST(SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_scored, "
+            "CAST(SUM(CASE WHEN n >= 5 AND (v * n - s) * (v * n - s) "
+            "> 4 * (n * ss - s * s) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_anomalies FROM w GROUP BY 1 "
+            "HAVING SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) > 0",
         "cell_embedding_centroid": _embedding_centroid_sql(),
         "shipping_latency_q12":
             "WITH d AS (SELECT date_diff('day', CAST(o.o_orderdate AS DATE), "

@@ -328,3 +328,63 @@ def run_dwell_aggregate(ds, col: str = "cell", user_col: str = "user_id",
 
     return _with_part(ds, user_col, n_parts) \
         .groupby("_part").map_groups(kernel, batch_format="pyarrow")
+
+
+def running_anomaly_counts(ds, value_col: str = "v",
+                           user_col: str = "user_id", ts_col: str = "ts",
+                           id_col: str = "event_id", k: int = 2,
+                           min_prior: int = 5, n_parts: int = 64):
+    """Per-user ONLINE anomaly scoring with exact integer arithmetic: event
+    i is anomalous iff its value deviates from the mean of the user's
+    PRECEDING events by more than k standard deviations, evaluated without
+    any float division via the cross-multiplied form
+        (v*n - s)^2 > k^2 * (n*ss - s^2)
+    over integer value units (n/s/ss = count/sum/sum-of-squares of the
+    preceding prefix), so the Ray result and a SQL window oracle agree
+    bit-for-bit.  Same one-shuffle sessionize shape: user-hash partitions,
+    one sort per partition, prefix sums reset at user boundaries by the
+    cumsum-minus-run-start trick.  Emits (user, n_scored, n_anomalies)
+    rows — already final, one row per user.  Raises loudly when
+    max|value| * max-events-per-user approaches int64 overflow."""
+    k2 = k * k
+
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table({user_col: pa.array([], pa.int64()),
+                          "n_scored": pa.array([], pa.int64()),
+                          "n_anomalies": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[(user_col, "ascending"),
+                                              (ts_col, "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        u = g.column(user_col).to_numpy()
+        v = g.column(value_col).to_numpy().astype(np.int64)
+        N = v.size
+        pos = np.arange(N, dtype=np.int64)
+        new_run = np.r_[True, u[1:] != u[:-1]]
+        run_start = pos[new_run][np.cumsum(new_run) - 1]
+        n = pos - run_start
+        vmax = np.abs(v).max() if N else 0
+        nmax = n.max() + 1 if N else 0
+        if vmax * nmax > 1_500_000_000:
+            raise OverflowError(
+                f"running_anomaly_counts: max|value|*max_run "
+                f"({vmax}*{nmax}) too large for exact int64 "
+                "cross-multiplied variance; rescale the value units")
+        cs = np.r_[0, np.cumsum(v)]
+        css = np.r_[0, np.cumsum(v * v)]
+        s = cs[pos] - cs[run_start]
+        ss = css[pos] - css[run_start]
+        scored = n >= min_prior
+        lhs = (v * n - s)
+        anom = scored & (lhs * lhs > k2 * (n * ss - s * s))
+        t = pa.table({user_col: pa.array(u.astype(np.int64)),
+                      "_sc": pa.array(scored.astype(np.int64)),
+                      "_an": pa.array(anom.astype(np.int64))})
+        out = t.group_by(user_col).aggregate([("_sc", "sum"),
+                                              ("_an", "sum")])
+        return out.rename_columns([user_col, "n_scored", "n_anomalies"])
+
+    return _with_part(ds, user_col, n_parts) \
+        .groupby("_part").map_groups(kernel, batch_format="pyarrow")

@@ -4074,3 +4074,30 @@ def events_cell_dwell(sf_dir: str, res: int = 1):
                            Sum("_v", alias_name="n_visits"),
                            Sum("_d", alias_name="total_dwell_us"),
                            Sum("_n", alias_name="n_events"))
+
+
+def events_user_anomalies(sf_dir: str, k: int = 2, min_prior: int = 5):
+    """Online per-user anomaly counts: an event is anomalous when its value
+    (integer cents) deviates more than `k` standard deviations from the
+    mean of that user's PRECEDING events — the streaming-quality-control
+    window, scored with zero float division via the cross-multiplied
+    integer form (ops.window.running_anomaly_counts), so the SQL window
+    oracle matches bit-for-bit.  Output: (user_id, n_scored,
+    n_anomalies) for users with at least one scored event."""
+    from ..ops.window import running_anomaly_counts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(b.column("value").to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "ts": b.column("ts"),
+                         "v": pa.array(v)})
+
+    out = running_anomaly_counts(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        k=k, min_prior=min_prior).to_pandas()
+    out = out[out.n_scored > 0]
+    return out.sort_values("user_id").reset_index(drop=True)

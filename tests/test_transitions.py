@@ -120,3 +120,43 @@ class TestEventsCellDwell:
             f"read_parquet('{SF}/events.parquet')").fetchone()[0]
         assert dwell.n_visits.sum() == n_users + changing
         assert (dwell.total_dwell_us >= 0).all()
+
+
+class TestEventsUserAnomalies:
+    def test_matches_bruteforce(self, ray_session):
+        # sequential per-user replay with exact integer arithmetic
+        import pyarrow.parquet as pq
+        import numpy as np
+        from dggsray.pipelines.relational import events_user_anomalies
+        out = events_user_anomalies(SF, k=2, min_prior=5)
+        t = pq.read_table(f"{SF}/events.parquet",
+                          columns=["event_id", "user_id", "ts", "value"]) \
+            .to_pandas().sort_values(["user_id", "ts", "event_id"])
+        t["v"] = np.floor(t.value.to_numpy() * 100 + 0.5).astype(np.int64)
+        ref = {}
+        for uid, grp in t.groupby("user_id"):
+            n = s = ss = 0
+            scored = anom = 0
+            for v in grp.v:
+                if n >= 5:
+                    scored += 1
+                    if (v * n - s) ** 2 > 4 * (n * ss - s * s):
+                        anom += 1
+                n += 1
+                s += v
+                ss += v * v
+            if scored:
+                ref[uid] = (scored, anom)
+        assert dict(zip(out.user_id,
+                        zip(out.n_scored, out.n_anomalies))) == ref
+
+    def test_anomalies_bounded_by_scored(self, ray_session):
+        from dggsray.pipelines.relational import events_user_anomalies
+        out = events_user_anomalies(SF, k=3)
+        strict = events_user_anomalies(SF, k=2)
+        assert (out.n_anomalies <= out.n_scored).all()
+        # larger k can only flag fewer (or equal) events per user
+        m = out.set_index("user_id").n_anomalies
+        s = strict.set_index("user_id").n_anomalies
+        common = m.index.intersection(s.index)
+        assert (m[common] <= s[common]).all()
