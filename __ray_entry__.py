@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_latency_q12": R.shipping_latency_q12,
         "events_cell_dwell": R.events_cell_dwell,
         "events_user_anomalies": R.events_user_anomalies,
+        "docs_dedup_survivors": R.docs_dedup_survivors,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -852,6 +853,15 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_cell_transitions": _cell_transitions_sql(),
         "events_cell_dwell": _cell_dwell_sql(),
+        "docs_dedup_survivors":
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) AS norm FROM documents), "
+            "t AS (SELECT doc_id, norm, "
+            "CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens, "
+            "COUNT(*) OVER (PARTITION BY norm) AS gs FROM n) "
+            "SELECT doc_id, n_tokens, CAST(gs AS BIGINT) AS group_size "
+            "FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY norm "
+            "ORDER BY n_tokens DESC, doc_id ASC) = 1",
         "events_user_anomalies":
             "WITH x AS (SELECT user_id, ts, event_id, "
             "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "

@@ -4101,3 +4101,48 @@ def events_user_anomalies(sf_dir: str, k: int = 2, min_prior: int = 5):
         k=k, min_prior=min_prior).to_pandas()
     out = out[out.n_scored > 0]
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def docs_dedup_survivors(sf_dir: str):
+    """Canonical-document selection (dedup survivorship): group docs by
+    whitespace-normalized lowercased text, keep the LONGEST doc per group
+    (whitespace token count of the normalized text; tie -> min doc_id) —
+    the "choose the best representative" step every dedup pipeline runs
+    after clustering.  One shuffle, no join-back: the winner rides inside
+    a lexicographic Min whose packed key "{1e9 - n_tokens:010d}|{doc_id:020d}"
+    sorts max-tokens-then-min-id first (docs_dedup_exact's trick), and the
+    group size rides in a Sum.  Output: (doc_id, n_tokens, group_size)."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..ops.joins import sized_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(b.column("text")),
+                                       r"\s+", " "))
+        n_tok = pc.list_value_length(pc.split_pattern(norm, " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column("doc_id").to_numpy()
+        packed = [f"{10**9 - t:010d}|{i:020d}" for t, i in zip(n_tok, ids)]
+        return pa.table({"norm": norm,
+                         "_packed": pa.array(packed, pa.string()),
+                         "_one": pa.array(np.ones(len(ids), np.int64))})
+
+    keep = sized_groupby(ds.map_batches(pack, batch_format="pyarrow"),
+                         "norm", Min("_packed", alias_name="_win"),
+                         Sum("_one", alias_name="group_size"),
+                         rows_per_part=200_000)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        win = b.column("_win").to_pylist()
+        toks = np.array([10**9 - int(w[:10]) for w in win], np.int64)
+        ids = np.array([int(w[11:]) for w in win], np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(toks),
+                         "group_size": pc.cast(b.column("group_size"),
+                                               pa.int64())})
+
+    out = keep.map_batches(unpack, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
