@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cell_dwell": R.events_cell_dwell,
         "events_user_anomalies": R.events_user_anomalies,
         "docs_dedup_survivors": R.docs_dedup_survivors,
+        "docs_pii_scrub": R.docs_pii_scrub,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -374,6 +375,26 @@ def _cell_dwell_sql(res: int = 1) -> str:
             "SELECT cell, COUNT(*) AS n_visits, "
             "CAST(SUM(d) AS BIGINT) AS total_dwell_us, "
             "CAST(SUM(n) AS BIGINT) AS n_events FROM v GROUP BY 1")
+
+
+def _pii_sql() -> str:
+    """Mirror of relational.docs_pii_scrub — both engines run RE2, same
+    patterns, same replacement order (emails -> IPs -> phones)."""
+    em = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    ph = r"\+?[0-9][0-9 \-]{7,}[0-9]"
+    return (
+        "WITH s1 AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails, "
+        f"regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t FROM documents), "
+        "s2 AS (SELECT doc_id, n_emails, "
+        f"CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ips, "
+        f"regexp_replace(t, '{ip}', '<IP>', 'g') AS t FROM s1), "
+        "s3 AS (SELECT doc_id, n_emails, n_ips, "
+        f"CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phones, "
+        f"regexp_replace(t, '{ph}', '<PHONE>', 'g') AS t FROM s2) "
+        "SELECT doc_id, n_emails, n_ips, n_phones, "
+        "CAST(length(t) AS BIGINT) AS n_chars_scrubbed FROM s3")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -853,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events FROM events GROUP BY 1",
         "events_cell_transitions": _cell_transitions_sql(),
         "events_cell_dwell": _cell_dwell_sql(),
+        "docs_pii_scrub": _pii_sql(),
         "docs_dedup_survivors":
             "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS norm FROM documents), "
