@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_anomalies": R.events_user_anomalies,
         "docs_dedup_survivors": R.docs_dedup_survivors,
         "docs_pii_scrub": R.docs_pii_scrub,
+        "embed_cell_assign": R.embed_cell_assign,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -395,6 +396,32 @@ def _pii_sql() -> str:
         f"regexp_replace(t, '{ph}', '<PHONE>', 'g') AS t FROM s2) "
         "SELECT doc_id, n_emails, n_ips, n_phones, "
         "CAST(length(t) AS BIGINT) AS n_chars_scrubbed FROM s3")
+
+
+def _embed_cell_assign_sql(res: int = 1) -> str:
+    """Mirror of relational.embed_cell_assign: the centroid CTE (same
+    micro-unit arithmetic as _embedding_centroid_sql), each vector's
+    exact integer squared-L2 to every centroid via an unnest join on
+    dim, argmin with cell-ascending tie-break."""
+    lon, lat = lonlat_sql("vec_id")
+    cell = cellid_sql(lon, lat, res)
+    return (
+        f"WITH e AS (SELECT vec_id, {cell} AS cell, embedding "
+        "FROM embeddings), "
+        "u AS (SELECT vec_id, cell, "
+        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim, "
+        "CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT) AS v FROM e), "
+        "cent AS (SELECT cell, dim, "
+        "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c "
+        "FROM u GROUP BY 1, 2), "
+        "d AS (SELECT u.vec_id, cent.cell, "
+        "SUM((u.v - cent.c) * (u.v - cent.c)) AS dist "
+        "FROM u JOIN cent ON u.dim = cent.dim GROUP BY 1, 2) "
+        "SELECT vec_id, cell AS cell_assigned, "
+        "CAST(dist AS BIGINT) AS dist_e12 FROM d "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY dist ASC, cell ASC) = 1")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -875,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cell_transitions": _cell_transitions_sql(),
         "events_cell_dwell": _cell_dwell_sql(),
         "docs_pii_scrub": _pii_sql(),
+        "embed_cell_assign": _embed_cell_assign_sql(),
         "docs_dedup_survivors":
             "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS norm FROM documents), "

@@ -4181,3 +4181,40 @@ def docs_pii_scrub(sf_dir: str):
             "n_chars_scrubbed": pc.cast(pc.utf8_length(t), pa.int64())})
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def embed_cell_assign(sf_dir: str, res: int = 1):
+    """Geo-semantic routing: assign every embedding to the cell whose
+    CENTROID (cell_embedding_centroid's integer micro-unit mean) is
+    nearest in exact squared-L2 — the router a spatially-partitioned
+    vector index uses to direct queries.  The small (cells x D) centroid
+    matrix broadcasts once via ray.put; each batch computes all distances
+    with one int64 GEMM (v2 + c2 - 2 v.c — exact, no floats anywhere),
+    argmin ties break to the lexicographically smallest cell.  Output:
+    (vec_id, cell_assigned, dist_e12)."""
+    import ray
+
+    cent = cell_embedding_centroid(sf_dir, res)
+    cells = sorted(cent.cell.unique())
+    D = int(cent.dim.max()) + 1
+    C = np.zeros((len(cells), D), dtype=np.int64)
+    idx = {c: i for i, c in enumerate(cells)}
+    C[[idx[c] for c in cent.cell], cent.dim.to_numpy()] = \
+        cent.centroid_e6.to_numpy()
+    c2 = (C * C).sum(axis=1)             # (K,)
+    ref = ray.put((C, c2, np.array(cells)))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        Cm, c2m, names = ray.get(ref)
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False))
+        v = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        d = (v * v).sum(axis=1)[:, None] + c2m[None, :] - 2 * (v @ Cm.T)
+        best = np.argmin(d, axis=1)      # ties -> first = smallest cell
+        return pa.table({
+            "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+            "cell_assigned": pa.array(names[best], pa.string()),
+            "dist_e12": pa.array(d[np.arange(d.shape[0]), best])})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
