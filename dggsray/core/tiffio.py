@@ -237,6 +237,25 @@ def geokeys_from_tags(tags: dict) -> dict | None:
     return geokeys
 
 
+def _decode_tiff_unit(chunk: bytes, comp: int, dtype, rows: int, width: int,
+                      bands: int, predictor: bool) -> np.ndarray:
+    """One strip's/tile's bytes -> (rows, width, bands) interleaved array:
+    decompress, undo the per-row horizontal predictor."""
+    if comp == 8:
+        raw = zlib.decompress(chunk)
+    elif comp == 5:
+        raw = _lzw_decode(chunk)
+    elif comp == 32773:
+        raw = _packbits_decode(chunk)
+    else:
+        raw = chunk
+    arr = np.frombuffer(raw, dtype=dtype)[:rows * width * bands]
+    if predictor:
+        arr = np.cumsum(arr.reshape(-1, width, bands).astype(dtype), axis=1,
+                        dtype=dtype).ravel()
+    return arr.reshape(rows, width, bands)
+
+
 def read_geotiff(path: str) -> GeoTiff:
     d = open(path, "rb").read()
     tags = parse_tiff_tags(d)
@@ -246,34 +265,53 @@ def read_geotiff(path: str) -> GeoTiff:
     sfmt = tags.get(339, (1,) * bands)[0]
     dtype = np.dtype(_DTYPES[(bits, sfmt)]).newbyteorder("<")
     comp = tags.get(259, (1,))[0]
-    offsets, counts = tags[273], tags[279]
-    rows_per_strip = tags.get(278, (h,))[0]
     planar = tags.get(284, (1,))[0]
     if comp not in (1, 5, 8, 32773):
         raise ValueError(
             f"unsupported TIFF compression {comp} (supported: none=1, LZW=5, "
             f"DEFLATE=8, PackBits=32773)")
-    raw = b""
-    for o, c in zip(offsets, counts):
-        chunk = d[o:o + c]
-        if comp == 8:
-            raw += zlib.decompress(chunk)
-        elif comp == 5:
-            raw += _lzw_decode(chunk)
-        elif comp == 32773:
-            raw += _packbits_decode(chunk)
-        else:
-            raw += chunk
-    arr = np.frombuffer(raw, dtype=dtype)
-    if tags.get(317, (1,))[0] == 2:      # horizontal-differencing predictor
-        spp = bands if planar != 2 else 1
-        arr = np.cumsum(
-            arr.reshape(-1, w, spp).astype(dtype), axis=1,
-            dtype=dtype).ravel()
-    if planar == 2 and bands > 1:
-        data = arr.reshape(bands, h, w)
+    if 322 in tags:
+        # tiled layout (GDAL TILED=YES): TileWidth/TileLength 322/323,
+        # TileOffsets/TileByteCounts 324/325; edge tiles are padded to the
+        # full tile size, predictor differences per tile row
+        if planar == 2:
+            raise NotImplementedError("tiled planar-separate (284=2) TIFF")
+        tw, th = tags[322][0], tags[323][0]
+        offsets, counts = tags[324], tags[325]
+        ntx = (w + tw - 1) // tw
+        ilv = np.zeros((h, w, bands), dtype=dtype)
+        pred = tags.get(317, (1,))[0] == 2
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            tile = _decode_tiff_unit(d[o:o + c], comp, dtype, th, tw,
+                                     bands, pred)
+            ty, tx = divmod(i, ntx)
+            r0, c0 = ty * th, tx * tw
+            rr, cc = min(th, h - r0), min(tw, w - c0)
+            ilv[r0:r0 + rr, c0:c0 + cc] = tile[:rr, :cc]
+        data = np.moveaxis(ilv, 2, 0)
     else:
-        data = np.moveaxis(arr.reshape(h, w, bands), 2, 0)
+        offsets, counts = tags[273], tags[279]
+        raw = b""
+        for o, c in zip(offsets, counts):
+            chunk = d[o:o + c]
+            if comp == 8:
+                raw += zlib.decompress(chunk)
+            elif comp == 5:
+                raw += _lzw_decode(chunk)
+            elif comp == 32773:
+                raw += _packbits_decode(chunk)
+            else:
+                raw += chunk
+        arr = np.frombuffer(raw, dtype=dtype)
+        if tags.get(317, (1,))[0] == 2:  # horizontal-differencing predictor
+            spp = bands if planar != 2 else 1
+            arr = np.cumsum(
+                arr.reshape(-1, w, spp).astype(dtype), axis=1,
+                dtype=dtype).ravel()
+        if planar == 2 and bands > 1:
+            data = arr.reshape(bands, h, w)
+        else:
+            data = np.moveaxis(arr.reshape(h, w, bands), 2, 0)
     scale = tags.get(33550)
     tie = tags.get(33922)
     left = tie[3] if tie else 0.0
@@ -365,6 +403,67 @@ def decode_geotiff_strip(meta: dict, chunk: bytes, rows: int) -> np.ndarray:
         np.moveaxis(arr.reshape(rows, w, bands), 2, 0))
 
 
+def geotiff_tile_spans(path: str):
+    """Header-only scan of a TILED GeoTIFF -> (meta, spans) — the
+    two-dimensional analogue of geotiff_strip_spans: each tile is an
+    independently compressed tw x th unit (predictor per tile row), so
+    every tile decodes from its own byte range inside a Ray task while
+    the driver reads only the IFD.  Each span is {"tile", "offset",
+    "count", "row0", "col0", "rows", "cols"} with rows/cols already
+    clipped to the image edge (the stored tile is padded)."""
+    with open(path, "rb") as f:
+        tags = parse_tiff_tags_file(f)
+    if 322 not in tags:
+        raise ValueError(f"{path}: not a tiled TIFF (no tag 322); "
+                         "use geotiff_strip_spans")
+    w, h = tags[256][0], tags[257][0]
+    bands = tags.get(277, (1,))[0]
+    bits = tags.get(258, (8,) * bands)[0]
+    sfmt = tags.get(339, (1,) * bands)[0]
+    comp = tags.get(259, (1,))[0]
+    if comp not in (1, 5, 8, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if tags.get(284, (1,))[0] == 2:
+        raise NotImplementedError(
+            "tile spans for planar-separate (284=2) TIFFs")
+    tw, th = tags[322][0], tags[323][0]
+    offsets, counts = tags[324], tags[325]
+    ntx = (w + tw - 1) // tw
+    scale = tags.get(33550)
+    tie = tags.get(33922)
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(tags[42113])
+        except ValueError:
+            pass
+    meta = {"w": w, "h": h, "bands": bands,
+            "dtype": np.dtype(_DTYPES[(bits, sfmt)]).newbyteorder("<").str,
+            "comp": comp, "predictor": tags.get(317, (1,))[0],
+            "tile_w": tw, "tile_h": th,
+            "left": tie[3] if tie else 0.0, "top": tie[4] if tie else 0.0,
+            "res_x": scale[0] if scale else 1.0,
+            "res_y": scale[1] if scale else 1.0,
+            "nodata": nodata, "geokeys": geokeys_from_tags(tags)}
+    spans = []
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        ty, tx = divmod(i, ntx)
+        r0, c0 = ty * th, tx * tw
+        spans.append({"tile": i, "offset": int(o), "count": int(c),
+                      "row0": r0, "col0": c0,
+                      "rows": min(th, h - r0), "cols": min(tw, w - c0)})
+    return meta, spans
+
+
+def decode_geotiff_tile(meta: dict, chunk: bytes) -> np.ndarray:
+    """One tile's bytes -> (bands, tile_h, tile_w) array (edge padding
+    INCLUDED — slice with the span's rows/cols)."""
+    tile = _decode_tiff_unit(chunk, meta["comp"], np.dtype(meta["dtype"]),
+                             meta["tile_h"], meta["tile_w"], meta["bands"],
+                             meta["predictor"] == 2)
+    return np.ascontiguousarray(np.moveaxis(tile, 2, 0))
+
+
 def epsg_from_geokeys(geokeys: dict) -> str | None:
     """Engine CRS name from GeoTIFF GeoKeys (ProjectedCSTypeGeoKey 3072 /
     GeographicTypeGeoKey 2048), for the families this engine projects:
@@ -386,27 +485,70 @@ def epsg_from_geokeys(geokeys: dict) -> str | None:
 
 
 def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
-                  rows_per_strip: int | None = None):
+                  rows_per_strip: int | None = None,
+                  tile_size: int | None = None,
+                  predictor: bool = False):
     """compress: True/"deflate" -> DEFLATE(8), "lzw" -> LZW(5),
     "packbits"-style RLE is read-only; False -> uncompressed.
     rows_per_strip splits the image into independently decodable strips
     (each compressed on its own) so geotiff_strip_spans can fan the read
-    out over Ray tasks; default = one strip (the historical layout)."""
+    out over Ray tasks; default = one strip (the historical layout).
+    tile_size instead writes the TILED layout (GDAL TILED=YES: tags
+    322-325, edge tiles padded, multiple of 16 per TIFF 6.0) — the
+    two-dimensional parallel unit geotiff_tile_spans fans out over.
+    predictor=True writes horizontal differencing (tag 317=2, integer
+    dtypes only — what GDAL pairs with DEFLATE/LZW by default)."""
     bands, h, w = g.data.shape
     dt = g.data.dtype
+    if predictor and not np.issubdtype(dt, np.integer):
+        raise ValueError("predictor=2 requires an integer dtype")
     pix = np.ascontiguousarray(
         np.moveaxis(g.data, 0, 2).astype(dt, copy=False))  # interleaved
-    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
-    payloads = []
-    for r0 in range(0, h, rps):
-        seg = pix[r0:r0 + rps].tobytes()
-        if compress == "lzw":
-            seg = _lzw_encode(seg)
-        elif compress:
-            seg = zlib.compress(seg, 6)
-        payloads.append(seg)
+
+    def _pred(block: np.ndarray) -> np.ndarray:
+        # per-row horizontal differencing (modular int wraparound is the
+        # TIFF contract; cumsum on read inverts it exactly)
+        out = block.copy()
+        out[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+        return out
+    tiled = tile_size is not None
+    if tiled:
+        if rows_per_strip is not None:
+            raise ValueError("tile_size and rows_per_strip are exclusive")
+        if tile_size % 16 != 0 or tile_size <= 0:
+            raise ValueError("TIFF tile size must be a positive multiple "
+                             f"of 16, got {tile_size}")
+        tw = th = tile_size
+        payloads = []
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                tile = np.zeros((th, tw, bands), dtype=dt)
+                rr, cc = min(th, h - r0), min(tw, w - c0)
+                tile[:rr, :cc] = pix[r0:r0 + rr, c0:c0 + cc]
+                if predictor:
+                    tile = _pred(tile)
+                seg = tile.tobytes()
+                if compress == "lzw":
+                    seg = _lzw_encode(seg)
+                elif compress:
+                    seg = zlib.compress(seg, 6)
+                payloads.append(seg)
+    else:
+        rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+        payloads = []
+        for r0 in range(0, h, rps):
+            blk = pix[r0:r0 + rps]
+            if predictor:
+                blk = _pred(blk)
+            seg = blk.tobytes()
+            if compress == "lzw":
+                seg = _lzw_encode(seg)
+            elif compress:
+                seg = zlib.compress(seg, 6)
+            payloads.append(seg)
     comp_tag = 5 if compress == "lzw" else 8 if compress else 1
     n_strips = len(payloads)
+    off_tag = 324 if tiled else 273
 
     entries = []
     extra = bytearray()
@@ -438,10 +580,17 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
     add(258, 3, [bits] * bands, "H")
     add(259, 3, [comp_tag], "H")
     add(262, 3, [1], "H")
-    add(273, 4, [0] * n_strips, "I")   # patched below
+    if predictor:
+        add(317, 3, [2], "H")
+    add(off_tag, 4, [0] * n_strips, "I")   # patched below
     add(277, 3, [bands], "H")
-    dim(278, rps)
-    add(279, 4, [len(p) for p in payloads], "I")
+    if tiled:
+        add(322, 3, [tw], "H")
+        add(323, 3, [th], "H")
+        add(325, 4, [len(p) for p in payloads], "I")
+    else:
+        dim(278, rps)
+        add(279, 4, [len(p) for p in payloads], "I")
     add(339, 3, [sf] * bands, "H")
     add(33550, 12, [g.res_x, g.res_y, 0.0], "d")
     add(33922, 12, [0.0, 0.0, 0.0, g.left, g.top, 0.0], "d")
@@ -474,7 +623,7 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
             body += packed
         out_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
     data_off = extra_off + len(body)
-    # patch StripOffsets (tag 273) now that the data start is known
+    # patch Strip/TileOffsets now that the data start is known
     strip_offs = []
     at = data_off
     for p in payloads:
@@ -482,11 +631,11 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
         at += len(p)
     if n_strips == 1:
         for i, (tag, typ, cnt, packed) in enumerate(entries):
-            if tag == 273:
-                out_entries[i] = struct.pack("<HHI", 273, 4, 1) \
+            if tag == off_tag:
+                out_entries[i] = struct.pack("<HHI", off_tag, 4, 1) \
                     + struct.pack("<I", strip_offs[0])
     else:
-        o = body_pos[273]
+        o = body_pos[off_tag]
         body[o:o + 4 * n_strips] = struct.pack(f"<{n_strips}I", *strip_offs)
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", ifd_off))

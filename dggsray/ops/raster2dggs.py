@@ -523,6 +523,62 @@ def geotiff_to_tiles_spans(path: str, grid: GridConfig = DEFAULT_GRID):
     return tiles, meta
 
 
+def geotiff_tiled_to_tiles(path: str, grid: GridConfig = DEFAULT_GRID):
+    """TILED-GeoTIFF variant of the span pipelines (GDAL TILED=YES — the
+    layout GDAL defaults to for large rasters): the driver scans only the
+    IFD (tiffio.geotiff_tile_spans); each tw x th tile decompresses inside
+    a downstream task from its own byte range (tiles are independently
+    compressed; the predictor differences per tile row).  Composes as
+    `tiles_to_cells(ds, meta, tile=meta["tile"])` with the natural 2-D
+    (tile_row, tile_col) keys.  Square tiles only (our writer and GDAL's
+    default 256x256 both are)."""
+    import ray.data as rd
+
+    from ..core.raster import localize_path
+    from ..core.tiffio import decode_geotiff_tile, geotiff_tile_spans
+
+    path = localize_path(path)
+    smeta, spans = geotiff_tile_spans(path)
+    if smeta["tile_w"] != smeta["tile_h"]:
+        raise NotImplementedError(
+            f"{path}: non-square tiles {smeta['tile_w']}x{smeta['tile_h']}")
+    res_idx, _ = grid.get_closest_resolution(abs(smeta["res_x"]))
+    res_idx_y, _ = grid.get_closest_resolution(abs(smeta["res_y"]))
+    assert res_idx == res_idx_y, f"{path}: cells are not squares"
+    nbands, H, W = smeta["bands"], smeta["h"], smeta["w"]
+    nd = smeta["nodata"]
+    meta = {"left": smeta["left"], "top": smeta["top"],
+            "right": smeta["left"] + W * smeta["res_x"],
+            "bottom": smeta["top"] - H * smeta["res_y"],
+            "height": H, "width": W, "res": smeta["res_x"],
+            "res_idx": res_idx, "nbands": nbands, "nodata": nd,
+            "nodatavals": [nd] * nbands, "store_nodata": False,
+            "dtypes": [np.dtype(smeta["dtype"]).name] * nbands,
+            "rhealpixdggs": grid.to_meta(),
+            "tile": smeta["tile_w"]}
+    tsz = smeta["tile_w"]
+
+    def decode(b: pa.Table) -> pa.Table:
+        rows = {"tile_row": [], "tile_col": [], "h": [], "w": [], "data": []}
+        with open(path, "rb") as f:
+            for k in range(b.num_rows):
+                off = b.column("offset")[k].as_py()
+                cnt = b.column("count")[k].as_py()
+                nr = b.column("rows")[k].as_py()
+                nc = b.column("cols")[k].as_py()
+                f.seek(off)
+                px = decode_geotiff_tile(smeta, f.read(cnt))[:, :nr, :nc]
+                rows["tile_row"].append(b.column("row0")[k].as_py() // tsz)
+                rows["tile_col"].append(b.column("col0")[k].as_py() // tsz)
+                rows["h"].append(nr)
+                rows["w"].append(nc)
+                rows["data"].append(np.ascontiguousarray(px).tobytes())
+        return pa.table(rows)
+
+    tiles = rd.from_items(spans).map_batches(decode, batch_format="pyarrow")
+    return tiles, meta
+
+
 def nc4_to_tiles(path: str, var: str | None = None,
                  grid: GridConfig = DEFAULT_GRID):
     """NetCDF-4/HDF5 variant of the span pipelines: the mmap'd metadata

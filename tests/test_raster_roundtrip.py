@@ -194,3 +194,68 @@ class TestStripSpans:
             a = a.sort_values("cellid").reset_index(drop=True)
             b = b[a.columns].sort_values("cellid").reset_index(drop=True)
             assert a.equals(b)
+
+
+class TestTiledGeoTiff:
+    """TILED layout (GDAL TILED=YES; tags 322-325): write/read roundtrip,
+    predictor, header-only tile spans, and span-pipeline equality with the
+    whole-file explode."""
+
+    def test_tiled_write_read_roundtrip(self, tmp_path):
+        from dggsray.core.tiffio import (decode_geotiff_tile,
+                                         geotiff_tile_spans)
+        rng = np.random.default_rng(6)
+        data = rng.integers(0, 4000, (3, 237, 128)).astype(np.int16)
+        g = GeoTiff(data, -100.0, 200.0, 10.0, 10.0, nodata=-9999)
+        for comp in (True, "lzw", False):
+            for pred in (False, True):
+                p = str(tmp_path / f"t_{comp}_{pred}.tif")
+                write_geotiff(p, g, compress=comp, tile_size=64,
+                              predictor=pred)
+                assert np.array_equal(read_geotiff(p).data, data)
+                meta, spans = geotiff_tile_spans(p)
+                assert meta["tile_w"] == meta["tile_h"] == 64
+                assert len(spans) == 4 * 2      # ceil(237/64) x ceil(128/64)
+                acc = np.zeros_like(data)
+                with open(p, "rb") as f:
+                    for s in spans:
+                        f.seek(s["offset"])
+                        t = decode_geotiff_tile(meta, f.read(s["count"]))
+                        acc[:, s["row0"]:s["row0"] + s["rows"],
+                            s["col0"]:s["col0"] + s["cols"]] = \
+                            t[:, :s["rows"], :s["cols"]]
+                assert np.array_equal(acc, data)
+
+    def test_tile_size_validation(self, tmp_path):
+        g = GeoTiff(np.zeros((1, 8, 8), np.uint8), 0, 1, 1.0, 1.0)
+        with pytest.raises(ValueError, match="multiple of 16"):
+            write_geotiff(str(tmp_path / "x.tif"), g, tile_size=20)
+        with pytest.raises(ValueError, match="exclusive"):
+            write_geotiff(str(tmp_path / "x.tif"), g, tile_size=16,
+                          rows_per_strip=4)
+        with pytest.raises(ValueError, match="predictor"):
+            write_geotiff(str(tmp_path / "x.tif"),
+                          GeoTiff(np.zeros((1, 8, 8), np.float32), 0, 1,
+                                  1.0, 1.0), predictor=True)
+
+    def test_tiled_pipeline_equals_whole_file_explode(self, ray_session,
+                                                      tmp_path):
+        """geotiff_tiled_to_tiles -> tiles_to_cells must equal the
+        whole-file explode of the same raster, written tiled from the
+        reference Landsat fixture's pixels."""
+        from dggsray.ops.raster2dggs import geotiff_tiled_to_tiles
+        src = f"{REF}/landsat_image_small-rhpx-N1-S0-NSide3-res11.tif"
+        ref = read_geotiff(src)
+        p = str(tmp_path / "landsat_tiled.tif")
+        write_geotiff(p, ref, compress=True, tile_size=48, predictor=True)
+        tiles_a, meta_a = geotiff_to_tiles(src, G3)
+        tiles_b, meta_b = geotiff_tiled_to_tiles(p, G3)
+        assert meta_b["res_idx"] == meta_a["res_idx"] == 11
+        for store in (False, True):
+            a = tiles_to_cells(tiles_a, meta_a, G3,
+                               store_nodata=store).to_pandas()
+            b = tiles_to_cells(tiles_b, meta_b, G3, store_nodata=store,
+                               tile=meta_b["tile"]).to_pandas()
+            a = a.sort_values("cellid").reset_index(drop=True)
+            b = b[a.columns].sort_values("cellid").reset_index(drop=True)
+            assert a.equals(b)
