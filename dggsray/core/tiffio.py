@@ -177,47 +177,79 @@ def _decode_tag(tag: int, typ: int, cnt: int, raw: bytes):
     return raw
 
 
+def _tiff_layout(hdr: bytes):
+    """(is_big, first_ifd_offset) from the 16-byte header prefix.  Classic
+    TIFF is version 42 (4-byte offsets, 12-byte entries); BigTIFF is
+    version 43 (8-byte offsets, 20-byte entries) — what GDAL writes for
+    scenes past 4 GB, so a 100 TB archive is largely BigTIFF."""
+    assert hdr[:2] == b"II", "only little-endian TIFFs supported"
+    ver, = struct.unpack("<H", hdr[2:4])
+    if ver == 42:
+        return False, struct.unpack("<I", hdr[4:8])[0]
+    if ver == 43:
+        osz, zero = struct.unpack("<HH", hdr[4:8])
+        if osz != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header (offsetsize={osz})")
+        return True, struct.unpack("<Q", hdr[8:16])[0]
+    raise ValueError(f"not a TIFF/BigTIFF (version {ver})")
+
+
 def parse_tiff_tags(d: bytes) -> dict:
-    """Tag dict of a little-endian TIFF byte buffer (first IFD only) — shared
-    by read_geotiff and the GeoJP2 degenerate-GeoTIFF reader in jp2io."""
-    assert d[:2] == b"II", "only little-endian TIFFs supported"
-    bo = "<"
-    off = struct.unpack(bo + "I", d[4:8])[0]
-    n = struct.unpack(bo + "H", d[off:off + 2])[0]
+    """Tag dict of a little-endian TIFF or BigTIFF byte buffer (first IFD
+    only) — shared by read_geotiff and the GeoJP2 degenerate-GeoTIFF
+    reader in jp2io."""
+    big, off = _tiff_layout(d[:16])
+    esz, inline = (20, 8) if big else (12, 4)
+    if big:
+        n = struct.unpack("<Q", d[off:off + 8])[0]
+        base = off + 8
+    else:
+        n = struct.unpack("<H", d[off:off + 2])[0]
+        base = off + 2
     tags = {}
     for i in range(n):
-        e = d[off + 2 + i * 12: off + 14 + i * 12]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        e = d[base + i * esz: base + (i + 1) * esz]
+        tag, typ = struct.unpack("<HH", e[:4])
+        cnt = struct.unpack("<Q" if big else "<I",
+                            e[4:4 + (8 if big else 4)])[0]
         size, _ = _TAG_TYPES.get(typ, (1, "B"))
         total = size * cnt
-        raw = e[8:8 + total] if total <= 4 \
-            else d[struct.unpack(bo + "I", e[8:12])[0]:][:total]
+        vfield = e[esz - inline:]
+        raw = vfield[:total] if total <= inline \
+            else d[struct.unpack("<Q" if big else "<I",
+                                 vfield[:inline])[0]:][:total]
         tags[tag] = _decode_tag(tag, typ, cnt, raw)
     return tags
 
 
 def parse_tiff_tags_file(f) -> dict:
     """parse_tiff_tags over an open binary file using seeks: reads the
-    8-byte header, the first IFD, and each out-of-line tag payload (all
-    small) — never the strip data, so scanning an N-GB scene costs the
-    driver O(tags) bytes."""
+    header, the first IFD, and each out-of-line tag payload (all small) —
+    never the strip data, so scanning an N-GB scene costs the driver
+    O(tags) bytes.  Classic TIFF and BigTIFF."""
     f.seek(0)
-    hdr = f.read(8)
-    assert hdr[:2] == b"II", "only little-endian TIFFs supported"
-    off, = struct.unpack("<I", hdr[4:8])
+    hdr = f.read(16)
+    big, off = _tiff_layout(hdr)
+    esz, inline = (20, 8) if big else (12, 4)
     f.seek(off)
-    n, = struct.unpack("<H", f.read(2))
-    raw_entries = f.read(12 * n)
+    if big:
+        n, = struct.unpack("<Q", f.read(8))
+    else:
+        n, = struct.unpack("<H", f.read(2))
+    raw_entries = f.read(esz * n)
     tags = {}
     for i in range(n):
-        e = raw_entries[i * 12:(i + 1) * 12]
-        tag, typ, cnt = struct.unpack("<HHI", e[:8])
+        e = raw_entries[i * esz:(i + 1) * esz]
+        tag, typ = struct.unpack("<HH", e[:4])
+        cnt = struct.unpack("<Q" if big else "<I",
+                            e[4:4 + (8 if big else 4)])[0]
         size, _ = _TAG_TYPES.get(typ, (1, "B"))
         total = size * cnt
-        if total <= 4:
-            raw = e[8:8 + total]
+        vfield = e[esz - inline:]
+        if total <= inline:
+            raw = vfield[:total]
         else:
-            at, = struct.unpack("<I", e[8:12])
+            at = struct.unpack("<Q" if big else "<I", vfield[:inline])[0]
             f.seek(at)
             raw = f.read(total)
         tags[tag] = _decode_tag(tag, typ, cnt, raw)
@@ -487,7 +519,7 @@ def epsg_from_geokeys(geokeys: dict) -> str | None:
 def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
                   rows_per_strip: int | None = None,
                   tile_size: int | None = None,
-                  predictor: bool = False):
+                  predictor: bool = False, bigtiff: bool = False):
     """compress: True/"deflate" -> DEFLATE(8), "lzw" -> LZW(5),
     "packbits"-style RLE is read-only; False -> uncompressed.
     rows_per_strip splits the image into independently decodable strips
@@ -497,7 +529,10 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
     322-325, edge tiles padded, multiple of 16 per TIFF 6.0) — the
     two-dimensional parallel unit geotiff_tile_spans fans out over.
     predictor=True writes horizontal differencing (tag 317=2, integer
-    dtypes only — what GDAL pairs with DEFLATE/LZW by default)."""
+    dtypes only — what GDAL pairs with DEFLATE/LZW by default).
+    bigtiff=True writes the BigTIFF layout (version 43, 8-byte offsets,
+    LONG8 strip/tile offset arrays) — auto-enabled when payloads exceed
+    classic TIFF's 32-bit addressability, so >4 GB scenes just work."""
     bands, h, w = g.data.shape
     dt = g.data.dtype
     if predictor and not np.issubdtype(dt, np.integer):
@@ -549,14 +584,18 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
     comp_tag = 5 if compress == "lzw" else 8 if compress else 1
     n_strips = len(payloads)
     off_tag = 324 if tiled else 273
+    # BigTIFF (version 43, 8-byte offsets) when requested or when the file
+    # cannot fit in classic TIFF's 32-bit offsets
+    total_payload = sum(len(p) for p in payloads)
+    big = bool(bigtiff) or total_payload >= 0xFFFF0000
+    off_typ, off_fmt = (16, "Q") if big else (4, "I")
 
     entries = []
     extra = bytearray()
-    header_size = 8
     # layout: header | IFD | extra values | strip data
     def add(tag, typ, vals, fmt):
         nonlocal extra
-        size = {3: 2, 4: 4, 12: 8, 2: 1}[typ] * len(vals)
+        size = {3: 2, 4: 4, 12: 8, 2: 1, 16: 8}[typ] * len(vals)
         if typ == 2:
             packed = vals[0].encode("latin1") + b"\x00"
             size = len(packed)
@@ -582,15 +621,15 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
     add(262, 3, [1], "H")
     if predictor:
         add(317, 3, [2], "H")
-    add(off_tag, 4, [0] * n_strips, "I")   # patched below
+    add(off_tag, off_typ, [0] * n_strips, off_fmt)   # patched below
     add(277, 3, [bands], "H")
     if tiled:
         add(322, 3, [tw], "H")
         add(323, 3, [th], "H")
-        add(325, 4, [len(p) for p in payloads], "I")
+        add(325, off_typ, [len(p) for p in payloads], off_fmt)
     else:
         dim(278, rps)
-        add(279, 4, [len(p) for p in payloads], "I")
+        add(279, off_typ, [len(p) for p in payloads], off_fmt)
     add(339, 3, [sf] * bands, "H")
     add(33550, 12, [g.res_x, g.res_y, 0.0], "d")
     add(33922, 12, [0.0, 0.0, 0.0, g.left, g.top, 0.0], "d")
@@ -608,20 +647,24 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
         add(42113, 2, [str(nd)], "c")
 
     entries.sort(key=lambda e: e[0])
+    esz, inline = (20, 8) if big else (12, 4)
+    header_size = 16 if big else 8
     ifd_off = header_size
-    ifd_size = 2 + len(entries) * 12 + 4
+    ifd_size = (8 if big else 2) + len(entries) * esz + (8 if big else 4)
     extra_off = ifd_off + ifd_size
+    ptr_fmt = "<Q" if big else "<I"
+    cnt_fmt = "<HHQ" if big else "<HHI"
     body = bytearray()
     body_pos = {}
     out_entries = []
     for tag, typ, cnt, packed in entries:
-        if len(packed) <= 4:
-            val = packed + b"\x00" * (4 - len(packed))
+        if len(packed) <= inline:
+            val = packed + b"\x00" * (inline - len(packed))
         else:
-            val = struct.pack("<I", extra_off + len(body))
+            val = struct.pack(ptr_fmt, extra_off + len(body))
             body_pos[tag] = len(body)
             body += packed
-        out_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
+        out_entries.append(struct.pack(cnt_fmt, tag, typ, cnt) + val)
     data_off = extra_off + len(body)
     # patch Strip/TileOffsets now that the data start is known
     strip_offs = []
@@ -629,19 +672,27 @@ def write_geotiff(path: str, g: GeoTiff, compress: bool | str = True,
     for p in payloads:
         strip_offs.append(at)
         at += len(p)
-    if n_strips == 1:
+    osz = 8 if big else 4
+    packed_offs = struct.pack(f"<{n_strips}{off_fmt}", *strip_offs)
+    if len(packed_offs) <= inline:
         for i, (tag, typ, cnt, packed) in enumerate(entries):
             if tag == off_tag:
-                out_entries[i] = struct.pack("<HHI", off_tag, 4, 1) \
-                    + struct.pack("<I", strip_offs[0])
+                out_entries[i] = struct.pack(cnt_fmt, off_tag, off_typ,
+                                             n_strips) \
+                    + packed_offs + b"\x00" * (inline - len(packed_offs))
     else:
         o = body_pos[off_tag]
-        body[o:o + 4 * n_strips] = struct.pack(f"<{n_strips}I", *strip_offs)
+        body[o:o + osz * n_strips] = packed_offs
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
-        f.write(struct.pack("<H", len(entries)))
+        if big:
+            f.write(b"II+\x00" + struct.pack("<HH", 8, 0)
+                    + struct.pack("<Q", ifd_off))
+            f.write(struct.pack("<Q", len(entries)))
+        else:
+            f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+            f.write(struct.pack("<H", len(entries)))
         f.write(b"".join(out_entries))
-        f.write(struct.pack("<I", 0))
+        f.write(struct.pack(ptr_fmt, 0))
         f.write(bytes(body))
         for p in payloads:
             f.write(p)

@@ -259,3 +259,59 @@ class TestTiledGeoTiff:
             a = a.sort_values("cellid").reset_index(drop=True)
             b = b[a.columns].sort_values("cellid").reset_index(drop=True)
             assert a.equals(b)
+
+
+class TestBigTiff:
+    """BigTIFF (version 43, 8-byte offsets, LONG8 offset arrays): the >4 GB
+    scene layout.  Roundtrip across layouts/compressions, span scans, and
+    the auto-promotion threshold."""
+
+    def test_bigtiff_roundtrip_matrix(self, tmp_path):
+        from dggsray.core.tiffio import (decode_geotiff_strip,
+                                         decode_geotiff_tile,
+                                         geotiff_strip_spans,
+                                         geotiff_tile_spans)
+        rng = np.random.default_rng(13)
+        data = rng.integers(0, 60000, (2, 90, 77)).astype(np.uint16)
+        g = GeoTiff(data, 5.0, 50.0, 0.25, 0.25, nodata=0,
+                    tags={"geokeys": {3072: 4326}})
+        for comp in (True, "lzw", False):
+            for kw in ({"rows_per_strip": 13}, {"tile_size": 32}, {}):
+                p = str(tmp_path / "b.tif")
+                write_geotiff(p, g, compress=comp, bigtiff=True, **kw)
+                with open(p, "rb") as f:
+                    assert f.read(4)[2] == 43        # version 43
+                r = read_geotiff(p)
+                assert np.array_equal(r.data, data)
+                assert r.tags["geokeys"][3072] == 4326
+                acc = np.zeros_like(data)
+                raw = open(p, "rb").read()
+                if "tile_size" in kw:
+                    meta, spans = geotiff_tile_spans(p)
+                    for s in spans:
+                        t = decode_geotiff_tile(
+                            meta, raw[s["offset"]:s["offset"] + s["count"]])
+                        acc[:, s["row0"]:s["row0"] + s["rows"],
+                            s["col0"]:s["col0"] + s["cols"]] = \
+                            t[:, :s["rows"], :s["cols"]]
+                else:
+                    meta, spans = geotiff_strip_spans(p)
+                    for s in spans:
+                        acc[:, s["row0"]:s["row0"] + s["rows"], :] = \
+                            decode_geotiff_strip(
+                                meta, raw[s["offset"]:s["offset"]
+                                          + s["count"]], s["rows"])
+                assert np.array_equal(acc, data)
+
+    def test_classic_stays_classic(self, tmp_path):
+        g = GeoTiff(np.zeros((1, 16, 16), np.uint8), 0, 1, 1.0, 1.0)
+        p = str(tmp_path / "c.tif")
+        write_geotiff(p, g)
+        with open(p, "rb") as f:
+            assert f.read(4)[2] == 42
+
+    def test_unknown_version_raises(self, tmp_path):
+        p = tmp_path / "bad.tif"
+        p.write_bytes(b"II\x2c\x00" + b"\x00" * 12)
+        with pytest.raises(ValueError, match="version"):
+            read_geotiff(str(p))
