@@ -21,12 +21,17 @@ conventions (CLASS="DIMENSION_SCALE" coordinate variables referenced from
 data variables' DIMENSION_LIST vlen-of-object-reference attributes via the
 global heap).  Latest-bounds NEW chunked datasets use version-4 data
 layout messages — supported chunk indexes: single chunk (type 1, incl.
-the filtered-single-chunk flag), implicit (type 2), and fixed array
-(type 3: FAHD header + unpaged FADB data block, both Jenkins-checksummed
-and validated on read).  Out of scope, raising a clear error naming the
-feature: dense link storage (fractal heaps), extensible-array and
-v2-B-tree chunk indexes (unlimited dimensions), paged fixed-array data
-blocks (> 2^page_bits chunks), and non-hard links.
+the filtered-single-chunk flag), implicit (type 2), fixed array (type 3:
+FAHD header + unpaged FADB data block), extensible array (type 4: EAHD /
+EAIB index block / EADB data blocks / EASB super blocks — ONE unlimited
+dimension, the netCDF record-dimension shape) and version-2 B-tree
+(type 5: BTHD / BTIN / BTLF, record types 10 and 11 — more than one
+unlimited dimension), every block Jenkins-checksummed and validated on
+read.  Out of scope, raising a clear error naming the feature: dense
+link storage (fractal heaps), paged fixed-array / extensible-array
+blocks (> 2^page_bits chunks per block), extensible arrays whose
+unlimited dimension is not the leading one (swizzled chunk order), and
+non-hard links.
 
 The writer exists to synthesize test fixtures (no HDF5 library can create
 them here) and emits both dialects, so every reader branch is exercised;
@@ -213,14 +218,23 @@ def _attr_body(name: str, dt_body: bytes, ds_body: bytes,
     return body + _pad8(nb) + _pad8(dt_body) + _pad8(ds_body) + data
 
 
-def _dataspace_body(shape: tuple[int, ...], v2: bool = False) -> bytes:
+def _dataspace_body(shape: tuple[int, ...], v2: bool = False,
+                    nunlim: int = 0) -> bytes:
+    """nunlim: mark the first `nunlim` dimensions unlimited (maxdims
+    present, H5S_UNLIMITED) — the record-dimension shapes that make real
+    libhdf5 pick an extensible-array (1 unlimited dim) or v2-B-tree
+    (>1 unlimited dims) chunk index."""
+    flags = 1 if nunlim and shape else 0
     if v2:
-        body = struct.pack("<BBBB", 2, len(shape), 0,
+        body = struct.pack("<BBBB", 2, len(shape), flags,
                            0 if not shape else 1)
     else:
-        body = struct.pack("<BBB5x", 1, len(shape), 0)
+        body = struct.pack("<BBB5x", 1, len(shape), flags)
     for d in shape:
         body += struct.pack("<Q", d)
+    if flags:
+        for i, d in enumerate(shape):
+            body += struct.pack("<Q", _UNDEF if i < nunlim else d)
     return body
 
 
@@ -287,12 +301,264 @@ def _emit_v4_index(w: _W, blobs, arr, cshape, compress) -> bytes:
     return head + struct.pack("<BB", 3, pbits) + struct.pack("<Q", fahd_at)
 
 
+# ---- extensible-array chunk index (HDF5 spec III.F; what latest-bounds
+# libhdf5 writes for a NEW chunked dataset with exactly ONE unlimited
+# dimension — the netCDF "record dimension" shape).  Creation parameters
+# pinned to libhdf5's chunk-index defaults (H5Dearray: max_nelmts_bits=32,
+# idx_blk_elmts=4, data_blk_min_elmts=16, sup_blk_min_data_ptrs=4,
+# max_dblk_page_nelmts_bits=10).
+
+_EA_DEFAULTS = (32, 4, 16, 4, 10)
+
+
+def _log2_of2(v: int) -> int:
+    return v.bit_length() - 1
+
+
+def _ea_geometry(max_bits: int, idx_elmts: int, dblk_min: int,
+                 sblk_min_ptrs: int):
+    """Derived extensible-array geometry, mirroring libhdf5's header init:
+    super block u holds 2^(u//2) data blocks of dblk_min * 2^((u+1)//2)
+    elements; the index block inline-stores the first idx_elmts elements
+    plus the data-block addresses of the first 2*log2(sblk_min_ptrs) super
+    blocks (= 2*(sblk_min_ptrs-1) addresses) and one address per remaining
+    super block."""
+    nsblks = 1 + (max_bits - _log2_of2(dblk_min))
+    ndblk_addrs = 2 * (sblk_min_ptrs - 1)
+    first_sblk = 2 * _log2_of2(sblk_min_ptrs)
+    nsblk_addrs = nsblks - first_sblk
+    arr_off = (max_bits + 7) // 8
+    sblks = []                        # (ndblks, dblk_nelmts, start_idx)
+    start = 0
+    for u in range(nsblks):
+        nd = 1 << (u // 2)
+        ne = dblk_min << ((u + 1) // 2)
+        sblks.append((nd, ne, start))
+        start += nd * ne
+    return nsblks, ndblk_addrs, first_sblk, nsblk_addrs, arr_off, sblks
+
+
+def _chunk_size_len(cbytes: int) -> int:
+    """libhdf5's stored-size field width for filtered chunk records:
+    1 + (floor(log2(unfiltered chunk bytes)) + 8) // 8, capped at 8."""
+    return min(8, 1 + (_log2_of2(max(cbytes, 1)) + 8) // 8)
+
+
+def _emit_earray_index(w: _W, blobs, arr, cshape, compress) -> bytes:
+    """Chunk data + layout-v4 body with an extensible-array index: EAHD
+    header, EAIB index block, EADB data blocks and (past the index block's
+    direct pointers) EASB super blocks, all Jenkins-checksummed."""
+    chunk_addrs = [w.add(raw) for _c, raw in blobs]
+    n = len(blobs)
+    max_bits, idx_elmts, dblk_min, sblk_min_ptrs, page_bits = _EA_DEFAULTS
+    if compress:
+        szlen = _chunk_size_len(int(np.prod(cshape)) * arr.itemsize)
+        esize, client = 8 + szlen + 4, 1
+    else:
+        szlen, esize, client = 0, 8, 0
+    (nsblks, ndblk_addrs, first_sblk, nsblk_addrs, arr_off,
+     sblks) = _ea_geometry(max_bits, idx_elmts, dblk_min, sblk_min_ptrs)
+
+    def elem(i: int) -> bytes:
+        if i < n:
+            b = struct.pack("<Q", chunk_addrs[i])
+            if client:
+                b += len(blobs[i][1]).to_bytes(szlen, "little")
+                b += struct.pack("<I", 0)            # filter mask
+        else:
+            b = struct.pack("<Q", _UNDEF)
+            if client:
+                b += b"\x00" * (szlen + 4)
+        return b
+
+    # ---- plan which data/super blocks exist (normalized element space =
+    # indices past the idx_elmts inline elements)
+    extra = max(0, n - idx_elmts)
+    dblks = []                        # (sblk u, start_norm, nelmts)
+    for u, (nd, ne, start) in enumerate(sblks):
+        for j in range(nd):
+            s = start + j * ne
+            if s >= extra:
+                break
+            if ne > (1 << page_bits):
+                raise NotImplementedError(
+                    "fixture writer: paged extensible-array data block")
+            dblks.append((u, s, ne))
+        if start + nd * ne >= extra:
+            break
+    need_sblks = sorted({u for u, _s, _e in dblks if u >= first_sblk})
+
+    # ---- assign addresses: EAHD, EAIB, direct EADBs, then per-super-block
+    # EASB followed by its EADBs
+    hdr_at = w.tell()
+    hdr_size = 12 + 6 * 8 + 8 + 4
+    ib_at = hdr_at + hdr_size
+    ib_size = 6 + 8 + idx_elmts * esize + (ndblk_addrs + nsblk_addrs) * 8 + 4
+    at = ib_at + ib_size
+    dblk_at = {}
+    for u, s, ne in dblks:
+        if u < first_sblk:
+            dblk_at[(u, s)] = at
+            at += 6 + 8 + arr_off + ne * esize + 4
+    sblk_at = {}
+    for u in need_sblks:
+        nd, ne, start = sblks[u]
+        sblk_at[u] = at
+        at += 6 + 8 + arr_off + nd * 8 + 4
+        for j in range(nd):
+            s = start + j * ne
+            if any(du == u and ds == s for du, ds, _ in dblks):
+                dblk_at[(u, s)] = at
+                at += 6 + 8 + arr_off + ne * esize + 4
+
+    # ---- emit (asserting the plan)
+    hdr = b"EAHD" + struct.pack("<8B", 0, client, esize, max_bits,
+                                idx_elmts, dblk_min, sblk_min_ptrs,
+                                page_bits)
+    hdr += struct.pack("<6Q", len(need_sblks),
+                       sum(6 + 8 + arr_off + sblks[u][0] * 8 + 4
+                           for u in need_sblks),
+                       len(dblks),
+                       sum(6 + 8 + arr_off + ne * esize + 4
+                           for _u, _s, ne in dblks),
+                       n, n)
+    hdr += struct.pack("<Q", ib_at)
+    hdr += struct.pack("<I", jenkins_lookup3(hdr))
+    assert w.add(hdr) == hdr_at
+
+    ib = b"EAIB" + struct.pack("<BB", 0, client) + struct.pack("<Q", hdr_at)
+    for i in range(idx_elmts):
+        ib += elem(i)
+    di = 0
+    for u, (nd, ne, start) in enumerate(sblks[:first_sblk]):
+        for j in range(nd):
+            ib += struct.pack("<Q", dblk_at.get((u, start + j * ne),
+                                                _UNDEF))
+            di += 1
+    assert di == ndblk_addrs
+    for u in range(first_sblk, nsblks):
+        ib += struct.pack("<Q", sblk_at.get(u, _UNDEF))
+    ib += struct.pack("<I", jenkins_lookup3(ib))
+    assert w.add(ib) == ib_at
+
+    def emit_dblk(u, s, ne):
+        db = b"EADB" + struct.pack("<BB", 0, client) \
+            + struct.pack("<Q", hdr_at) + s.to_bytes(arr_off, "little")
+        for i in range(ne):
+            db += elem(idx_elmts + s + i)
+        db += struct.pack("<I", jenkins_lookup3(db))
+        assert w.add(db) == dblk_at[(u, s)]
+
+    for u, s, ne in dblks:
+        if u < first_sblk:
+            emit_dblk(u, s, ne)
+    for u in need_sblks:
+        nd, ne, start = sblks[u]
+        sb = b"EASB" + struct.pack("<BB", 0, client) \
+            + struct.pack("<Q", hdr_at) + start.to_bytes(arr_off, "little")
+        for j in range(nd):
+            sb += struct.pack("<Q", dblk_at.get((u, start + j * ne),
+                                                _UNDEF))
+        sb += struct.pack("<I", jenkins_lookup3(sb))
+        assert w.add(sb) == sblk_at[u]
+        for u2, s, ne2 in dblks:
+            if u2 == u:
+                emit_dblk(u, s, ne2)
+
+    ndims = arr.ndim + 1
+    head = struct.pack("<BBBBB", 4, 2, 0, ndims, 8)
+    for v in tuple(cshape) + (arr.itemsize,):
+        head += struct.pack("<Q", v)
+    return head + struct.pack("<6B", 4, max_bits, idx_elmts,
+                              sblk_min_ptrs, dblk_min, page_bits) \
+        + struct.pack("<Q", hdr_at)
+
+
+def _emit_btree2_index(w: _W, blobs, arr, cshape, compress,
+                       node_size: int = 2048) -> bytes:
+    """Chunk data + layout-v4 body with a version-2 B-tree index (HDF5
+    spec III.A.2, record types 10/11 — what latest-bounds libhdf5 writes
+    for NEW chunked datasets with >1 unlimited dimension): BTHD header +
+    BTLF leaves (+ one BTIN internal root when records overflow a leaf),
+    records = chunk address [+ stored size + filter mask] + scaled
+    offsets, all Jenkins-checksummed."""
+    chunk_addrs = [w.add(raw) for _c, raw in blobs]
+    rank = arr.ndim
+    if compress:
+        csl = _chunk_size_len(int(np.prod(cshape)) * arr.itemsize)
+        rrec, btype = 12 + csl + 8 * rank, 11
+    else:
+        csl, rrec, btype = 0, 8 + 8 * rank, 10
+
+    def rec(i: int) -> bytes:
+        coords, raw = blobs[i]
+        b = struct.pack("<Q", chunk_addrs[i])
+        if compress:
+            b += len(raw).to_bytes(csl, "little") + struct.pack("<I", 0)
+        for o, c in zip(coords[:rank], cshape[:rank]):
+            b += struct.pack("<Q", o // c)
+        return b
+
+    n = len(blobs)                    # blobs are in row-major scaled order
+    leaf_max = (node_size - 10) // rrec
+    mns = (leaf_max.bit_length() + 7) // 8      # max_nrec_size
+
+    def node(sig: bytes, body: bytes) -> bytes:
+        blob = sig + struct.pack("<BB", 0, btype) + body
+        return blob + struct.pack("<I", jenkins_lookup3(blob))
+
+    if n <= leaf_max:
+        depth, root_nrec = 0, n
+        root_at = w.add(node(b"BTLF", b"".join(rec(i) for i in range(n))))
+    else:
+        nleaves = 2
+        while nleaves * leaf_max + (nleaves - 1) < n:
+            nleaves += 1
+        int_ptr = 8 + mns
+        int_max = (node_size - (10 + int_ptr)) // (rrec + int_ptr)
+        if nleaves - 1 > int_max:
+            raise NotImplementedError(
+                "fixture writer: depth>1 v2 B-tree (raise node_size)")
+        per = (n - (nleaves - 1)) // nleaves
+        extra = (n - (nleaves - 1)) % nleaves
+        leaves, seps, i = [], [], 0
+        for li in range(nleaves):
+            cnt = per + (1 if li < extra else 0)
+            leaf_recs = b"".join(rec(j) for j in range(i, i + cnt))
+            leaves.append((w.add(node(b"BTLF", leaf_recs)), cnt))
+            i += cnt
+            if li < nleaves - 1:
+                seps.append(rec(i))
+                i += 1
+        assert i == n
+        body = b"".join(seps)
+        for a, cnt in leaves:
+            body += struct.pack("<Q", a) + cnt.to_bytes(mns, "little")
+        depth, root_nrec = 1, nleaves - 1
+        root_at = w.add(node(b"BTIN", body))
+
+    hd = b"BTHD" + struct.pack("<BBIHHBB", 0, btype, node_size, rrec,
+                               depth, 100, 40)
+    hd += struct.pack("<QHQ", root_at, root_nrec, n)
+    hdr_at = w.add(hd + struct.pack("<I", jenkins_lookup3(hd)))
+
+    ndims = arr.ndim + 1
+    head = struct.pack("<BBBBB", 4, 2, 0, ndims, 8)
+    for v in tuple(cshape) + (arr.itemsize,):
+        head += struct.pack("<Q", v)
+    return head + struct.pack("<BIBB", 5, node_size, 100, 40) \
+        + struct.pack("<Q", hdr_at)
+
+
 def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
-                          msgs: list, mk, chunk_index: str = "btree1"):
+                          msgs: list, mk, chunk_index: str = "btree1",
+                          bt2_node_size: int = 2048):
     """Write the array's bytes (contiguous or chunked+filtered) and append
     the filter/layout messages via `mk`.  chunk_index: "btree1" (layout v3,
-    the dialect-shared index) or "v4" (layout v4: single-chunk or
-    fixed-array index, what latest-bounds libhdf5 writes)."""
+    the dialect-shared index), "v4" (layout v4: single-chunk or fixed-array
+    index — fixed-size datasets under latest bounds), "earray" (layout v4
+    extensible-array index — ONE unlimited dimension) or "btree2" (layout
+    v4 version-2-B-tree index — >1 unlimited dimensions)."""
     if arr.ndim >= 2:
         cy, cx = chunks or (min(arr.shape[-2], 16), min(arr.shape[-1], 16))
         cshape = arr.shape[:-2] + (cy, cx)
@@ -322,6 +588,14 @@ def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
         if chunk_index == "v4":
             msgs.append(mk(_M_LAYOUT,
                            _emit_v4_index(w, blobs, arr, cshape, compress)))
+            return
+        if chunk_index == "earray":
+            msgs.append(mk(_M_LAYOUT, _emit_earray_index(
+                w, blobs, arr, cshape, compress)))
+            return
+        if chunk_index == "btree2":
+            msgs.append(mk(_M_LAYOUT, _emit_btree2_index(
+                w, blobs, arr, cshape, compress, bt2_node_size)))
             return
         chunk_addrs = [w.add(raw) for _c, raw in blobs]
         bt = struct.pack("<4sBBHQQ", b"TREE", 1, 0, len(blobs),
@@ -354,7 +628,7 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
                   global_attrs: dict | None = None,
                   chunks: tuple[int, int] | None = None,
                   compress: bool = True, libver: str = "earliest",
-                  chunk_index: str = "btree1"):
+                  chunk_index: str = "btree1", bt2_node_size: int = 2048):
     """Write a NetCDF-4 (HDF5) file.
 
     variables: name -> (np.ndarray, dim_name_tuple, attr_dict); 1D variables
@@ -375,9 +649,9 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
     """
     if libver not in ("earliest", "latest"):
         raise ValueError(f"libver {libver!r}")
-    if chunk_index not in ("btree1", "v4"):
+    if chunk_index not in ("btree1", "v4", "earray", "btree2"):
         raise ValueError(f"chunk_index {chunk_index!r}")
-    if chunk_index == "v4" and libver != "latest":
+    if chunk_index != "btree1" and libver != "latest":
         raise ValueError("layout-v4 chunk indexes require libver='latest' "
                          "(libhdf5 only writes them under latest bounds)")
     V2 = libver == "latest"
@@ -413,11 +687,16 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
         arr = np.ascontiguousarray(arr)
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        msgs = [mk(_M_DATASPACE, _dataspace_body(arr.shape, V2)),
+        # datasets that get an unlimited-dim chunk index carry the matching
+        # unlimited record dimension in their dataspace (the real-world
+        # trigger for these indexes)
+        unlim = 0 if arr.ndim < 2 else \
+            {"earray": 1, "btree2": 2}.get(chunk_index, 0)
+        msgs = [mk(_M_DATASPACE, _dataspace_body(arr.shape, V2, unlim)),
                 mk(_M_DATATYPE, _encode_dtype(arr.dtype)),
                 mk(_M_FILLVALUE, struct.pack("<BBBB", 2, 1, 0, 0))]
         _emit_data_and_layout(w, arr, chunks, compress, msgs, mk,
-                              chunk_index)
+                              chunk_index, bt2_node_size)
         if n in dims:
             msgs.append(amsg("CLASS", _encode_string_dtype(16),
                              _dataspace_body((), V2),
@@ -548,6 +827,7 @@ class H5Dataset:
         self.layout = None            # ("contiguous", addr, size) |
         #                               ("chunked", btree, chunk_shape)
         self.filters: list[tuple[int, tuple[int, ...]]] = []
+        self.maxshape = None          # maxdims when stored (_UNDEF = unlim)
         self.attrs: dict = {}
         self.raw_attrs: dict = {}     # name -> (dtype descr, shape, bytes)
 
@@ -739,11 +1019,23 @@ class NetCDF4:
         return name, addr
 
     def _parse_dataspace(self, p: int) -> tuple[int, ...]:
+        return self._parse_dataspace_max(p)[0]
+
+    def _parse_dataspace_max(self, p: int):
+        """(dims, maxdims-or-None); maxdims present when flags bit 0 is
+        set, _UNDEF marking an unlimited dimension."""
         ver = self.buf[p]
         rank = self.buf[p + 1]
+        flags = self.buf[p + 2]
         at = p + 4 if ver == 2 else p + 8
-        return tuple(struct.unpack_from("<Q", self.buf, at + 8 * i)[0]
+        dims = tuple(struct.unpack_from("<Q", self.buf, at + 8 * i)[0]
                      for i in range(rank))
+        mx = None
+        if flags & 1:
+            at += 8 * rank
+            mx = tuple(struct.unpack_from("<Q", self.buf, at + 8 * i)[0]
+                       for i in range(rank))
+        return dims, mx
 
     def _walk_group_btree(self, bt_at: int, heap_data: int):
         assert self.buf[bt_at:bt_at + 4] == b"TREE", "group b-tree"
@@ -778,7 +1070,7 @@ class NetCDF4:
     def _parse_dataset(self, oh_at: int, d: H5Dataset):
         for mtype, body, msize in self._messages(oh_at):
             if mtype == _M_DATASPACE:
-                d.shape = self._parse_dataspace(body)
+                d.shape, d.maxshape = self._parse_dataspace_max(body)
             elif mtype == _M_DATATYPE:
                 d.dtype, _u = _decode_dtype(self.buf, body)
             elif mtype == _M_LAYOUT:
@@ -872,9 +1164,18 @@ class NetCDF4:
             p += 1                           # max data-block page bits
             addr, = struct.unpack_from("<Q", self.buf, p)
             return ("farray", addr, cshape)
+        if idx_type == 4:                    # extensible array (1 unlim dim)
+            # creation params: max bits, index elmts, min ptrs, min elmts,
+            # page bits (message order; the EAHD stores min elmts first)
+            cp = tuple(self.buf[p:p + 5])
+            addr, = struct.unpack_from("<Q", self.buf, p + 5)
+            return ("earray", addr, cshape, cp)
+        if idx_type == 5:                    # v2 B-tree (>1 unlim dims)
+            # creation params: node size (u32), split %, merge %
+            addr, = struct.unpack_from("<Q", self.buf, p + 6)
+            return ("btree2", addr, cshape)
         raise NotImplementedError(
-            "layout v4 chunk index type "
-            f"{ {4: 'extensible array', 5: 'v2 B-tree'}.get(idx_type, idx_type) }")
+            f"layout v4 chunk index type {idx_type}")
 
     def _grid_coords(self, shape, cshape):
         """Chunk-grid origins in row-major (linear fixed-array) order."""
@@ -928,6 +1229,240 @@ class NetCDF4:
             p += entsize
             if addr != _UNDEF:
                 yield c, addr, nbytes
+
+    def _walk_extensible_array(self, at: int, shape, cshape, itemsize: int,
+                               cp: tuple):
+        """Extensible-array chunk index (EAHD / EAIB / EADB / EASB, spec
+        III.F) — what latest-bounds libhdf5 writes for chunked datasets
+        with ONE unlimited dimension (the netCDF record dimension).  All
+        block checksums validated; block offsets cross-checked against the
+        computed geometry so a convention drift fails loudly rather than
+        yielding misplaced chunks.  Scope: unpaged data blocks (every
+        fixture-scale and most real files; paging starts at 2^page_bits
+        elements per block)."""
+        if self.buf[at:at + 4] != b"EAHD":
+            raise ValueError("extensible array header signature")
+        (ver, client, esize, max_bits, idx_elmts, dblk_min, sblk_min,
+         page_bits) = struct.unpack_from("<8B", self.buf, at + 4)
+        if ver != 0:
+            raise NotImplementedError(f"extensible array header v{ver}")
+        if client not in (0, 1):
+            raise NotImplementedError(f"extensible array client {client}")
+        stored, = struct.unpack_from("<I", self.buf, at + 68)
+        if stored != jenkins_lookup3(bytes(self.buf[at:at + 68])):
+            raise ValueError("extensible array header checksum mismatch")
+        if cp != (max_bits, idx_elmts, sblk_min, dblk_min, page_bits):
+            raise ValueError("extensible array creation parameters differ "
+                             "between layout message and EAHD")
+        ib_at, = struct.unpack_from("<Q", self.buf, at + 60)
+        (nsblks, ndblk_addrs, first_sblk, nsblk_addrs, arr_off,
+         sblks) = _ea_geometry(max_bits, idx_elmts, dblk_min, sblk_min)
+        coords = self._grid_coords(shape, cshape)
+        n = len(coords)
+        cbytes = int(np.prod(cshape)) * itemsize
+        szlen = esize - 12 if client == 1 else 0
+
+        def elem(buf_at: int):
+            addr = int.from_bytes(self.buf[buf_at:buf_at + 8], "little")
+            if client == 1:
+                nb = int.from_bytes(
+                    self.buf[buf_at + 8:buf_at + 8 + szlen], "little")
+            else:
+                nb = cbytes
+            return addr, nb
+
+        # ---- index block
+        if self.buf[ib_at:ib_at + 4] != b"EAIB":
+            raise ValueError("extensible array index block signature")
+        if (self.buf[ib_at + 4] != 0 or self.buf[ib_at + 5] != client
+                or struct.unpack_from("<Q", self.buf, ib_at + 6)[0] != at):
+            raise ValueError("extensible array index block header fields")
+        ib_body = 14 + idx_elmts * esize + (ndblk_addrs + nsblk_addrs) * 8
+        stored, = struct.unpack_from("<I", self.buf, ib_at + ib_body)
+        if stored != jenkins_lookup3(bytes(self.buf[ib_at:ib_at + ib_body])):
+            raise ValueError("extensible array index block checksum "
+                             "mismatch")
+        out = []
+        for i in range(min(idx_elmts, n)):
+            addr, nb = elem(ib_at + 14 + i * esize)
+            if addr != _UNDEF:
+                out.append((coords[i], addr, nb))
+        dblk_addr_base = ib_at + 14 + idx_elmts * esize
+        sblk_addr_base = dblk_addr_base + ndblk_addrs * 8
+
+        def walk_dblk(db_at: int, s: int, ne: int):
+            """Data block holding normalized elements [s, s+ne)."""
+            if db_at == _UNDEF:
+                return
+            if ne > (1 << page_bits):
+                raise NotImplementedError(
+                    "paged extensible-array data block "
+                    f"({ne} elements > 2^{page_bits} page size)")
+            if self.buf[db_at:db_at + 4] != b"EADB":
+                raise ValueError("extensible array data block signature")
+            if (self.buf[db_at + 4] != 0 or self.buf[db_at + 5] != client
+                    or struct.unpack_from("<Q", self.buf,
+                                          db_at + 6)[0] != at):
+                raise ValueError("extensible array data block header "
+                                 "fields")
+            off = int.from_bytes(self.buf[db_at + 14:db_at + 14 + arr_off],
+                                 "little")
+            if off != s:
+                raise ValueError(
+                    f"extensible array data block offset {off} != expected "
+                    f"{s} (block-offset convention drift)")
+            body = 14 + arr_off + ne * esize
+            stored, = struct.unpack_from("<I", self.buf, db_at + body)
+            if stored != jenkins_lookup3(
+                    bytes(self.buf[db_at:db_at + body])):
+                raise ValueError("extensible array data block checksum "
+                                 "mismatch")
+            for i in range(ne):
+                gi = idx_elmts + s + i
+                addr, nb = elem(db_at + 14 + arr_off + i * esize)
+                if addr != _UNDEF:
+                    if gi >= n:
+                        raise ValueError("extensible array element beyond "
+                                         "the dataset's chunk grid")
+                    out.append((coords[gi], addr, nb))
+
+        extra = max(0, n - idx_elmts)
+        di = 0
+        for u, (nd, ne, start) in enumerate(sblks):
+            if start >= extra:
+                break
+            if u < first_sblk:
+                for j in range(nd):
+                    s = start + j * ne
+                    if s < extra:
+                        db_at, = struct.unpack_from(
+                            "<Q", self.buf, dblk_addr_base + di * 8)
+                        walk_dblk(db_at, s, ne)
+                    di += 1
+            else:
+                sb_at, = struct.unpack_from(
+                    "<Q", self.buf, sblk_addr_base + (u - first_sblk) * 8)
+                if sb_at == _UNDEF:
+                    continue
+                if self.buf[sb_at:sb_at + 4] != b"EASB":
+                    raise ValueError("extensible array super block "
+                                     "signature")
+                if (self.buf[sb_at + 4] != 0
+                        or self.buf[sb_at + 5] != client
+                        or struct.unpack_from("<Q", self.buf,
+                                              sb_at + 6)[0] != at):
+                    raise ValueError("extensible array super block header "
+                                     "fields")
+                off = int.from_bytes(
+                    self.buf[sb_at + 14:sb_at + 14 + arr_off], "little")
+                if off != start:
+                    raise ValueError(
+                        f"extensible array super block offset {off} != "
+                        f"expected {start}")
+                body = 14 + arr_off + nd * 8
+                stored, = struct.unpack_from("<I", self.buf, sb_at + body)
+                if stored != jenkins_lookup3(
+                        bytes(self.buf[sb_at:sb_at + body])):
+                    raise ValueError("extensible array super block "
+                                     "checksum mismatch")
+                for j in range(nd):
+                    s = start + j * ne
+                    if s < extra:
+                        db_at, = struct.unpack_from(
+                            "<Q", self.buf, sb_at + 14 + arr_off + j * 8)
+                        walk_dblk(db_at, s, ne)
+        return out
+
+    def _walk_btree2(self, at: int, cshape, itemsize: int):
+        """Version-2 B-tree chunk index (BTHD / BTIN / BTLF, spec III.A.2,
+        record types 10 unfiltered / 11 filtered) — what latest-bounds
+        libhdf5 writes for chunked datasets with more than one unlimited
+        dimension.  Records carry the chunk's scaled offsets, so no grid
+        ordering is assumed; node checksums validated; arbitrary depth."""
+        if self.buf[at:at + 4] != b"BTHD":
+            raise ValueError("v2 B-tree header signature")
+        ver, btype = self.buf[at + 4], self.buf[at + 5]
+        if ver != 0:
+            raise NotImplementedError(f"v2 B-tree header v{ver}")
+        if btype not in (10, 11):
+            raise NotImplementedError(
+                f"v2 B-tree record type {btype} (not a chunk index)")
+        node_size, rrec, depth = struct.unpack_from(
+            "<IHH", self.buf, at + 6)
+        root_at, root_nrec, tot_nrec = struct.unpack_from(
+            "<QHQ", self.buf, at + 16)
+        stored, = struct.unpack_from("<I", self.buf, at + 34)
+        if stored != jenkins_lookup3(bytes(self.buf[at:at + 34])):
+            raise ValueError("v2 B-tree header checksum mismatch")
+        rank = len(cshape)
+        if btype == 10:
+            if rrec != 8 + 8 * rank:
+                raise ValueError(f"v2 B-tree record size {rrec} for "
+                                 f"rank-{rank} unfiltered chunks")
+            csl = 0
+        else:
+            csl = rrec - 12 - 8 * rank
+            if not 1 <= csl <= 8:
+                raise ValueError(f"v2 B-tree record size {rrec} for "
+                                 f"rank-{rank} filtered chunks")
+        cbytes = int(np.prod(cshape)) * itemsize
+        leaf_max = (node_size - 10) // rrec
+        mns = (leaf_max.bit_length() + 7) // 8
+        cum_sz = [0]                  # cum_max_nrec_size per depth
+        cum = leaf_max
+        for d in range(1, depth + 1):
+            ptr = 8 + mns + cum_sz[d - 1]
+            mn = (node_size - (10 + ptr)) // (rrec + ptr)
+            cum = (mn + 1) * cum + mn
+            cum_sz.append((_log2_of2(cum) + 8) // 8)
+
+        out = []
+
+        def record(p: int):
+            addr = int.from_bytes(self.buf[p:p + 8], "little")
+            p += 8
+            if btype == 11:
+                nb = int.from_bytes(self.buf[p:p + csl], "little")
+                p += csl + 4          # + filter mask
+            else:
+                nb = cbytes
+            coords = tuple(
+                struct.unpack_from("<Q", self.buf, p + 8 * i)[0] * c
+                for i, c in enumerate(cshape))
+            if addr != _UNDEF:
+                out.append((coords, addr, nb))
+
+        def walk(node_at: int, nrec: int, d: int):
+            sig = b"BTLF" if d == 0 else b"BTIN"
+            if self.buf[node_at:node_at + 4] != sig:
+                raise ValueError(f"v2 B-tree node signature (depth {d})")
+            if self.buf[node_at + 4] != 0 or self.buf[node_at + 5] != btype:
+                raise ValueError("v2 B-tree node version/type")
+            p = node_at + 6
+            for i in range(nrec):
+                record(p + i * rrec)
+            p += nrec * rrec
+            children = []
+            if d > 0:
+                psz = 8 + mns + (cum_sz[d - 1] if d > 1 else 0)
+                for _ in range(nrec + 1):
+                    caddr = int.from_bytes(self.buf[p:p + 8], "little")
+                    cnrec = int.from_bytes(self.buf[p + 8:p + 8 + mns],
+                                           "little")
+                    children.append((caddr, cnrec))
+                    p += psz
+            stored, = struct.unpack_from("<I", self.buf, p)
+            if stored != jenkins_lookup3(bytes(self.buf[node_at:p])):
+                raise ValueError("v2 B-tree node checksum mismatch")
+            for caddr, cnrec in children:
+                walk(caddr, cnrec, d - 1)
+
+        if tot_nrec:
+            walk(root_at, root_nrec, depth)
+        if len(out) > tot_nrec:
+            raise ValueError("v2 B-tree yielded more records than the "
+                             "header's total")
+        return out
 
     def _parse_attr(self, body: int):
         ver = self.buf[body]
@@ -1027,6 +1562,17 @@ class NetCDF4:
             _k, at, cshape = d.layout
             return cshape, self._walk_fixed_array(at, d.shape, cshape,
                                                   d.dtype.itemsize)
+        if kind == "earray":
+            _k, at, cshape, cp = d.layout
+            if d.maxshape and any(m == _UNDEF for m in d.maxshape[1:]):
+                raise NotImplementedError(
+                    "extensible array with a non-leading unlimited "
+                    "dimension (swizzled chunk order)")
+            return cshape, self._walk_extensible_array(
+                at, d.shape, cshape, d.dtype.itemsize, cp)
+        if kind == "btree2":
+            _k, at, cshape = d.layout
+            return cshape, self._walk_btree2(at, cshape, d.dtype.itemsize)
         raise NotImplementedError(f"layout kind {kind}")
 
     def chunk_spans(self, name: str):
