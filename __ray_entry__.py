@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_delayed_by_priority": R.orders_delayed_by_priority,
         "promo_revenue_q14": R.promo_revenue_q14,
         "dormant_customers_by_nation": R.dormant_customers_by_nation,
+        "sales_opportunity_q22": R.sales_opportunity_q22,
         "discount_revenue_q19": R.discount_revenue_q19,
         "volume_shipping_q7": R.volume_shipping_q7,
         "events_geofence_exact": R.events_geofence_exact,
@@ -864,6 +865,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1",
+        "sales_opportunity_q22":
+            "WITH c AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+            "FROM customer), "
+            "t AS (SELECT SUM(CASE WHEN cents > 0 THEN cents ELSE 0 END) "
+            "AS s, SUM(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS n FROM c) "
+            "SELECT c.c_mktsegment, "
+            "CAST(SUM(c.cents) AS BIGINT) AS bal_cents, "
+            "COUNT(*) AS n_customers "
+            "FROM c, t WHERE c.cents * t.n > t.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2001-06-01') "
             "GROUP BY 1",
         "discount_revenue_q19":
             "SELECT p_brand, "

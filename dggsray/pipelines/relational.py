@@ -2921,6 +2921,99 @@ def dormant_customers_by_nation(sf_dir: str,
                            Sum("_n", alias_name="n_customers"))
 
 
+def sales_opportunity_q22(sf_dir: str, cutoff: str = "2001-06-01"):
+    """TPC-H Q22 (full shape): customers whose balance exceeds the GLOBAL
+    average of positive balances AND who have no order since `cutoff`,
+    grouped by market segment — the scalar-subquery-feeds-a-filter physical
+    plan the Q22-flavor dormant query above does not exercise.  Reference
+    parity: dggstools has no relational engine; engine-completeness row.
+
+    Three stages, all dimension-bounded:
+    1. a combiner-first partial pass computes (sum_cents, n) over positive
+       balances; the global threshold is the exact rational sum/n — the
+       filter compares cents * n > sum_cents in INTEGER math, so the engine
+       and the SQL oracle agree bit-for-bit with no float-average ulp risk;
+    2. the DISTINCT recently-ordering custkey set (scan pruned to the cutoff
+       window and one column, bounded by the customer dimension, never the
+       orders fact table) is unioned from per-block uniques and broadcast
+       once via ray.put;
+    3. one customer-stream pass applies threshold filter + vectorized anti
+       probe + per-batch partial groupby, finished by a low-card groupby.
+    Output: (c_mktsegment, n_customers, bal_cents)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import lowcard_groupby
+
+    D = datetime.datetime.fromisoformat(cutoff)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    # stage 1: exact global threshold over positive balances
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        pos = cents > 0
+        return pa.table({"s": pa.array([int(cents[pos].sum())]),
+                         "n": pa.array([int(pos.sum())])})
+
+    s_tot = n_tot = 0
+    for t in cust.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        s_tot += int(pc.sum(t.column("s")).as_py() or 0)
+        n_tot += int(pc.sum(t.column("n")).as_py() or 0)
+
+    # stage 2: distinct recently-ordering custkeys (dimension-bounded)
+    import ray.data as rd
+
+    from ..core.raster import localize_path
+
+    def distinct(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array(
+            np.unique(b.column("o_custkey").to_numpy()))})
+
+    active = rd.read_parquet(
+        localize_path(f"{sf_dir}/orders.parquet"), columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= D)
+    keys = np.unique(np.concatenate(
+        [t.column("k").to_numpy() for t in
+         active.map_batches(distinct, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.zeros(0, np.int64)]))
+    ref = ray.put(keys)
+
+    # stage 3: threshold filter + anti probe + partial groupby
+    def opportunity(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        cents = np.rint(b.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        keep = cents * n_tot > s_tot
+        ck = b.column("c_custkey").to_numpy()
+        if ks.size:
+            pos = np.searchsorted(ks, ck)
+            hit = (pos < ks.size) & \
+                (ks[np.minimum(pos, ks.size - 1)] == ck)
+        else:
+            hit = np.zeros(ck.size, dtype=bool)
+        keep &= ~hit
+        sub = b.filter(pa.array(keep))
+        t = pa.table({"c_mktsegment": sub.column("c_mktsegment"),
+                      "_b": pa.array(cents[keep]),
+                      "_n": pa.array(np.ones(sub.num_rows, np.int64))})
+        g = t.group_by("c_mktsegment").aggregate([("_b", "sum"),
+                                                  ("_n", "sum")])
+        return g.rename_columns(["c_mktsegment", "_b", "_n"])
+
+    return lowcard_groupby(
+        cust.map_batches(opportunity, batch_format="pyarrow"),
+        "c_mktsegment",
+        Sum("_b", alias_name="bal_cents"),
+        Sum("_n", alias_name="n_customers"))
+
+
 # ---------------------------------------------------------------------------
 # Huge-scene tiled-JP2 explode (round-4): jp2_to_tiles -> tiles_to_cells
 # ---------------------------------------------------------------------------

@@ -165,3 +165,42 @@ class TestLastShipperBlameQ21:
             .set_index("s").n
         for _, row in out.iterrows():
             assert row.numwait <= cap[row.s_suppkey]
+
+
+class TestSalesOpportunityQ22:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import sales_opportunity_q22
+        out = sales_opportunity_q22(SF).to_pandas() \
+            .sort_values("c_mktsegment").reset_index(drop=True)
+        con = _con()
+        ref = con.sql(
+            "WITH c AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) cents FROM customer), "
+            "t AS (SELECT SUM(CASE WHEN cents > 0 THEN cents ELSE 0 END) s, "
+            "SUM(CASE WHEN cents > 0 THEN 1 ELSE 0 END) n FROM c) "
+            "SELECT c.c_mktsegment, CAST(SUM(c.cents) AS BIGINT) bal, "
+            "COUNT(*) n FROM c, t WHERE c.cents * t.n > t.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2001-06-01') "
+            "GROUP BY 1 ORDER BY 1").df()
+        assert out.c_mktsegment.tolist() == ref.c_mktsegment.tolist()
+        assert out.bal_cents.tolist() == ref.bal.tolist()
+        assert out.n_customers.tolist() == ref.n.tolist()
+
+    def test_threshold_is_strict_and_integer_exact(self, ray_session):
+        # Every selected customer's balance strictly exceeds the global
+        # positive-balance mean: n_customers * min-qualifying-cents must
+        # exceed... (weaker corpus form) total selected cents / count
+        # > global mean.
+        from dggsray.pipelines.relational import sales_opportunity_q22
+        out = sales_opportunity_q22(SF).to_pandas()
+        con = _con()
+        m = con.sql(
+            "SELECT SUM(CASE WHEN c_acctbal > 0 THEN "
+            "CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) s, "
+            "SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) n "
+            "FROM customer").df()
+        mean_cents = m.s[0] / m.n[0]
+        # per-segment average of selected customers must beat the mean
+        assert ((out.bal_cents / out.n_customers) > mean_cents).all()
