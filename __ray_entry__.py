@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_survivors": R.docs_dedup_survivors,
         "docs_pii_scrub": R.docs_pii_scrub,
         "embed_cell_assign": R.embed_cell_assign,
+        "embed_semantic_dedup": R.embed_semantic_dedup,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -423,6 +424,35 @@ def _embed_cell_assign_sql(res: int = 1) -> str:
         "CAST(dist AS BIGINT) AS dist_e12 FROM d "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY dist ASC, cell ASC) = 1")
+
+
+def _semantic_dedup_sql(tau: int = 350) -> str:
+    """Mirror of relational.embed_semantic_dedup: milli-unit quantization,
+    within-label pairwise integer dot products, the exact comparison
+    10^6*dot^2 >= tau^2*na*nb in HUGEINT (the engine evaluates the same
+    inequality in float64 with an exact bigint re-check on boundary
+    pairs), is_dup = an earlier same-label vector clears it."""
+    return (
+        "WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim, "
+        "CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) "
+        "AS BIGINT) AS w FROM embeddings), "
+        "norms AS (SELECT vec_id, SUM(w * w) AS nn FROM q GROUP BY 1), "
+        "dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        "SUM(a.w * b.w) AS dot FROM q a JOIN q b "
+        "ON a.label = b.label AND a.dim = b.dim AND a.vec_id < b.vec_id "
+        "GROUP BY 1, 2), "
+        "dup AS (SELECT d.ib FROM dots d "
+        "JOIN norms x ON x.vec_id = d.ia "
+        "JOIN norms y ON y.vec_id = d.ib "
+        "WHERE d.dot > 0 AND "
+        "1000000 * CAST(d.dot AS HUGEINT) * d.dot >= "
+        f"CAST({tau * tau} AS HUGEINT) * x.nn * y.nn GROUP BY 1) "
+        "SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, "
+        "CAST(CASE WHEN d.ib IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+        "AS is_dup, "
+        "COUNT(*) OVER (PARTITION BY e.label) AS n_cluster "
+        "FROM embeddings e LEFT JOIN dup d ON d.ib = e.vec_id")
 
 
 def _minhash_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -918,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cell_dwell": _cell_dwell_sql(),
         "docs_pii_scrub": _pii_sql(),
         "embed_cell_assign": _embed_cell_assign_sql(),
+        "embed_semantic_dedup": _semantic_dedup_sql(),
         "docs_dedup_survivors":
             "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS norm FROM documents), "

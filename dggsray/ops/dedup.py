@@ -1407,3 +1407,69 @@ def decontaminate_bloom(train_ds, eval_ds, k: int = 8,
     schema = pa.schema([(id_col, pa.int64()),
                         ("n_shared_kgrams", pa.int64())])
     return collect_typed(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (round-4)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(ds, tau_permille: int = 350, cluster_col: str = "label",
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster the embedding space, then prune near-
+    duplicate pairs WITHIN each cluster only): a row is a semantic
+    duplicate if an EARLIER row (smaller id) of the same cluster has
+    cosine similarity >= tau_permille/1000.
+
+    Exact integer contract (so a HUGEINT SQL oracle matches bit-for-bit):
+    embeddings quantize to milli-units w = floor(x*1000 + 0.5) and
+    cos >= tau/1000  <=>  dot > 0  AND  10^6*dot^2 >= tau^2*(a.a)*(b.b).
+    Both sides overflow int64 (~3e20 at D=64), so the comparison runs in
+    float64 — each side carries exactly one rounding (dot^2 and na*nb are
+    < 2^53, hence exact) — and pairs inside a 4-ulp boundary band are
+    re-checked with arbitrary-precision Python ints.  No pair is ever
+    decided by inexact arithmetic.
+
+    Scale shape: ONE shuffle (groupby cluster); within-cluster work is a
+    single int64 GEMM per cluster — the k^2-inside-clusters regime
+    SemDeDup prescribes (clusters of size ~n/K make the all-pairs matrix
+    tractable where corpus-wide all-pairs is not).  Nothing touches the
+    driver.  Output: (id, cluster BIGINT, is_dup 0/1, n_cluster)."""
+    tau = int(tau_permille)
+    eps4 = 4.0 * np.finfo(np.float64).eps
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb = np.stack(
+            g.column(vec_col).to_numpy(zero_copy_only=False))[order]
+        W = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        G = W @ W.T
+        nn = np.diag(G).copy()
+        Gf = G.astype(np.float64)
+        nf = nn.astype(np.float64)
+        lhs = 1e6 * Gf * Gf
+        rhs = float(tau * tau) * np.outer(nf, nf)
+        pos = G > 0
+        dup = pos & (lhs >= rhs)
+        border = pos & (np.abs(lhs - rhs) <=
+                        eps4 * np.maximum(lhs, rhs))
+        if border.any():
+            for i, j in zip(*np.nonzero(border)):
+                d = int(G[i, j])
+                dup[i, j] = (d > 0 and 10**6 * d * d >=
+                             tau * tau * int(nn[i]) * int(nn[j]))
+        # row i earlier than column j in sorted-id order: strict upper
+        # triangle; a column with any hit has an earlier duplicate
+        is_dup = np.triu(dup, k=1).any(axis=0)
+        k = ids.size
+        lab = pc.cast(g.column(cluster_col), pa.int64())
+        lab = lab.take(pa.array(order))
+        return pa.table({id_col: pa.array(ids),
+                         cluster_col: lab,
+                         "is_dup": pa.array(is_dup.astype(np.int64)),
+                         "n_cluster": pa.array(np.full(k, k, np.int64))})
+
+    return ds.groupby(cluster_col).map_groups(kernel,
+                                              batch_format="pyarrow")

@@ -4311,3 +4311,16 @@ def embed_cell_assign(sf_dir: str, res: int = 1):
             "dist_e12": pa.array(d[np.arange(d.shape[0]), best])})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def embed_semantic_dedup(sf_dir: str, tau_permille: int = 350):
+    """SemDeDup over the embeddings table: the `label` column is the
+    semantic cluster (the k-means shard of the original pipeline); within
+    each cluster a vector is a duplicate if an earlier (smaller vec_id)
+    vector clears cosine >= tau_permille/1000 under the exact milli-unit
+    integer contract of ops.dedup.semantic_dedup.  Output:
+    (vec_id, label, is_dup, n_cluster)."""
+    from ..ops.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return semantic_dedup(ds, tau_permille=tau_permille)
