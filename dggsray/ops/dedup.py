@@ -1435,8 +1435,39 @@ def semantic_dedup(ds, tau_permille: int = 350, cluster_col: str = "label",
     SemDeDup prescribes (clusters of size ~n/K make the all-pairs matrix
     tractable where corpus-wide all-pairs is not).  Nothing touches the
     driver.  Output: (id, cluster BIGINT, is_dup 0/1, n_cluster)."""
+    return _semantic_dedup_impl(ds, tau_permille, cluster_col, id_col,
+                                vec_col)
+
+
+def semantic_dup_flags(W: np.ndarray, tau: int) -> np.ndarray:
+    """Per-cluster decision kernel of `semantic_dedup`, rows already
+    sorted by ascending id: W is the (k, D) int64 milli-quantized matrix;
+    returns a bool[k] marking rows with an EARLIER (lower-index) row at
+    cosine >= tau/1000, decided by the exact integer inequality
+    10^6*dot^2 >= tau^2*na*nb (dot > 0) — float64 fast path, bigint
+    re-check inside the 4-ulp boundary band."""
+    G = W @ W.T
+    nn = np.diag(G).copy()
+    Gf = G.astype(np.float64)
+    nf = nn.astype(np.float64)
+    lhs = 1e6 * Gf * Gf
+    rhs = float(tau * tau) * np.outer(nf, nf)
+    pos = G > 0
+    dup = pos & (lhs >= rhs)
+    border = pos & (np.abs(lhs - rhs) <=
+                    4.0 * np.finfo(np.float64).eps * np.maximum(lhs, rhs))
+    if border.any():
+        for i, j in zip(*np.nonzero(border)):
+            d = int(G[i, j])
+            dup[i, j] = (d > 0 and 10**6 * d * d >=
+                         tau * tau * int(nn[i]) * int(nn[j]))
+    # row i earlier than column j: strict upper triangle; a column with
+    # any hit has an earlier duplicate
+    return np.triu(dup, k=1).any(axis=0)
+
+
+def _semantic_dedup_impl(ds, tau_permille, cluster_col, id_col, vec_col):
     tau = int(tau_permille)
-    eps4 = 4.0 * np.finfo(np.float64).eps
 
     def kernel(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_numpy().astype(np.int64)
@@ -1445,24 +1476,7 @@ def semantic_dedup(ds, tau_permille: int = 350, cluster_col: str = "label",
         emb = np.stack(
             g.column(vec_col).to_numpy(zero_copy_only=False))[order]
         W = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
-        G = W @ W.T
-        nn = np.diag(G).copy()
-        Gf = G.astype(np.float64)
-        nf = nn.astype(np.float64)
-        lhs = 1e6 * Gf * Gf
-        rhs = float(tau * tau) * np.outer(nf, nf)
-        pos = G > 0
-        dup = pos & (lhs >= rhs)
-        border = pos & (np.abs(lhs - rhs) <=
-                        eps4 * np.maximum(lhs, rhs))
-        if border.any():
-            for i, j in zip(*np.nonzero(border)):
-                d = int(G[i, j])
-                dup[i, j] = (d > 0 and 10**6 * d * d >=
-                             tau * tau * int(nn[i]) * int(nn[j]))
-        # row i earlier than column j in sorted-id order: strict upper
-        # triangle; a column with any hit has an earlier duplicate
-        is_dup = np.triu(dup, k=1).any(axis=0)
+        is_dup = semantic_dup_flags(W, tau)
         k = ids.size
         lab = pc.cast(g.column(cluster_col), pa.int64())
         lab = lab.take(pa.array(order))

@@ -87,3 +87,60 @@ class TestSemanticDedupVsBruteForce:
         counts = out.groupby("label").size()
         assert (out.n_cluster ==
                 out.label.map(counts)).all()
+
+
+class TestSemanticDupFlagsProperty:
+    """The float64-fast-path + bigint-border kernel must equal a pure
+    arbitrary-precision brute force on ANY integer matrix, including
+    adversarial near-threshold geometry."""
+
+    def _brute(self, W, tau):
+        k = W.shape[0]
+        Wo = W.astype(object)
+        out = np.zeros(k, dtype=bool)
+        for j in range(k):
+            for i in range(j):
+                d = int((Wo[i] * Wo[j]).sum())
+                na = int((Wo[i] * Wo[i]).sum())
+                nb = int((Wo[j] * Wo[j]).sum())
+                if d > 0 and 10**6 * d * d >= tau * tau * na * nb:
+                    out[j] = True
+                    break
+        return out
+
+    def test_hypothesis_random_matrices(self):
+        from hypothesis import given, settings, strategies as st
+
+        from dggsray.ops.dedup import semantic_dup_flags
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(st.lists(st.integers(-1000, 1000),
+                                 min_size=4, max_size=4),
+                        min_size=2, max_size=8),
+               st.integers(min_value=1, max_value=999))
+        def check(rows, tau):
+            W = np.array(rows, dtype=np.int64)
+            got = semantic_dup_flags(W, tau)
+            exp = self._brute(W, tau)
+            assert np.array_equal(got, exp)
+
+        check()
+
+    def test_exact_threshold_grid(self):
+        # pythagorean construction: cos((a,0),(p,q)) = p/hypot; scan
+        # integer triples whose cosine is EXACTLY expressible in permille
+        from dggsray.ops.dedup import semantic_dup_flags
+        W = np.array([[5, 0], [3, 4], [4, 3], [-3, 4]], dtype=np.int64)
+        # cos(row0, row1) = 3/5 = 0.600; row2 = 4/5 = 0.800; row3 = -3/5
+        got600 = semantic_dup_flags(W, 600)
+        assert got600.tolist() == [False, True, True, False]
+        got601 = semantic_dup_flags(W, 601)
+        assert got601.tolist() == [False, False, True, False]
+        got800 = semantic_dup_flags(W, 800)
+        assert got800.tolist() == [False, False, True, False]
+        # at 801 row2 no longer clears vs row0 (0.800 < 0.801) but still
+        # dups via row1 (cos(r1,r2) = 24/25 = 0.96): "earlier ANY" rule
+        got801 = semantic_dup_flags(W, 801)
+        assert got801.tolist() == [False, False, True, False]
+        got961 = semantic_dup_flags(W, 961)
+        assert got961.tolist() == [False, False, False, False]
