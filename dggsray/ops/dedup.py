@@ -1414,7 +1414,8 @@ def decontaminate_bloom(train_ds, eval_ds, k: int = 8,
 # ---------------------------------------------------------------------------
 
 def semantic_dedup(ds, tau_permille: int = 350, cluster_col: str = "label",
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cluster_rows: int = 65536):
     """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
     arXiv:2303.09540 — cluster the embedding space, then prune near-
     duplicate pairs WITHIN each cluster only): a row is a semantic
@@ -1431,59 +1432,209 @@ def semantic_dedup(ds, tau_permille: int = 350, cluster_col: str = "label",
     decided by inexact arithmetic.
 
     Scale shape: ONE shuffle (groupby cluster); within-cluster work is a
-    single int64 GEMM per cluster — the k^2-inside-clusters regime
-    SemDeDup prescribes (clusters of size ~n/K make the all-pairs matrix
-    tractable where corpus-wide all-pairs is not).  Nothing touches the
-    driver.  Output: (id, cluster BIGINT, is_dup 0/1, n_cluster)."""
+    BLOCKED int64 GEMM (column strips of 2048, peak memory O(k*block),
+    never a k*k Gram matrix) — the k^2-inside-clusters regime SemDeDup
+    prescribes (clusters of size ~n/K make the all-pairs matrix
+    tractable where corpus-wide all-pairs is not).  Skew guard: any
+    cluster above `max_cluster_rows` is re-clustered in-task by k-means
+    and the kernel reruns per sub-cluster, recursively — so one hot
+    cluster of 10M vectors costs O(sub^2 * n/sub) pair work instead of
+    the 10^14-pair GEMM that would sink the stage (see
+    `semantic_dup_flags_capped`).  Nothing touches the driver.
+    Output: (id, cluster BIGINT, is_dup 0/1, n_cluster)."""
     return _semantic_dedup_impl(ds, tau_permille, cluster_col, id_col,
-                                vec_col)
+                                vec_col, max_cluster_rows)
 
 
-def semantic_dup_flags(W: np.ndarray, tau: int) -> np.ndarray:
+def semantic_dup_flags(W: np.ndarray, tau: int,
+                       block: int = 2048) -> np.ndarray:
     """Per-cluster decision kernel of `semantic_dedup`, rows already
     sorted by ascending id: W is the (k, D) int64 milli-quantized matrix;
     returns a bool[k] marking rows with an EARLIER (lower-index) row at
     cosine >= tau/1000, decided by the exact integer inequality
     10^6*dot^2 >= tau^2*na*nb (dot > 0) — float64 fast path, bigint
-    re-check inside the 4-ulp boundary band."""
-    G = W @ W.T
-    nn = np.diag(G).copy()
-    Gf = G.astype(np.float64)
+    re-check inside the 4-ulp boundary band.
+
+    Blocked execution: columns are processed in `block`-wide strips and
+    each strip's Gram panel is W[:j1] @ W[j0:j1].T, so peak memory is
+    O(k * block) and the full k*k Gram matrix never exists.  The strict
+    upper triangle also means each strip only multiplies against rows
+    BEFORE its last column — total pair work is k^2/2, half the naive
+    full-GEMM kernel.  Flags are bit-identical to the unblocked form."""
+    k = W.shape[0]
+    out = np.zeros(k, dtype=bool)
+    if k < 2:
+        return out
+    nn = (W * W).sum(axis=1)          # exact int64 (milli-units, D small)
     nf = nn.astype(np.float64)
-    lhs = 1e6 * Gf * Gf
-    rhs = float(tau * tau) * np.outer(nf, nf)
-    pos = G > 0
-    dup = pos & (lhs >= rhs)
-    border = pos & (np.abs(lhs - rhs) <=
-                    4.0 * np.finfo(np.float64).eps * np.maximum(lhs, rhs))
-    if border.any():
-        for i, j in zip(*np.nonzero(border)):
-            d = int(G[i, j])
-            dup[i, j] = (d > 0 and 10**6 * d * d >=
-                         tau * tau * int(nn[i]) * int(nn[j]))
-    # row i earlier than column j: strict upper triangle; a column with
-    # any hit has an earlier duplicate
-    return np.triu(dup, k=1).any(axis=0)
+    tau2 = float(tau * tau)
+    eps4 = 4.0 * np.finfo(np.float64).eps
+    for j0 in range(1, k, block):
+        j1 = min(j0 + block, k)
+        G = W[:j1] @ W[j0:j1].T                     # (j1, b) int64 exact
+        Gf = G.astype(np.float64)
+        lhs = 1e6 * Gf * Gf
+        rhs = tau2 * np.outer(nf[:j1], nf[j0:j1])
+        pos = G > 0
+        dup = pos & (lhs >= rhs)
+        border = pos & (np.abs(lhs - rhs) <=
+                        eps4 * np.maximum(lhs, rhs))
+        if border.any():
+            for i, jc in zip(*np.nonzero(border)):
+                d = int(G[i, jc])
+                dup[i, jc] = (d > 0 and 10**6 * d * d >=
+                              tau * tau * int(nn[i]) * int(nn[j0 + jc]))
+        # keep only strictly-earlier rows: row index i < column index j
+        tri = (np.arange(j1)[:, None] < np.arange(j0, j1)[None, :])
+        out[j0:j1] |= (dup & tri).any(axis=0)
+    return out
 
 
-def _semantic_dedup_impl(ds, tau_permille, cluster_col, id_col, vec_col):
+def semantic_dup_flags_capped(ids: np.ndarray, W: np.ndarray, tau: int,
+                              max_cluster_rows: int,
+                              _depth: int = 0) -> np.ndarray:
+    """Skew guard for `semantic_dedup`: a cluster larger than
+    `max_cluster_rows` is re-clustered IN-TASK with k-means over the
+    milli-quantized matrix and the decision kernel reruns per sub-cluster
+    — the SemDeDup paper's own mitigation (Abbas et al. 2023 §3: "we
+    cluster ... so that pairwise comparison within each cluster is
+    tractable"), recursing until every leaf fits the cap.  Rows keep
+    their global ascending-id order inside each sub-cluster, so each
+    leaf's flags equal the uncapped kernel run on that leaf (the
+    sub-cluster-blind contract: pairs across sub-clusters are not
+    compared, exactly as pairs across top-level clusters never are).
+    Degenerate splits (all points in one k-means cell, e.g. identical
+    vectors) fall back to contiguous id-order chunks so recursion always
+    terminates."""
+    k = ids.size
+    if k <= max_cluster_rows or _depth >= 12:
+        return semantic_dup_flags(W, tau)
+    from dggsray.ops.similarity import kmeans_centroids
+    n_sub = min(int(np.ceil(k / max_cluster_rows)) + 1, 64)
+    Xf = W.astype(np.float64)
+    C = kmeans_centroids(Xf, n_sub, iters=4, seed=41 + _depth)
+    d2 = ((Xf ** 2).sum(1)[:, None] - 2 * Xf @ C.T
+          + (C ** 2).sum(1)[None, :])
+    assign = d2.argmin(axis=1)
+    uniq = np.unique(assign)
+    out = np.zeros(k, dtype=bool)
+    if uniq.size < 2 or (np.bincount(assign).max() >= k):
+        for s in range(0, k, max_cluster_rows):
+            e = min(s + max_cluster_rows, k)
+            out[s:e] = semantic_dup_flags(W[s:e], tau)
+        return out
+    for c in uniq:
+        m = assign == c
+        out[m] = semantic_dup_flags_capped(ids[m], W[m], tau,
+                                           max_cluster_rows, _depth + 1)
+    return out
+
+
+def _semantic_dedup_impl(ds, tau_permille, cluster_col, id_col, vec_col,
+                         max_cluster_rows=65536):
+    """Two-tier skew handling.  Tier 1 (distributed): a cheap
+    groupby-count pass finds HOT clusters (> 4*cap rows); for the
+    largest 64 of them, k-means centroids trained on a deterministic
+    vec_id-strided sample are broadcast via ray.put and a map_batches
+    pass re-keys hot rows to (cluster, sub-cell) — so one 10M-row
+    cluster fans out over ~size/cap parallel group tasks instead of
+    landing on one worker.  Tier 2 (in-task): any group still above the
+    cap (moderately-hot clusters, residual oversize sub-cells) goes
+    through `semantic_dup_flags_capped`'s recursive in-task split.
+    Either way the pipeline stays ONE data shuffle; the count pass
+    moves only (cluster, count) pairs and the training sample is
+    bounded at 4096 rows x 64 clusters."""
+    import ray
+
     tau = int(tau_permille)
+    cap = int(max_cluster_rows)
 
-    def kernel(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_numpy().astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        emb = np.stack(
-            g.column(vec_col).to_numpy(zero_copy_only=False))[order]
-        W = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
-        is_dup = semantic_dup_flags(W, tau)
-        k = ids.size
-        lab = pc.cast(g.column(cluster_col), pa.int64())
-        lab = lab.take(pa.array(order))
-        return pa.table({id_col: pa.array(ids),
-                         cluster_col: lab,
-                         "is_dup": pa.array(is_dup.astype(np.int64)),
-                         "n_cluster": pa.array(np.full(k, k, np.int64))})
+    sizes = ds.groupby(cluster_col).count().to_pandas()
+    cnt_col = [c for c in sizes.columns if c != cluster_col][0]
+    hot = sizes[sizes[cnt_col] > 4 * cap] \
+        .sort_values(cnt_col, ascending=False).head(64)
+    hot_sizes = {int(r[cluster_col]): int(r[cnt_col])
+                 for _, r in hot.iterrows()}
 
-    return ds.groupby(cluster_col).map_groups(kernel,
-                                              batch_format="pyarrow")
+    def _quantize(emb):
+        return np.floor(emb.astype(np.float64) * 1000 + 0.5) \
+            .astype(np.int64)
+
+    def kernel_factory(hot_sizes_ref):
+        def kernel(g: pa.Table) -> pa.Table:
+            hs = ray.get(hot_sizes_ref) if hot_sizes_ref is not None \
+                else {}
+            ids = g.column(id_col).to_numpy().astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            emb = np.stack(
+                g.column(vec_col).to_numpy(zero_copy_only=False))[order]
+            W = _quantize(emb)
+            is_dup = semantic_dup_flags_capped(ids, W, tau, cap)
+            k = ids.size
+            lab = pc.cast(g.column(cluster_col), pa.int64())
+            lab = lab.take(pa.array(order))
+            n_cluster = hs.get(int(lab[0].as_py()), k) if k else k
+            cols = {id_col: pa.array(ids),
+                    cluster_col: lab,
+                    "is_dup": pa.array(is_dup.astype(np.int64)),
+                    "n_cluster": pa.array(np.full(k, n_cluster,
+                                                  np.int64))}
+            return pa.table(cols)
+        return kernel
+
+    if not hot_sizes:
+        return ds.groupby(cluster_col).map_groups(
+            kernel_factory(None), batch_format="pyarrow")
+
+    # ---- tier 1: distributed sub-cell split for the hot clusters ----
+    from dggsray.ops.similarity import kmeans_centroids
+
+    strides = {c: max(1, n // 4096) for c, n in hot_sizes.items()}
+
+    def sample_filter(b: pa.Table) -> pa.Table:
+        lab = b.column(cluster_col).to_numpy()
+        ids = b.column(id_col).to_numpy()
+        keep = np.zeros(len(lab), dtype=bool)
+        for c, s in strides.items():
+            keep |= (lab == c) & (ids % s == 0)
+        return b.select([cluster_col, id_col, vec_col]) \
+            .filter(pa.array(keep))
+
+    samp = ds.map_batches(sample_filter, batch_format="pyarrow") \
+        .to_pandas()                      # bounded: <=4096 x 64 rows
+    centroids = {}
+    for c, n in hot_sizes.items():
+        sub = samp[samp[cluster_col] == c]
+        if len(sub) < 2:
+            continue
+        Wc = _quantize(np.stack(sub[vec_col].to_numpy())) \
+            .astype(np.float64)
+        n_sub = min(int(np.ceil(n / cap)) + 1, 256)
+        centroids[c] = kmeans_centroids(Wc, n_sub, iters=4, seed=41)
+    cref = ray.put(centroids)
+    sref = ray.put(hot_sizes)
+
+    def add_subkey(b: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        lab = pc.cast(b.column(cluster_col), pa.int64()).to_numpy()
+        sub = np.zeros(len(lab), dtype=np.int64)
+        for c, C in cents.items():
+            m = lab == c
+            if not m.any():
+                continue
+            Xf = _quantize(np.stack(
+                b.column(vec_col).to_numpy(
+                    zero_copy_only=False)[m])).astype(np.float64)
+            d2 = ((Xf ** 2).sum(1)[:, None] - 2 * Xf @ C.T
+                  + (C ** 2).sum(1)[None, :])
+            sub[m] = d2.argmin(axis=1)
+        # injective (cluster, sub) -> int64: sub < 65536 by construction
+        return b.append_column("_subkey",
+                               pa.array(lab * 65536 + sub))
+
+    keyed = ds.map_batches(add_subkey, batch_format="pyarrow")
+    out = keyed.groupby("_subkey").map_groups(
+        kernel_factory(sref), batch_format="pyarrow")
+    return out.drop_columns(["_subkey"]) \
+        if "_subkey" in out.schema().names else out

@@ -144,3 +144,88 @@ class TestSemanticDupFlagsProperty:
         assert got801.tolist() == [False, False, True, False]
         got961 = semantic_dup_flags(W, 961)
         assert got961.tolist() == [False, False, False, False]
+
+
+class TestBlockedKernel:
+    """semantic_dup_flags is blocked (column strips); flags must be
+    bit-identical across strip widths, including widths that split the
+    matrix mid-border-band."""
+
+    def test_block_width_invariance(self):
+        from dggsray.ops.dedup import semantic_dup_flags
+        rng = np.random.default_rng(7)
+        W = rng.integers(-500, 500, size=(300, 8)).astype(np.int64)
+        # plant exact duplicates and near-threshold pairs across strips
+        W[137] = W[3]
+        W[251] = W[64]
+        W[299] = [5, 0, 0, 0, 0, 0, 0, 0]
+        W[298] = [3, 4, 0, 0, 0, 0, 0, 0]      # cos = 3/5 vs row299
+        ref = semantic_dup_flags(W, 600, block=10**9)   # one strip
+        for b in (1, 7, 64, 100, 299):
+            assert np.array_equal(semantic_dup_flags(W, 600, block=b), ref)
+        assert ref[137] and ref[251]
+
+    def test_blocked_matches_brute(self):
+        from dggsray.ops.dedup import semantic_dup_flags
+        rng = np.random.default_rng(11)
+        W = rng.integers(-50, 50, size=(60, 4)).astype(np.int64)
+        got = semantic_dup_flags(W, 700, block=13)
+        exp = TestSemanticDupFlagsProperty()._brute(W, 700)
+        assert np.array_equal(got, exp)
+
+
+class TestClusterSizeCap:
+    """Skew guard: one giant cluster is split in-task by k-means and the
+    kernel reruns per sub-cluster (SemDeDup's own mitigation).  With
+    well-separated sub-populations no near-dup pair crosses a split, so
+    the capped flags equal the uncapped kernel exactly."""
+
+    def _separated_cluster(self, n=3000, seed=3):
+        # 12 orthogonal blobs (~250 rows each, under the cap) in 16-d, every member IDENTICAL to its blob
+        # center: identical rows share one distance row, so k-means can
+        # never split a blob across cells regardless of where centroids
+        # land — the capped path is guaranteed sub-cluster-blind-exact
+        rng = np.random.default_rng(seed)
+        centers = np.eye(12, 16) * 100.0
+        lab = rng.integers(0, 12, n)
+        return centers[lab].astype(np.float32)
+
+    def test_capped_equals_uncapped_on_separated_data(self):
+        from dggsray.ops.dedup import (semantic_dup_flags,
+                                       semantic_dup_flags_capped)
+        emb = self._separated_cluster()
+        ids = np.arange(emb.shape[0], dtype=np.int64)
+        W = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        exp = semantic_dup_flags(W, 900)
+        got = semantic_dup_flags_capped(ids, W, 900, max_cluster_rows=400)
+        assert np.array_equal(got, exp)
+        assert exp.sum() > 0                   # non-trivial
+
+    def test_end_to_end_giant_cluster(self, ray_session):
+        # every row in ONE top-level cluster, cap far below its size:
+        # the operator output must equal the uncapped run
+        from dggsray.ops.dedup import semantic_dedup
+        emb = self._separated_cluster(n=1200, seed=5)
+        rows = [(i, 0, emb[i].tolist()) for i in range(emb.shape[0])]
+        capped = semantic_dedup(_ds(rows), tau_permille=900,
+                                max_cluster_rows=150).to_pandas() \
+            .set_index("vec_id").sort_index()
+        uncapped = semantic_dedup(_ds(rows), tau_permille=900,
+                                  max_cluster_rows=10**9).to_pandas() \
+            .set_index("vec_id").sort_index()
+        assert capped.is_dup.tolist() == uncapped.is_dup.tolist()
+        assert (capped.n_cluster == 1200).all()   # reports TOP-LEVEL size
+        assert capped.is_dup.sum() > 0
+
+    def test_degenerate_identical_vectors_terminate(self):
+        # all-identical vectors defeat k-means (one cell) — the id-order
+        # chunk fallback must terminate and keep exactly one survivor
+        # per chunk (sub-cluster-blind contract)
+        from dggsray.ops.dedup import semantic_dup_flags_capped
+        n, cap = 1000, 128
+        ids = np.arange(n, dtype=np.int64)
+        W = np.tile(np.array([3, 4, 0, 0], np.int64), (n, 1))
+        got = semantic_dup_flags_capped(ids, W, 900, max_cluster_rows=cap)
+        n_chunks = -(-n // cap)
+        assert (~got).sum() == n_chunks
+        assert not got[0]
