@@ -26,6 +26,66 @@ def join_partitions() -> int:
     return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
+def dim_flag_bitmap(ds, key_col: str, pred) -> np.ndarray:
+    """Distributed build of a dense key -> flag bitmap over a dimension
+    table whose integer primary key is `key_col`.  The predicate runs
+    IN-TASK over Arrow blocks (so string columns like p_type/p_name
+    never leave the cluster); only the flagged keys stream back, and the
+    driver scatters them into the bool[n] bitmap one batch at a time —
+    it holds the n-byte bitmap plus one batch, never the dimension
+    frame.  TPC-H part/supplier/customer scale linearly with the fact
+    tables, so the round-4 pattern (collect the frame, build the bitmap
+    in pandas) held multi-GB on the driver at 100x SF; this holds 20 MB
+    for a 20M-row part table and moves O(#flagged) int64s.
+
+    `pred(block) -> bool ndarray` aligned with the block's rows selects
+    which keys flag true.  Broadcast the result with ray.put."""
+    mx = ds.max(key_col)
+    if mx is None:
+        return np.zeros(0, dtype=bool)
+    n = int(mx) + 1
+
+    def kernel(blk: pa.Table) -> pa.Table:
+        keys = blk.column(key_col).to_numpy().astype(np.int64)
+        k = keys[np.asarray(pred(blk), dtype=bool)]
+        return pa.table({"_k": pa.array(k, pa.int64())})
+
+    out = np.zeros(n, dtype=bool)
+    flagged = ds.map_batches(kernel, batch_format="pyarrow")
+    for b in flagged.iter_batches(batch_format="pyarrow"):
+        out[b.column("_k").to_numpy()] = True
+    return out
+
+
+def dim_dense_map(ds, key_col: str, val_fn, fill: int = -1,
+                  dtype=np.int32) -> np.ndarray:
+    """Distributed build of a dense key -> small-int map (e.g. suppkey
+    -> nationkey) over a dimension table: `val_fn(block) -> int ndarray`
+    runs in-task, rows whose value equals `fill` are dropped at the
+    source, and the surviving (key, value) pairs stream back to a
+    vectorized scatter — the driver holds the n*itemsize map plus one
+    batch, never the frame.  Exact because `key_col` is a primary key
+    (each key written at most once)."""
+    mx = ds.max(key_col)
+    if mx is None:
+        return np.full(0, fill, dtype=dtype)
+    n = int(mx) + 1
+
+    def kernel(blk: pa.Table) -> pa.Table:
+        keys = blk.column(key_col).to_numpy().astype(np.int64)
+        vals = np.asarray(val_fn(blk)).astype(np.int64)
+        m = vals != fill
+        return pa.table({"_k": pa.array(keys[m], pa.int64()),
+                         "_v": pa.array(vals[m], pa.int64())})
+
+    out = np.full(n, fill, dtype=dtype)
+    pairs = ds.map_batches(kernel, batch_format="pyarrow")
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        out[b.column("_k").to_numpy()] = \
+            b.column("_v").to_numpy().astype(dtype)
+    return out
+
+
 def broadcast_semi_join(ds, keys, key_col: str = "cellid", res: int | None = None,
                         anti: bool = False):
     """Keep rows whose (optionally prefix-truncated) key is in `keys`.

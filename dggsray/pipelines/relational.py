@@ -2827,11 +2827,12 @@ def promo_revenue_q14(sf_dir: str):
     D0 = datetime.datetime(1996, 9, 1)
     D1 = datetime.datetime(1996, 10, 1)
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    npart = int(part.p_partkey.max()) + 1
-    promo = np.zeros(npart, dtype=bool)
-    promo[part.p_partkey.to_numpy()] = \
-        part.p_type.to_numpy() == "PROMO"
+    from ..ops.joins import dim_flag_bitmap
+
+    promo = dim_flag_bitmap(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]), "p_partkey",
+        lambda b: pc.equal(b.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False))
     ref = ray.put(promo)
 
     line = rd.read_parquet(
@@ -3582,20 +3583,25 @@ def small_quantity_revenue_q17(sf_dir: str, brand: str = "Brand#1"):
 
     from ..ops.joins import sized_groupby
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
-        .map_batches(lambda b: b.filter(pc.equal(b.column("p_brand"),
-                                                 brand)),
-                     batch_format="pyarrow").to_pandas()
-    keys = part["p_partkey"].to_numpy().astype(np.int64) \
-        if "p_partkey" in part.columns else np.zeros(0, np.int64)
-    keyset = pa.array(keys, pa.int64())
+    import ray
+
+    from ..ops.joins import dim_flag_bitmap
+
+    is_brand = dim_flag_bitmap(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]), "p_partkey",
+        lambda b: pc.equal(b.column("p_brand"), brand).to_numpy(
+            zero_copy_only=False))
+    bref = ray.put(is_brand)
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_quantity", "l_extendedprice"])
 
     def stats(b: pa.Table) -> pa.Table:
-        pk = pc.cast(b.column("l_partkey"), pa.int64())
-        sub = b.filter(pc.is_in(pk, value_set=keyset))
+        bm = ray.get(bref)
+        pk = b.column("l_partkey").to_numpy().astype(np.int64)
+        hit = (pk < bm.size) & bm[np.minimum(pk, max(bm.size - 1, 0))] \
+            if bm.size else np.zeros(pk.size, dtype=bool)
+        sub = b.filter(pa.array(hit))
         t = pa.table({"p": pc.cast(sub.column("l_partkey"), pa.int64()),
                       "_q": pa.array(np.rint(
                           sub.column("l_quantity").to_numpy())
@@ -3651,26 +3657,27 @@ def market_share_q8(sf_dir: str, region: int = 3, supp_nation: int = 7,
 
     from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    is_type = np.zeros(int(part.p_partkey.max()) + 1, dtype=bool)
-    is_type[part.p_partkey.to_numpy()] = \
-        part.p_type.to_numpy() == p_type
+    from ..ops.joins import dim_flag_bitmap
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
-        .to_pandas()
-    is_nat = np.zeros(int(supp.s_suppkey.max()) + 1, dtype=bool)
-    is_nat[supp.s_suppkey.to_numpy()] = \
-        supp.s_nationkey.to_numpy() == supp_nation
+    is_type = dim_flag_bitmap(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]), "p_partkey",
+        lambda b: pc.equal(b.column("p_type"), p_type).to_numpy(
+            zero_copy_only=False))
 
+    is_nat = dim_flag_bitmap(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey",
+        lambda b: b.column("s_nationkey").to_numpy() == supp_nation)
+
+    # nation is 25 fixed rows — a driver dict is its natural home
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
         .to_pandas()
     rmap = np.zeros(int(nation.n_nationkey.max()) + 1, dtype=np.int64)
     rmap[nation.n_nationkey.to_numpy()] = nation.n_regionkey.to_numpy()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .to_pandas()
-    in_reg = np.zeros(int(cust.c_custkey.max()) + 1, dtype=bool)
-    in_reg[cust.c_custkey.to_numpy()] = \
-        rmap[cust.c_nationkey.to_numpy()] == region
+    in_reg = dim_flag_bitmap(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey",
+        lambda b: rmap[b.column("c_nationkey").to_numpy()] == region)
 
     refs = ray.put((is_type, is_nat))
 
@@ -3855,20 +3862,29 @@ def local_supplier_volume_q5(sf_dir: str, region: int = 1,
                     .astype("int64"))
     names = dict(zip(nation.n_nationkey.astype("int64"), nation.n_name))
 
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_nationkey"]).to_pandas()
-    smap = np.full(int(supp.s_suppkey.max()) + 1, -1, dtype=np.int64)
-    in_reg_supp = supp.s_nationkey.astype("int64").isin(in_region)
-    smap[supp.s_suppkey[in_reg_supp].to_numpy()] = \
-        supp.s_nationkey[in_reg_supp].to_numpy()
+    from ..ops.joins import dim_dense_map
+
+    reg_arr = np.zeros(max(in_region, default=0) + 2, dtype=bool)
+    reg_arr[list(in_region)] = True
+
+    def _nat_if_in_region(col):
+        def val(b: pa.Table):
+            nk = b.column(col).to_numpy().astype(np.int64)
+            ok = (nk < reg_arr.size) & reg_arr[np.minimum(
+                nk, reg_arr.size - 1)]
+            return np.where(ok, nk, -1)
+        return val
+
+    smap = dim_dense_map(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", _nat_if_in_region("s_nationkey"),
+        dtype=np.int64)
     smap_ref = ray.put(smap)
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey"]).to_pandas()
-    cmap = np.full(int(cust.c_custkey.max()) + 1, -1, dtype=np.int64)
-    in_reg_cust = cust.c_nationkey.astype("int64").isin(in_region)
-    cmap[cust.c_custkey[in_reg_cust].to_numpy()] = \
-        cust.c_nationkey[in_reg_cust].to_numpy()
+    cmap = dim_dense_map(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey", _nat_if_in_region("c_nationkey"),
+        dtype=np.int64)
     cmap_ref = ray.put(cmap)
 
     def per_order_supp(b: pa.Table) -> pa.Table:
@@ -3949,16 +3965,18 @@ def product_profit_q9(sf_dir: str, name_sub: str = "widget"):
 
     from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
-    is_sub = np.zeros(int(part.p_partkey.max()) + 1, dtype=bool)
-    is_sub[part.p_partkey.to_numpy()] = \
-        part.p_name.str.contains(name_sub, regex=False).to_numpy()
+    from ..ops.joins import dim_dense_map, dim_flag_bitmap
 
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_nationkey"]).to_pandas()
-    smap = np.full(int(supp.s_suppkey.max()) + 1, -1, dtype=np.int64)
-    smap[supp.s_suppkey.to_numpy()] = \
-        supp.s_nationkey.astype("int64").to_numpy()
+    is_sub = dim_flag_bitmap(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]), "p_partkey",
+        lambda b: pc.match_substring(b.column("p_name"), name_sub)
+        .to_numpy(zero_copy_only=False))
+
+    smap = dim_dense_map(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey",
+        lambda b: b.column("s_nationkey").to_numpy().astype(np.int64),
+        dtype=np.int64)
     refs = ray.put((is_sub, smap))
 
     nation = _read(sf_dir, "nation",
