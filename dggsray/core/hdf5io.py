@@ -27,11 +27,16 @@ EAIB index block / EADB data blocks / EASB super blocks — ONE unlimited
 dimension, the netCDF record-dimension shape) and version-2 B-tree
 (type 5: BTHD / BTIN / BTLF, record types 10 and 11 — more than one
 unlimited dimension), every block Jenkins-checksummed and validated on
-read.  Out of scope, raising a clear error naming the feature: dense
-link storage (fractal heaps), paged fixed-array / extensible-array
-blocks (> 2^page_bits chunks per block), extensible arrays whose
-unlimited dimension is not the leading one (swizzled chunk order), and
-non-hard links.
+read.  Dense link storage (the libhdf5 phase change above 8 links —
+fractal heap of Link messages + name-index v2 B-tree record type 5) is
+read for both heap shapes libhdf5 emits: root direct block, and root
+indirect block with doubling-table rows of direct blocks; heap header,
+direct blocks and B-tree nodes are all checksum-validated.  Out of
+scope, raising a clear error naming the feature: filtered fractal
+heaps, huge/tiny heap objects, nested indirect blocks, paged
+fixed-array / extensible-array blocks (> 2^page_bits chunks per
+block), extensible arrays whose unlimited dimension is not the leading
+one (swizzled chunk order), and non-hard links.
 
 The writer exists to synthesize test fixtures (no HDF5 library can create
 them here) and emits both dialects, so every reader branch is exercised;
@@ -624,11 +629,129 @@ def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
         msgs.append(mk(_M_LAYOUT, lay))
 
 
+def _emit_dense_links(w: "_W", items: list[tuple[str, int]]):
+    """Emit dense link storage for a group: a fractal heap holding one
+    serialized Link message per (name, object-header address) pair, plus
+    the name-index v2 B-tree (record type 5: jenkins name hash + 7-byte
+    managed heap ID).  Small heaps get a root DIRECT block; heaps that
+    outgrow one block get a root INDIRECT block whose doubling-table
+    rows (width 4, 512-byte start, doubling from row 2) hold the direct
+    blocks — both shapes libhdf5 writes, so both reader paths are
+    exercised.  Returns (fractal_heap_addr, name_btree_addr)."""
+    bodies = []
+    for n, a in items:
+        nb = n.encode()
+        bodies.append(struct.pack("<BBB", 1, 0, len(nb)) + nb
+                      + struct.pack("<Q", a))
+    OFF_SZ, LEN_SZ, WIDTH, START, MAXD = 4, 2, 4, 512, 65536
+    db_hdr = 4 + 1 + 8 + OFF_SZ + 4          # sig ver haddr boff cksum
+
+    def row_size(r: int) -> int:
+        return START if r < 2 else START << (r - 1)
+
+    # greedy packing in doubling-table order; ids are heap-space offsets
+    blocks: list[tuple[int, int, list[tuple[int, bytes]]]] = []
+    ids: list[tuple[int, int]] = []
+    heap_off, bi, idx, free = 0, 0, 0, 0
+    while idx < len(bodies):
+        size = row_size(bi // WIDTH)
+        if size > MAXD:
+            raise NotImplementedError("dense-link fixture exceeds the "
+                                      "writer's direct-row capacity")
+        objs, cur = [], heap_off + db_hdr
+        while idx < len(bodies) and \
+                cur + len(bodies[idx]) <= heap_off + size:
+            objs.append((cur, bodies[idx]))
+            ids.append((cur, len(bodies[idx])))
+            cur += len(bodies[idx])
+            idx += 1
+        free += heap_off + size - cur
+        blocks.append((heap_off, size, objs))
+        heap_off += size
+        bi += 1
+
+    db_addrs = []
+    for boff, size, objs in blocks:
+        db = bytearray(struct.pack("<4sB", b"FHDB", 0))
+        db += struct.pack("<Q", 0)                      # haddr (patched)
+        db += boff.to_bytes(OFF_SZ, "little")
+        db += b"\x00\x00\x00\x00"                       # cksum (patched)
+        for _ooff, body in objs:                 # packed sequentially
+            db += body
+        db += b"\x00" * (size - len(db))
+        db_addrs.append(w.add(bytes(db)))
+
+    if len(blocks) == 1:
+        root_addr, cur_rows, ib_at = db_addrs[0], 0, None
+    else:
+        cur_rows = -(-len(blocks) // WIDTH)
+        ib = bytearray(struct.pack("<4sB", b"FHIB", 0))
+        ib += struct.pack("<Q", 0)                       # haddr (patched)
+        ib += (0).to_bytes(OFF_SZ, "little")
+        for i in range(cur_rows * WIDTH):
+            ib += struct.pack("<Q", db_addrs[i]
+                              if i < len(db_addrs) else _UNDEF)
+        ib += b"\x00\x00\x00\x00"                        # cksum (patched)
+        ib_at = w.add(bytes(ib))
+        root_addr = ib_at
+
+    frhp = bytearray(struct.pack("<4sB", b"FRHP", 0))
+    frhp += struct.pack("<HHB", 1 + OFF_SZ + LEN_SZ, 0, 0x02)
+    frhp += struct.pack("<I", MAXD // 16)        # max managed obj size
+    frhp += struct.pack("<QQ", 0, _UNDEF)        # next huge id, huge bt
+    frhp += struct.pack("<QQ", free, _UNDEF)     # free space, fs mgr
+    frhp += struct.pack("<QQ", heap_off, heap_off)   # man space, alloc
+    frhp += struct.pack("<Q", heap_off)          # dblock iterator offset
+    frhp += struct.pack("<Q", len(bodies))       # n managed objects
+    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)     # huge/tiny sizes+counts
+    frhp += struct.pack("<H", WIDTH)
+    frhp += struct.pack("<QQ", START, MAXD)      # start, max direct
+    frhp += struct.pack("<HH", 8 * OFF_SZ, 1)    # max heap bits, srows
+    frhp += struct.pack("<Q", root_addr)
+    frhp += struct.pack("<H", cur_rows)
+    frhp += struct.pack("<I", jenkins_lookup3(bytes(frhp)))
+    fh_at = w.add(bytes(frhp))
+
+    for (boff, size, _objs), at in zip(blocks, db_addrs):
+        w.patch_u64(at + 5, fh_at)
+        cat = 13 + OFF_SZ
+        blk = bytearray(w.buf[at:at + size])
+        blk[cat:cat + 4] = b"\x00\x00\x00\x00"
+        struct.pack_into("<I", w.buf, at + cat, jenkins_lookup3(bytes(blk)))
+    if ib_at is not None:
+        w.patch_u64(ib_at + 5, fh_at)
+        end = 13 + OFF_SZ + 8 * cur_rows * WIDTH
+        struct.pack_into("<I", w.buf, ib_at + end,
+                         jenkins_lookup3(bytes(w.buf[ib_at:ib_at + end])))
+
+    # ---- name-index v2 B-tree, record type 5, single leaf
+    RREC, NODE = 4 + 1 + OFF_SZ + LEN_SZ, 2048
+    if len(items) > (NODE - 10) // RREC:
+        raise NotImplementedError("dense-link fixture exceeds one leaf")
+    recs = sorted(
+        (jenkins_lookup3(n.encode()), off, ln)
+        for (n, _a), (off, ln) in zip(items, ids))
+    leaf = bytearray(struct.pack("<4sBB", b"BTLF", 0, 5))
+    for h, off, ln in recs:
+        leaf += struct.pack("<I", h) + b"\x00" \
+            + off.to_bytes(OFF_SZ, "little") + ln.to_bytes(LEN_SZ, "little")
+    leaf += struct.pack("<I", jenkins_lookup3(bytes(leaf)))
+    leaf_at = w.add(bytes(leaf))
+    hdr = bytearray(struct.pack("<4sBB", b"BTHD", 0, 5))
+    hdr += struct.pack("<IHH", NODE, RREC, 0)
+    hdr += struct.pack("<BB", 100, 40)           # split / merge percents
+    hdr += struct.pack("<QHQ", leaf_at, len(recs), len(recs))
+    hdr += struct.pack("<I", jenkins_lookup3(bytes(hdr)))
+    bt_at = w.add(bytes(hdr))
+    return fh_at, bt_at
+
+
 def write_netcdf4(path: str, variables: dict, dims: dict,
                   global_attrs: dict | None = None,
                   chunks: tuple[int, int] | None = None,
                   compress: bool = True, libver: str = "earliest",
-                  chunk_index: str = "btree1", bt2_node_size: int = 2048):
+                  chunk_index: str = "btree1", bt2_node_size: int = 2048,
+                  link_storage: str = "auto"):
     """Write a NetCDF-4 (HDF5) file.
 
     variables: name -> (np.ndarray, dim_name_tuple, attr_dict); 1D variables
@@ -654,6 +777,11 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
     if chunk_index != "btree1" and libver != "latest":
         raise ValueError("layout-v4 chunk indexes require libver='latest' "
                          "(libhdf5 only writes them under latest bounds)")
+    if link_storage not in ("auto", "compact", "dense"):
+        raise ValueError(f"link_storage {link_storage!r}")
+    if link_storage == "dense" and libver != "latest":
+        raise ValueError("dense link storage requires libver='latest' "
+                         "(old-format groups always use symbol tables)")
     V2 = libver == "latest"
     mk = _msg2 if V2 else _msg
     w = _W()
@@ -755,7 +883,18 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
         ab = str(av).encode() + b"\x00"
         root_attr_msgs.append(amsg(an, _encode_string_dtype(len(ab)),
                                    _dataspace_body((), V2), pad(ab)))
-    if V2:
+    if V2 and (link_storage == "dense"
+               or (link_storage == "auto" and len(names) > 8)):
+        # dense links: fractal heap of Link messages + name-index v2
+        # B-tree (the libhdf5 phase change above 8 links) — heap and
+        # B-tree are emitted BEFORE the root OHDR so its checksum never
+        # needs patching
+        fh_at, bt_at = _emit_dense_links(
+            w, [(n, oh_addr[n]) for n in names])
+        li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", fh_at, bt_at)
+        root_oh = w.add(_object_header_v2(
+            [_msg2(_M_LINKINFO, li)] + root_attr_msgs))
+    elif V2:
         # compact links: Link Info (no fractal heap) + one Link msg/dataset
         li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", _UNDEF, _UNDEF)
         root_msgs = [_msg2(_M_LINKINFO, li)]
@@ -983,17 +1122,195 @@ class NetCDF4:
             elif mtype == _M_LINKINFO:
                 li_flags = self.buf[body + 1]
                 q = body + 2 + (8 if li_flags & 0x01 else 0)
-                fheap, = struct.unpack_from("<Q", self.buf, q)
+                fheap, name_bt = struct.unpack_from("<QQ", self.buf, q)
                 if fheap != _UNDEF:
-                    raise NotImplementedError(
-                        "dense link storage (fractal heap): group has too "
-                        "many links for compact Link messages")
+                    links += self._dense_links(fheap, name_bt)
             elif mtype == _M_LINK:
                 links.append(self._parse_link(body))
             elif mtype == _M_ATTRIBUTE:
                 n, v = self._parse_attr(body)
                 into_attrs[n] = v
         return links
+
+    def _dense_links(self, fheap_at: int, name_bt_at: int):
+        """Dense link storage (HDF5 spec III.G fractal heap + III.A.2
+        v2 B-tree record type 5): libhdf5 switches a group to dense
+        storage above 8 links, so real NetCDF-4 files with many
+        variables index their link messages by name hash in a v2 B-tree
+        whose records carry 7-byte managed-object heap IDs into the
+        group's fractal heap.  Each resolved heap object is a serialized
+        Link message body — parsed by the same `_parse_link` the compact
+        path uses."""
+        heap = self._fractal_heap(fheap_at)
+        if name_bt_at == _UNDEF:
+            return []
+        btype, rrec, recs = self._iter_btree2_raw(name_bt_at, (5,))
+        out = []
+        for p in recs:
+            hid = bytes(self.buf[p + 4:p + rrec])
+            out.append(self._parse_link(self._fheap_locate(heap, hid)))
+        return out
+
+    def _fractal_heap(self, at: int):
+        """Parse a FRHP fractal heap header (checksum-validated) and
+        enumerate its direct blocks: returns (sorted [(heap_off,
+        file_addr, size)], id_offset_size, id_length_size).  Supported
+        shapes: root direct block, and a root indirect block whose rows
+        are all direct blocks (libhdf5's group heaps stay within direct
+        rows for thousands of links); filtered heaps, huge/tiny objects
+        and nested indirect blocks raise a clear error."""
+        if self.buf[at:at + 4] != b"FRHP":
+            raise ValueError("fractal heap header signature")
+        if self.buf[at + 4] != 0:
+            raise NotImplementedError(
+                f"fractal heap version {self.buf[at + 4]}")
+        idlen, ioflt = struct.unpack_from("<HH", self.buf, at + 5)
+        flags = self.buf[at + 9]
+        if ioflt:
+            raise NotImplementedError("filtered fractal heap")
+        p = at + 14
+        (next_huge, huge_bt, free_sp, fs_mgr, man_space, alloc_space,
+         it_off, n_man, huge_sz, n_huge, tiny_sz, n_tiny) = \
+            struct.unpack_from("<12Q", self.buf, p)
+        p += 96
+        width, = struct.unpack_from("<H", self.buf, p)
+        start_sz, max_direct = struct.unpack_from("<QQ", self.buf, p + 2)
+        max_heap_bits, _start_rows = struct.unpack_from(
+            "<HH", self.buf, p + 18)
+        root_addr, = struct.unpack_from("<Q", self.buf, p + 22)
+        cur_rows, = struct.unpack_from("<H", self.buf, p + 30)
+        p += 32
+        stored, = struct.unpack_from("<I", self.buf, p)
+        if stored != jenkins_lookup3(bytes(self.buf[at:p])):
+            raise ValueError("fractal heap header checksum mismatch")
+        if n_huge or n_tiny:
+            raise NotImplementedError("fractal heap huge/tiny objects")
+        off_size = (max_heap_bits + 7) // 8
+        len_size = idlen - 1 - off_size
+        if len_size < 1:
+            raise ValueError(f"fractal heap ID length {idlen}")
+        db_hdr = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
+
+        blocks: list[tuple[int, int, int]] = []
+
+        def add_direct(addr: int, size: int):
+            if addr == _UNDEF:
+                return
+            if self.buf[addr:addr + 4] != b"FHDB":
+                raise ValueError("fractal heap direct block signature")
+            haddr, = struct.unpack_from("<Q", self.buf, addr + 5)
+            if haddr != at:
+                raise ValueError("direct block heap back-pointer")
+            boff = int.from_bytes(
+                self.buf[addr + 13:addr + 13 + off_size], "little")
+            if flags & 0x02:
+                blk = bytearray(self.buf[addr:addr + size])
+                cat = 13 + off_size
+                got = struct.unpack_from("<I", blk, cat)[0]
+                blk[cat:cat + 4] = b"\x00\x00\x00\x00"
+                if got != jenkins_lookup3(bytes(blk)):
+                    raise ValueError("direct block checksum mismatch")
+            blocks.append((boff, addr, size))
+
+        max_direct_rows = (max_direct.bit_length()
+                           - start_sz.bit_length()) + 2
+
+        def row_size(r: int) -> int:
+            return start_sz if r < 2 else start_sz << (r - 1)
+
+        if root_addr != _UNDEF:
+            if cur_rows == 0:
+                add_direct(root_addr, alloc_space or start_sz)
+            else:
+                if self.buf[root_addr:root_addr + 4] != b"FHIB":
+                    raise ValueError(
+                        "fractal heap indirect block signature")
+                q = root_addr + 13 + off_size
+                for r in range(cur_rows):
+                    if r >= max_direct_rows:
+                        raise NotImplementedError(
+                            "nested fractal heap indirect blocks")
+                    for _c in range(width):
+                        child, = struct.unpack_from("<Q", self.buf, q)
+                        q += 8
+                        add_direct(child, row_size(r))
+        blocks.sort()
+        return blocks, off_size, len_size, db_hdr
+
+    def _fheap_locate(self, heap, heap_id: bytes) -> int:
+        """Resolve a managed-object heap ID to the object's absolute
+        file offset.  Heap offsets are absolute in the heap's address
+        space, which includes each direct block's header region."""
+        blocks, off_size, len_size, _db_hdr = heap
+        if (heap_id[0] >> 4) & 0x03:
+            raise NotImplementedError("huge/tiny fractal heap object")
+        off = int.from_bytes(heap_id[1:1 + off_size], "little")
+        for boff, addr, size in blocks:
+            if boff <= off < boff + size:
+                return addr + (off - boff)
+        raise ValueError(f"heap offset {off} outside every direct block")
+
+    def _iter_btree2_raw(self, at: int, exp_types: tuple):
+        """Generic v2 B-tree walk (BTHD / BTIN / BTLF, checksums
+        validated, arbitrary depth) yielding raw record offsets —
+        the non-chunk twin of `_walk_btree2` for name-index records."""
+        if self.buf[at:at + 4] != b"BTHD":
+            raise ValueError("v2 B-tree header signature")
+        ver, btype = self.buf[at + 4], self.buf[at + 5]
+        if ver != 0:
+            raise NotImplementedError(f"v2 B-tree header v{ver}")
+        if btype not in exp_types:
+            raise NotImplementedError(f"v2 B-tree record type {btype}")
+        node_size, rrec, depth = struct.unpack_from(
+            "<IHH", self.buf, at + 6)
+        root_at, root_nrec, tot_nrec = struct.unpack_from(
+            "<QHQ", self.buf, at + 16)
+        stored, = struct.unpack_from("<I", self.buf, at + 34)
+        if stored != jenkins_lookup3(bytes(self.buf[at:at + 34])):
+            raise ValueError("v2 B-tree header checksum mismatch")
+        leaf_max = (node_size - 10) // rrec
+        mns = (leaf_max.bit_length() + 7) // 8
+        cum_sz = [0]
+        cum = leaf_max
+        for d in range(1, depth + 1):
+            ptr = 8 + mns + cum_sz[d - 1]
+            mn = (node_size - (10 + ptr)) // (rrec + ptr)
+            cum = (mn + 1) * cum + mn
+            cum_sz.append((_log2_of2(cum) + 8) // 8)
+
+        out: list[int] = []
+
+        def walk(node_at: int, nrec: int, d: int):
+            sig = b"BTLF" if d == 0 else b"BTIN"
+            if self.buf[node_at:node_at + 4] != sig:
+                raise ValueError(f"v2 B-tree node signature (depth {d})")
+            if self.buf[node_at + 4] != 0 or \
+                    self.buf[node_at + 5] != btype:
+                raise ValueError("v2 B-tree node version/type")
+            p = node_at + 6
+            for i in range(nrec):
+                out.append(p + i * rrec)
+            p += nrec * rrec
+            children = []
+            if d > 0:
+                psz = 8 + mns + (cum_sz[d - 1] if d > 1 else 0)
+                for _ in range(nrec + 1):
+                    caddr = int.from_bytes(self.buf[p:p + 8], "little")
+                    cnrec = int.from_bytes(
+                        self.buf[p + 8:p + 8 + mns], "little")
+                    children.append((caddr, cnrec))
+                    p += psz
+            stored, = struct.unpack_from("<I", self.buf, p)
+            if stored != jenkins_lookup3(bytes(self.buf[node_at:p])):
+                raise ValueError("v2 B-tree node checksum mismatch")
+            for caddr, cnrec in children:
+                walk(caddr, cnrec, d - 1)
+
+        if tot_nrec:
+            walk(root_at, root_nrec, depth)
+        if len(out) != tot_nrec:
+            raise ValueError("v2 B-tree record count mismatch")
+        return btype, rrec, out
 
     def _parse_link(self, body: int) -> tuple[str, int]:
         ver, flags = self.buf[body], self.buf[body + 1]

@@ -80,13 +80,17 @@ class TestRoundtripProperty:
                st.sampled_from(["i1", "i2", "i4", "i8", "u2", "f4", "f8"]),
                st.booleans(), st.sampled_from(["earliest", "latest"]),
                st.sampled_from(["btree1", "v4", "earray", "btree2"]),
+               st.sampled_from(["auto", "compact", "dense"]),
                st.randoms(use_true_random=False))
-        def prop(ny, nx, cy, cx, dt, compress, libver, chunk_index, rnd):
+        def prop(ny, nx, cy, cx, dt, compress, libver, chunk_index,
+                 link_storage, rnd):
             box["i"] += 1
             p = str(tmp_path / f"p{box['i']}.nc")
             rng = np.random.default_rng(rnd.randrange(2**31))
             if chunk_index != "btree1":
                 libver = "latest"    # libhdf5 ties layout v4 to latest bounds
+            if link_storage == "dense":
+                libver = "latest"    # dense groups are a new-format feature
             if dt.startswith("f"):
                 arr = rng.standard_normal((ny, nx)).astype(dt)
             else:
@@ -101,7 +105,8 @@ class TestRoundtripProperty:
                           dims={"y": ny, "x": nx},
                           chunks=(min(cy, ny), min(cx, nx)),
                           compress=compress, libver=libver,
-                          chunk_index=chunk_index)
+                          chunk_index=chunk_index,
+                          link_storage=link_storage)
             nc = NetCDF4(p)
             assert np.array_equal(nc.read("v"), arr)
             assert nc.variables["v"].dim_names == ("y", "x")
@@ -550,3 +555,68 @@ class TestChunkSpans:
         with pytest.raises(ValueError, match="not a chunked"):
             nc.chunk_spans("y")
         nc.close()
+
+
+class TestDenseLinkStorage:
+    """Dense link storage (fractal heap + name-index v2 B-tree): libhdf5
+    switches a group to dense above 8 links, so real NetCDF-4 files with
+    many variables require it.  The writer mirrors the phase change
+    ('auto'), and emits both heap shapes — root direct block, and root
+    indirect block with multiple direct blocks — so both reader paths
+    are pinned."""
+
+    def _many(self, tmp_path, n, name_fmt="v{:03d}", **kw):
+        dims = {"x": 5}
+        variables = {"x": (np.arange(5, dtype=np.float64), ("x",), {})}
+        for i in range(n):
+            variables[name_fmt.format(i)] = (
+                np.full(5, i, dtype=np.float64), ("x",), {})
+        p = str(tmp_path / f"dense{n}.nc")
+        write_netcdf4(p, variables, dims, libver="latest", **kw)
+        return p, variables
+
+    def test_auto_phase_change_above_8_links(self, tmp_path):
+        p, variables = self._many(tmp_path, 12)
+        assert b"FRHP" in open(p, "rb").read()
+        nc = NetCDF4(p)
+        assert sorted(nc.variables) == sorted(variables)
+        for i in (0, 7, 11):
+            assert np.array_equal(nc.read(f"v{i:03d}"), np.full(5, float(i)))
+
+    def test_compact_forced_below_phase_change(self, tmp_path):
+        p, _ = self._many(tmp_path, 12, link_storage="compact")
+        assert b"FRHP" not in open(p, "rb").read()
+        assert len(NetCDF4(p).variables) == 13
+
+    def test_indirect_root_many_blocks(self, tmp_path):
+        # long names force several 512-byte direct blocks -> FHIB root
+        p, variables = self._many(
+            tmp_path, 120, name_fmt="dataset_with_a_long_name_{:03d}")
+        raw = open(p, "rb").read()
+        assert b"FHIB" in raw and raw.count(b"FHDB") >= 4
+        nc = NetCDF4(p)
+        assert len(nc.variables) == 121
+        for i in (0, 63, 119):
+            assert np.array_equal(
+                nc.read(f"dataset_with_a_long_name_{i:03d}"),
+                np.full(5, float(i)))
+
+    def test_dense_requires_latest(self, tmp_path):
+        with pytest.raises(ValueError, match="latest"):
+            write_netcdf4(str(tmp_path / "x.nc"),
+                          {"v": (np.zeros(4), ("x",), {})},
+                          dims={"x": 4}, libver="earliest",
+                          link_storage="dense")
+
+    @pytest.mark.parametrize("sig,exc", [
+        (b"FRHP", "checksum"), (b"FHDB", "checksum"), (b"BTLF", "checksum")])
+    def test_corrupt_dense_structures_are_loud(self, tmp_path, sig, exc):
+        p, _ = self._many(tmp_path, 12)
+        buf = bytearray(open(p, "rb").read())
+        at = bytes(buf).find(sig)
+        # flip a payload byte past each structure's header fields so the
+        # checksum (not a field validator) is what catches it
+        buf[at + 25] ^= 0xFF
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match=exc):
+            NetCDF4(p)
