@@ -37,9 +37,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver's CORRECTNESS_rNN.json records only the
     # FIRST 50 entries, so every oracle-checked query (a key of oracle_sql())
-    # comes first and rows-only queries come last.  tests/test_entry.py
-    # asserts the invariant — keep it green when adding queries.
-    return {
+    # comes first and rows-only queries come last; _windowed() additionally
+    # rotates never-recorded oracled keys to the front (newest first).
+    # tests/test_entry.py asserts the invariant — keep it green.
+    d = {
         # --- oracle-checked (DuckDB value-hash) ---
         "cell_encode_customer": lambda d: R.cell_encode_customer(d, _RES_ENC),
         "cell_count_by_face": lambda d: R.cell_count_by_face(d, _RES_ENC),
@@ -158,6 +159,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_jp2_cells": R.scene_jp2_cells,
         "flagship_cell_join": _flagship,
     }
+    return _windowed(d)
+
+
+# Round-N oracled queries the driver's 50-slot correctness window has not
+# yet recorded, NEWEST FIRST — _windowed() moves these to the front of the
+# oracled prefix so each round's CORRECTNESS_r{N}.json covers the latest
+# additions (VERDICT r4 item #4: under a static ordering the round-3/4
+# queries would never enter the window).  Append new round-5 oracled keys
+# to the TOP of this list.
+_WINDOW_PRIORITY = [
+    # round 4 (never recorded by the driver)
+    "embed_semantic_dedup", "embed_cell_assign", "docs_pii_scrub",
+    "docs_dedup_survivors", "events_user_anomalies", "events_cell_dwell",
+    "events_cell_transitions", "shipping_latency_q12",
+    "cell_embedding_centroid", "product_profit_q9",
+    "local_supplier_volume_q5", "last_shipper_blame_q21", "market_share_q8",
+    "small_quantity_revenue_q17", "top_supplier_q15",
+    "customer_order_counts_q13", "large_quantity_orders_q18",
+    "returned_item_revenue_q10", "events_region_assign",
+    "events_geofence_exact", "volume_shipping_q7", "discount_revenue_q19",
+    "sales_opportunity_q22", "dormant_customers_by_nation",
+    "promo_revenue_q14", "orders_delayed_by_priority",
+    "events_cohort_retention", "shipping_priority_q3",
+    "cell_rollup_customer",
+    # round 3 (never recorded by the driver)
+    "docs_duplicate_spans", "docs_bigram_topk", "lineitem_q6_revenue",
+    "embed_neardup", "embed_knn_join", "ann_cosine_top10",
+    "docs_global_shuffle", "docs_corpus_pipeline",
+]
+
+
+def _windowed(d: dict) -> dict:
+    """Reorder queries: window-priority oracled keys, then the remaining
+    oracled keys (still a contiguous prefix), then rows-only keys."""
+    osql = set(oracle_sql())
+    prio = [k for k in _WINDOW_PRIORITY if k in d and k in osql]
+    seen = set(prio)
+    rest = [k for k in d if k in osql and k not in seen]
+    rows_only = [k for k in d if k not in osql]
+    return {k: d[k] for k in prio + rest + rows_only}
 
 
 def _ann_sql(dim: int = 64) -> str:
