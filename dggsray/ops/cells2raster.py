@@ -26,16 +26,12 @@ from .joins import join_partitions
 DEFAULT_TILE = 512  # cells per tile side
 
 
-def meta_from_cells(cellids, grid: GridConfig = DEFAULT_GRID, nodata=None,
-                    nbands: int = 1, dtype: str = "int16") -> dict:
-    """Derive the raster metadata dict (the reference's gdf.attrs) from a cellid
-    collection — bounds from cell vertices, floor-based height/width (>=1)."""
-    cellids = np.asarray(cellids, dtype="U")
-    res_idx = len(cellids[0]) - 1
-    ulx, uly = cell_ul_vertex(cellids, grid)
+def _meta_from_bounds(minx: float, maxx: float, miny: float, maxy: float,
+                      res_idx: int, grid: GridConfig, nodata, nbands: int,
+                      dtype: str) -> dict:
     res = grid.cell_width(res_idx)
-    left, right = float(ulx.min()), float(ulx.max() + res)
-    top, bottom = float(uly.max()), float(uly.min() - res)
+    left, right = float(minx), float(maxx + res)
+    top, bottom = float(maxy), float(miny - res)
     height = max(1, math.floor((top - bottom) / res))
     width = max(1, math.floor((right - left) / res))
     return {"left": left, "top": top, "right": right, "bottom": bottom,
@@ -43,6 +39,53 @@ def meta_from_cells(cellids, grid: GridConfig = DEFAULT_GRID, nodata=None,
             "nbands": nbands, "nodata": nodata, "nodatavals": [nodata] * nbands,
             "store_nodata": nodata is not None, "dtypes": [dtype] * nbands,
             "rhealpixdggs": grid.to_meta()}
+
+
+def meta_from_cells(cellids, grid: GridConfig = DEFAULT_GRID, nodata=None,
+                    nbands: int = 1, dtype: str = "int16") -> dict:
+    """Derive the raster metadata dict (the reference's gdf.attrs) from a cellid
+    collection — bounds from cell vertices, floor-based height/width (>=1)."""
+    cellids = np.asarray(cellids, dtype="U")
+    res_idx = len(cellids[0]) - 1
+    ulx, uly = cell_ul_vertex(cellids, grid)
+    return _meta_from_bounds(ulx.min(), ulx.max(), uly.min(), uly.max(),
+                             res_idx, grid, nodata, nbands, dtype)
+
+
+def meta_from_cells_ds(ds, grid: GridConfig = DEFAULT_GRID,
+                       cell_col: str = "cellid", nodata=None,
+                       nbands: int = 1, dtype: str = "int16") -> dict:
+    """Distributed twin of `meta_from_cells`: per-block vertex-extent
+    partials folded by one in-plan Min/Max aggregate — the driver sees
+    five scalars, never the cellid column (which scales with the
+    raster)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        cells = b.column(cell_col).to_numpy(zero_copy_only=False) \
+            .astype("U")
+        if cells.size == 0:
+            return pa.table({"_minx": pa.array([], pa.float64()),
+                             "_maxx": pa.array([], pa.float64()),
+                             "_miny": pa.array([], pa.float64()),
+                             "_maxy": pa.array([], pa.float64()),
+                             "_len": pa.array([], pa.int64())})
+        ulx, uly = cell_ul_vertex(cells, grid)
+        return pa.table({"_minx": [float(ulx.min())],
+                         "_maxx": [float(ulx.max())],
+                         "_miny": [float(uly.min())],
+                         "_maxy": [float(uly.max())],
+                         "_len": [int(len(cells[0]))]})
+
+    agg = ds.select_columns([cell_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Min("_minx"), Max("_maxx"), Min("_miny"), Max("_maxy"),
+                   Max("_len"))
+    return _meta_from_bounds(agg["min(_minx)"], agg["max(_maxx)"],
+                             agg["min(_miny)"], agg["max(_maxy)"],
+                             int(agg["max(_len)"]) - 1, grid, nodata,
+                             nbands, dtype)
 
 
 def cells_to_tiles(ds, meta: dict, grid: GridConfig = DEFAULT_GRID,
@@ -114,12 +157,12 @@ def cells_to_raster_array(ds, meta: dict | None = None,
     """Convenience: cell-table Dataset -> (array, meta), deriving meta from the
     cells when not given (reference DataFrame->raster path)."""
     if meta is None:
-        import pyarrow.compute as pc  # noqa: F401
-        cells = ds.select_columns([cell_col]).to_pandas()[cell_col].to_numpy()
         nbands = sum(1 for c in ds.schema().names if c.startswith("band"))
         first_band_type = ds.schema().types[ds.schema().names.index("band1")]
-        meta = meta_from_cells(cells, grid, nodata=nodata, nbands=max(1, nbands),
-                               dtype=first_band_type.to_pandas_dtype().__name__)
+        meta = meta_from_cells_ds(ds, grid, cell_col, nodata=nodata,
+                                  nbands=max(1, nbands),
+                                  dtype=first_band_type
+                                  .to_pandas_dtype().__name__)
     tiles = cells_to_tiles(ds, meta, grid, cell_col)
     return assemble_array(tiles, meta), meta
 

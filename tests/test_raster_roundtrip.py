@@ -315,3 +315,19 @@ class TestBigTiff:
         p.write_bytes(b"II\x2c\x00" + b"\x00" * 12)
         with pytest.raises(ValueError, match="version"):
             read_geotiff(str(p))
+
+
+class TestMetaFromCellsDistributed:
+    def test_ds_meta_equals_driver_meta(self, ray_session):
+        """meta_from_cells_ds (in-plan Min/Max fold, no driver collect)
+        must produce the exact meta dict of the driver-side helper."""
+        import ray.data as rd
+
+        from dggsray.ops.cells2raster import (meta_from_cells,
+                                              meta_from_cells_ds)
+        cells = [f"N{i}{j}" for i in range(9) for j in range(9)][7:60]
+        ds = rd.from_items([{"cellid": c, "band1": 1} for c in cells]) \
+            .repartition(5)
+        got = meta_from_cells_ds(ds, nodata=-9999, dtype="int16")
+        exp = meta_from_cells(np.array(cells), nodata=-9999, dtype="int16")
+        assert got == exp
