@@ -19,8 +19,30 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from ..core.rhpx import (DEFAULT_GRID, F, GridConfig, align_point,
-                         cell_from_point, project_fwd)
+from ..core.rhpx import (_FACE_BYTES, DEFAULT_GRID, F, GridConfig,
+                         align_point, cell_from_point,
+                         cell_keys_from_point, project_fwd)
+
+
+def _cellids_to_keys(cells: np.ndarray, res: int,
+                     grid: GridConfig = DEFAULT_GRID) -> np.ndarray:
+    """Fixed-resolution cellid strings -> the packed int64 keys
+    `cell_keys_from_point` produces (face*side^2 + row*side + col), so
+    membership indexes compare 8-byte integers instead of unicode."""
+    cells = np.asarray(cells, dtype="U")
+    if cells.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    n = grid.n_side
+    side = n**res
+    b = cells.astype(f"S{res + 1}").view(np.uint8).reshape(-1, res + 1)
+    face = np.searchsorted(_FACE_BYTES, b[:, 0]).astype(np.int64)
+    row = np.zeros(cells.size, dtype=np.int64)
+    col = np.zeros(cells.size, dtype=np.int64)
+    for level in range(1, res + 1):
+        d = (b[:, level] - 48).astype(np.int64)
+        row = row * n + d // n
+        col = col * n + d % n
+    return face * side * side + row * side + col
 
 
 def feature_class_values(classes, fixed_value: int | None = None) -> np.ndarray:
@@ -388,36 +410,129 @@ class PolygonProbe:
 
 class RegionAssigner:
     """Exact many-polygon point assignment (spatial join: point -> containing
-    feature_id, paint order = later feature wins on overlap, -1 outside) —
-    one PolygonProbe-style prepared structure per feature, probed in paint
-    order.  The per-feature interior/boundary cell arrays broadcast in
-    O(total cover) bytes; geometry math runs only for points in a feature's
-    boundary cells.  Features: [{"feature_id": int, "rings": [lonlat ring,
-    ...]}] with even-odd hole semantics per feature."""
+    feature_id, paint order = later feature wins on overlap, -1 outside).
+
+    Scales to thousands of features through a GLOBAL cell -> candidate
+    index (the DGGS stand-in for the north-star's STRtree): per feature
+    the interior/boundary covers are burned once, then collapsed into
+
+      * a sorted unique interior-cell array carrying the MAX paint
+        position per cell (overlapping interiors pre-resolve at build);
+      * a (cell, paint-position)-sorted boundary candidate array.
+
+    Per batch the work is two searchsorted probes plus the exact
+    even-odd kernel for ONLY the (point, candidate-feature) pairs whose
+    cell lies on that feature's boundary AND whose paint position can
+    still win — O(points + touched candidates), independent of the
+    total feature count.  Features: [{"feature_id": int, "rings":
+    [lonlat ring, ...]}] with even-odd hole semantics per feature."""
 
     def __init__(self, features: list[dict], res: int,
                  grid: GridConfig = DEFAULT_GRID):
         self.res = res
         self.grid = grid
-        self.probes = [(int(f["feature_id"]),
-                        PolygonProbe(f["rings"], res, grid))
-                       for f in features]
+        self.n_refined = 0
+        self.n_fast = 0
+        self.pos2fid = np.array([int(f["feature_id"]) for f in features],
+                                dtype=np.int64)
+        self.rings_by_pos: list[list[np.ndarray]] = []
+        int_cells, int_pos = [], []
+        bnd_cells, bnd_pos = [], []
+        for pos, f in enumerate(features):
+            probe = PolygonProbe(f["rings"], res, grid)
+            self.rings_by_pos.append(probe.planar_rings)
+            int_cells.append(probe.interior)
+            int_pos.append(np.full(probe.interior.size, pos, np.int64))
+            bnd_cells.append(probe.boundary)
+            bnd_pos.append(np.full(probe.boundary.size, pos, np.int64))
+        ic = _cellids_to_keys(
+            np.concatenate(int_cells) if int_cells else np.zeros(0, "U1"),
+            res, grid)
+        ip = np.concatenate(int_pos) if int_pos else np.zeros(0, np.int64)
+        # collapse overlapping interiors: keep max position per cell
+        order = np.lexsort((ip, ic))          # cell asc, position asc
+        ic, ip = ic[order], ip[order]
+        last = np.ones(ic.size, dtype=bool)
+        last[:-1] = ic[1:] != ic[:-1]         # last dup = max position
+        self.int_cells = ic[last]
+        self.int_best = ip[last]
+        bc = _cellids_to_keys(
+            np.concatenate(bnd_cells) if bnd_cells else np.zeros(0, "U1"),
+            res, grid)
+        bp = np.concatenate(bnd_pos) if bnd_pos else np.zeros(0, np.int64)
+        order = np.lexsort((bp, bc))
+        self.bnd_cells = bc[order]
+        self.bnd_pos = bp[order]
+        # flat per-feature edge table (horizontal edges dropped, exactly
+        # as _points_in_ring skips them) so boundary refinement runs as
+        # ONE vectorized pair-edge crossing count, no per-feature loop
+        ex0, ey0, ex1, ey1 = [], [], [], []
+        eoff = np.zeros(len(features) + 1, dtype=np.int64)
+        for pos, rings in enumerate(self.rings_by_pos):
+            for ring in rings:
+                a, b = ring[:-1], ring[1:]
+                m = a[:, 1] != b[:, 1]
+                ex0.append(a[m, 0])
+                ey0.append(a[m, 1])
+                ex1.append(b[m, 0])
+                ey1.append(b[m, 1])
+            eoff[pos + 1] = eoff[pos] + sum(
+                x.size for x in ex0[len(ex0) - len(rings):])
+        z = np.zeros(0, np.float64)
+        self.ex0 = np.concatenate(ex0) if ex0 else z
+        self.ey0 = np.concatenate(ey0) if ey0 else z
+        self.ex1 = np.concatenate(ex1) if ex1 else z
+        self.ey1 = np.concatenate(ey1) if ey1 else z
+        self.eoff = eoff
 
     def assign_lonlat(self, lon: np.ndarray,
                       lat: np.ndarray) -> np.ndarray:
         px, py = project_fwd(np.asarray(lon, np.float64),
                              np.asarray(lat, np.float64), self.grid)
-        cells = cell_from_point(self.res, px, py, self.grid)
-        fid = np.full(len(px), -1, dtype=np.int64)
-        for f, probe in self.probes:          # paint order: later wins
-            hit = np.isin(cells, probe.interior)
-            ref = np.isin(cells, probe.boundary)
-            probe.n_refined += int(ref.sum())
-            probe.n_fast += int(len(px) - ref.sum())
-            if ref.any():
-                sub = np.zeros(int(ref.sum()), dtype=bool)
-                for ring in probe.planar_rings:
-                    sub ^= _points_in_ring(px[ref], py[ref], ring)
-                hit[np.flatnonzero(ref)[sub]] = True
-            fid[hit] = f
+        cells = cell_keys_from_point(self.res, px, py, self.grid)
+        n = len(px)
+        best = np.full(n, -1, dtype=np.int64)     # winning paint position
+        # interior hits: one membership probe, pre-collapsed winner
+        if self.int_cells.size:
+            i = np.searchsorted(self.int_cells, cells)
+            i_c = np.minimum(i, self.int_cells.size - 1)
+            m = self.int_cells[i_c] == cells
+            best[m] = self.int_best[i_c[m]]
+        # boundary candidates: (point, position) pairs via range probe
+        if self.bnd_cells.size:
+            lo = np.searchsorted(self.bnd_cells, cells, side="left")
+            hi = np.searchsorted(self.bnd_cells, cells, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            self.n_refined += total
+            self.n_fast += n - int((cnt > 0).sum())
+            if total:
+                pts = np.repeat(np.arange(n), cnt)
+                starts = np.repeat(lo, cnt)
+                offs = np.arange(total) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt)
+                ppos = self.bnd_pos[starts + offs]
+                keep = ppos > best[pts]
+                pts, ppos = pts[keep], ppos[keep]
+                if pts.size:
+                    # one flat pair-edge expansion: crossing count per
+                    # (point, feature) pair, parity = even-odd inside
+                    ec = self.eoff[ppos + 1] - self.eoff[ppos]
+                    tot = int(ec.sum())
+                    pe = np.repeat(np.arange(pts.size), ec)
+                    ei = np.repeat(self.eoff[ppos], ec) + (
+                        np.arange(tot) - np.repeat(np.cumsum(ec) - ec, ec))
+                    pxv, pyv = px[pts[pe]], py[pts[pe]]
+                    ya, yb = self.ey0[ei], self.ey1[ei]
+                    cond = (ya > pyv) != (yb > pyv)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xint = self.ex0[ei] + (pyv - ya) \
+                            * (self.ex1[ei] - self.ex0[ei]) / (yb - ya)
+                    cross = cond & (pxv < xint)
+                    odd = np.bincount(pe[cross],
+                                      minlength=pts.size) % 2 == 1
+                    np.maximum.at(best, pts[odd], ppos[odd])
+        fid = np.full(n, -1, dtype=np.int64)
+        won = best >= 0
+        fid[won] = self.pos2fid[best[won]]
         return fid

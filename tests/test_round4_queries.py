@@ -209,11 +209,12 @@ class TestRegionAssigner:
         assert np.array_equal(got, exp)
         # regions 1 and 2 genuinely overlap and the overlap went to 2
         assert (exp == 1).sum() > 0 and (exp == 2).sum() > 0
-        probes = dict(ra.probes)
+        rings_of = {int(f): ra.rings_by_pos[i]
+                    for i, f in enumerate(ra.pos2fid)}
         both = np.zeros(len(px), bool)
         for fid in (1, 2):
             m = np.zeros(len(px), bool)
-            for ring in probes[fid].planar_rings:
+            for ring in rings_of[fid]:
                 m ^= _points_in_ring(px, py, ring)
             both = both & m if fid == 2 else m
         assert both.sum() > 0 and (got[both] == 2).all()
@@ -275,3 +276,33 @@ class TestQ18LargeOrders:
         assert len(out) == 0
         assert list(out.columns) == ["o_orderkey", "c_custkey",
                                      "price_cents", "total_qty"]
+
+
+class TestRegionAssignerManyPolygons:
+    def test_400_polygon_grid_exact_vs_brute(self):
+        """The cell->candidate index path (VERDICT r4 item #7): a 20x20
+        jittered quad grid, full brute-force equality on 40k points —
+        covers interior fast-path, boundary pair-edge refinement, paint
+        order on jitter overlaps, and outside points."""
+        from dggsray.core.rhpx import DEFAULT_GRID, project_fwd
+        from dggsray.ops.vector2dggs import RegionAssigner, _points_in_ring
+        from tools.bench_region_assign_10k import make_features
+        feats = make_features(20)
+        ra = RegionAssigner(feats, res=4)
+        rng = np.random.default_rng(12)
+        lon = rng.uniform(-45.0, 45.0, 40000)
+        lat = rng.uniform(-34.0, 34.0, 40000)
+        got = ra.assign_lonlat(lon, lat)
+        px, py = project_fwd(lon, lat, DEFAULT_GRID)
+        exp = np.full(len(px), -1, np.int64)
+        for f in feats:
+            inside = np.zeros(len(px), bool)
+            for ring in f["rings"]:
+                r = np.asarray(ring, float)
+                r = np.vstack([r, r[:1]])
+                xs, ys = project_fwd(r[:, 0], r[:, 1], DEFAULT_GRID)
+                inside ^= _points_in_ring(px, py,
+                                          np.column_stack([xs, ys]))
+            exp[inside] = f["feature_id"]
+        assert np.array_equal(got, exp)
+        assert (got >= 0).sum() > 1000 and (got == -1).sum() > 1000
