@@ -175,3 +175,224 @@ def learn_bpe(ds, n_merges: int, text_col: str = "text",
         "right_id": pa.array([o[2] for o in out], pa.int64()),
         "new_id": pa.array([o[3] for o in out], pa.int64()),
         "pair_count": pa.array([o[4] for o in out], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Delta-counted BPE (round-5): per-merge cost O(occurrences of the merged
+# pair), not one corpus pass
+# ---------------------------------------------------------------------------
+
+class ShardBPE:
+    """In-memory BPE state for one corpus shard: token array + doubly
+    linked list (merges splice nodes instead of rewriting the array) +
+    a pair -> positions index with lazy invalidation.  `merge` applies
+    one merge and returns the EXACT pair-count deltas, computed per
+    maximal chain of adjacent occurrences:
+
+      chain of t occurrences spanning x [a b]*t y (a==b runs select the
+      even-indexed overlapping matches, exactly apply_merges semantics):
+        removed: (x,a) if x, t x (a,b), (t-1) x (b,a), (b,y) if y
+        added:   (x,c) if x, (t-1) x (c,c), (c,y) if y
+
+    which matches the sequential trainer's one-at-a-time bookkeeping.
+    Everything is vectorized numpy over the occurrence positions — a
+    merge touches O(occ) memory, so later (rarer) merges get cheaper:
+    the delta-counting VERDICT r4 item #6 asked for."""
+
+    def __init__(self, texts: list[bytes]):
+        tok, off = _flatten(texts)
+        n = tok.size
+        self.tok = tok.copy()
+        self.n = n
+        self.nxt = np.arange(1, n + 1, dtype=np.int64)
+        self.prv = np.arange(-1, n - 1, dtype=np.int64)
+        starts = off[1:-1]
+        starts = starts[(starts > 0) & (starts < n)]
+        self.nxt[starts - 1] = n                  # n = "no neighbour"
+        self.prv[starts] = -1
+        self.alive = np.ones(n, dtype=bool)
+        # initial pair -> positions index (argsort + unique slicing)
+        if n >= 2:
+            valid = self.nxt[:-1] == np.arange(1, n)
+            keys = tok[:-1].astype(np.uint64) * _PACK \
+                + tok[1:].astype(np.uint64)
+            pos = np.flatnonzero(valid)
+            keys = keys[pos]
+            order = np.argsort(keys, kind="stable")
+            keys, pos = keys[order], pos[order]
+            u, first = np.unique(keys, return_index=True)
+            bounds = np.r_[first, keys.size]
+            self.index: dict[int, list[np.ndarray]] = {
+                int(k): [pos[bounds[i]:bounds[i + 1]]]
+                for i, k in enumerate(u)}
+        else:
+            self.index = {}
+
+    def initial_counts(self):
+        keys = np.fromiter(self.index, dtype=np.uint64,
+                           count=len(self.index))
+        cnts = np.array([sum(a.size for a in self.index[int(k)])
+                         for k in keys], dtype=np.int64)
+        return keys, cnts
+
+    def _pop_valid(self, a: int, b: int) -> np.ndarray:
+        key = int(np.uint64(a) * _PACK + np.uint64(b))
+        chunks = self.index.pop(key, None)
+        if not chunks:
+            return np.zeros(0, np.int64)
+        p = np.unique(np.concatenate(chunks))     # dedupe re-appends
+        p = p[self.alive[p] & (self.tok[p] == a)]
+        j = self.nxt[p]
+        p = p[(j < self.n)]
+        p = p[self.tok[self.nxt[p]] == b]
+        return p
+
+    def merge(self, a: int, b: int, c: int):
+        """Apply merge (a, b) -> c; return (delta_keys, delta_counts)."""
+        p = self._pop_valid(a, b)
+        if p.size == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        if a == b:
+            # leftmost-first in overlap runs: even-indexed matches merge
+            nx = self.nxt[p]
+            run_start = np.r_[True, p[1:] != nx[:-1]]
+            rs_idx = np.flatnonzero(run_start)
+            ordinal = np.arange(p.size) - np.repeat(
+                rs_idx, np.diff(np.r_[rs_idx, p.size]))
+            p = p[ordinal % 2 == 0]
+        j = self.nxt[p]
+        y = self.nxt[j]
+        # maximal chains of ADJACENT selected occurrences
+        new_grp = np.r_[True, p[1:] != y[:-1]]
+        gid = np.cumsum(new_grp) - 1
+        t = np.bincount(gid)
+        firsts = np.flatnonzero(new_grp)
+        lasts = np.r_[firsts[1:] - 1, p.size - 1]
+        x = self.prv[p[firsts]]
+        ygrp = y[lasts]
+        has_x, has_y = x >= 0, ygrp < self.n
+        au, bu, cu = np.uint64(a), np.uint64(b), np.uint64(c)
+        inter = int((t - 1).sum())
+        rem = [np.repeat(np.uint64(au * _PACK + bu), p.size),
+               np.repeat(np.uint64(bu * _PACK + au), inter),
+               self.tok[x[has_x]].astype(np.uint64) * _PACK + au,
+               bu * _PACK + self.tok[ygrp[has_y]].astype(np.uint64)]
+        add = [np.repeat(np.uint64(cu * _PACK + cu), inter),
+               self.tok[x[has_x]].astype(np.uint64) * _PACK + cu,
+               cu * _PACK + self.tok[ygrp[has_y]].astype(np.uint64)]
+        # splice: p absorbs j
+        self.tok[p] = c
+        self.alive[j] = False
+        self.nxt[p] = y
+        yin = y[y < self.n]
+        self.prv[yin] = p[y < self.n]
+        # index appends for freshly created pairs (grouped by key: the
+        # python loop runs over DISTINCT new pair keys, not occurrences)
+        not_last = np.ones(p.size, dtype=bool)
+        not_last[lasts] = False
+        app_keys = np.concatenate([
+            self.tok[x[has_x]].astype(np.uint64) * _PACK + cu,
+            np.repeat(np.uint64(cu * _PACK + cu), inter),
+            cu * _PACK + self.tok[ygrp[has_y]].astype(np.uint64)])
+        app_pos = np.concatenate([x[has_x], p[not_last],
+                                  p[lasts[has_y]]])
+        if app_keys.size:
+            order = np.argsort(app_keys, kind="stable")
+            app_keys, app_pos = app_keys[order], app_pos[order]
+            u, first = np.unique(app_keys, return_index=True)
+            bounds = np.r_[first, app_keys.size]
+            for i, k in enumerate(u):
+                self.index.setdefault(int(k), []).append(
+                    app_pos[bounds[i]:bounds[i + 1]])
+        rem_k = np.concatenate(rem)
+        add_k = np.concatenate(add)
+        keys = np.concatenate([rem_k, add_k])
+        sign = np.concatenate([np.full(rem_k.size, -1, np.int64),
+                               np.ones(add_k.size, np.int64)])
+        u, inv = np.unique(keys, return_inverse=True)
+        d = np.bincount(inv, weights=sign).astype(np.int64)
+        nz = d != 0
+        return u[nz], d[nz]
+
+
+def learn_bpe_delta(ds, n_merges: int, text_col: str = "text",
+                    n_shards: int | None = None,
+                    stats: dict | None = None) -> pa.Table:
+    """Delta-counted twin of `learn_bpe`, byte-identical output.
+
+    The corpus is sharded onto an actor pool (the one structure in this
+    engine that genuinely needs raw Ray actors: each shard is a SHARED
+    MUTABLE index — linked-list tokens + pair positions — that must
+    persist across all n_merges rounds).  Per round the driver pops the
+    global argmax from a lazy heap, broadcasts ONE merge, and folds the
+    per-shard delta arrays; no corpus pass ever happens after the
+    initial count, so per-merge cost tracks the merged pair's frequency
+    (decreasing with rank) instead of corpus size.  Ties break on the
+    smallest packed key, leftmost-first inside runs — byte-identical
+    merge tables to `learn_bpe` by construction."""
+    import heapq
+
+    import ray
+
+    if n_shards is None:
+        n_shards = max(2, min(16, int(
+            ray.cluster_resources().get("CPU", 8)) // 2))
+
+    Shard = ray.remote(ShardBPE)
+    refs = ds.select_columns([text_col]).to_arrow_refs()
+    groups: list[list] = [[] for _ in range(min(n_shards, len(refs)) or 1)]
+    for i, r in enumerate(refs):
+        groups[i % len(groups)].append(r)
+
+    @ray.remote
+    def _texts(blocks):
+        out = []
+        for t in ray.get(list(blocks)):       # refs nested in a list
+            out += [s.encode("utf-8", "ignore")
+                    for s in t.column(text_col).to_pylist()]
+        return out
+
+    actors = [Shard.remote(_texts.remote(g)) for g in groups]
+    counts: dict[int, int] = {}
+    for keys, cnts in ray.get([a.initial_counts.remote() for a in actors]):
+        for k, n in zip(keys.tolist(), cnts.tolist()):
+            counts[k] = counts.get(k, 0) + n
+    heap = [(-n, k) for k, n in counts.items()]
+    heapq.heapify(heap)
+
+    out = []
+    touched = 0
+    for r in range(n_merges):
+        best = None
+        while heap:
+            negn, k = heap[0]
+            if counts.get(k, 0) != -negn or -negn < 2:
+                heapq.heappop(heap)               # stale or exhausted
+                continue
+            best = (k, -negn)
+            break
+        if best is None:
+            break
+        key, n_pair = best
+        a = int(np.uint64(key) // _PACK)
+        b = int(np.uint64(key) % _PACK)
+        new_id = 256 + r
+        out.append((r, a, b, new_id, n_pair))
+        deltas = ray.get([ac.merge.remote(a, b, new_id) for ac in actors])
+        for dk, dn in deltas:
+            touched += dk.size
+            for k2, d in zip(dk.tolist(), dn.tolist()):
+                nv = counts.get(k2, 0) + d
+                counts[k2] = nv
+                heapq.heappush(heap, (-nv, k2))
+    for ac in actors:
+        ray.kill(ac)
+    if stats is not None:
+        stats["touched_pairs"] = touched
+
+    return pa.table({
+        "rank": pa.array([o[0] for o in out], pa.int64()),
+        "left_id": pa.array([o[1] for o in out], pa.int64()),
+        "right_id": pa.array([o[2] for o in out], pa.int64()),
+        "new_id": pa.array([o[3] for o in out], pa.int64()),
+        "pair_count": pa.array([o[4] for o in out], pa.int64())})

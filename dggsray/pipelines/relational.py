@@ -2298,11 +2298,15 @@ def docs_bpe_merges(sf_dir: str, n_merges: int = 8):
     token pairs vectorized, and picks the global winner from per-block
     partials — the tokenizer-training step of an LLM data pipeline.
     Deterministic (count desc, packed key asc tie-break); rows-only by
-    design (iterative, not SQL-expressible)."""
-    from ..ops.bpe import learn_bpe
+    design (iterative, not SQL-expressible).  Executes the delta-counted
+    actor-pool path (ops.bpe.learn_bpe_delta) — byte-identical merge
+    tables to the streaming learner (equality pinned at 512 merges in
+    tests/test_bpe.py) with per-merge cost tracking pair frequency
+    instead of corpus size."""
+    from ..ops.bpe import learn_bpe_delta
 
     ds = _read(sf_dir, "documents", ["text"])
-    return learn_bpe(ds, n_merges)
+    return learn_bpe_delta(ds, n_merges)
 
 
 def cell_join_customer_orders_bucketed(sf_dir: str, res: int = 3,
@@ -2553,10 +2557,10 @@ def docs_tokenize_bpe(sf_dir: str, n_merges: int = 8):
     ratio (bytes*1e6 // bpe_tokens).  Rows-only: BPE is not expressible in
     SQL; correctness is pinned by ops/bpe's sequential-reference equality
     tests."""
-    from ..ops.bpe import _flatten, apply_merges, learn_bpe
+    from ..ops.bpe import _flatten, apply_merges, learn_bpe_delta
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    mt = learn_bpe(ds, n_merges)
+    mt = learn_bpe_delta(ds, n_merges)
     merges = list(zip(mt.column("left_id").to_pylist(),
                       mt.column("right_id").to_pylist(),
                       mt.column("new_id").to_pylist()))
