@@ -39,21 +39,32 @@ def dim_flag_bitmap(ds, key_col: str, pred) -> np.ndarray:
     for a 20M-row part table and moves O(#flagged) int64s.
 
     `pred(block) -> bool ndarray` aligned with the block's rows selects
-    which keys flag true.  Broadcast the result with ray.put."""
-    mx = ds.max(key_col)
-    if mx is None:
-        return np.zeros(0, dtype=bool)
-    n = int(mx) + 1
+    which keys flag true.  Broadcast the result with ray.put.
 
+    ONE pass: each block emits its flagged keys plus a trailing
+    (-1, block-max) sentinel row, so the stream carries the global key
+    extent and no separate max() execution is needed; the driver holds
+    the flagged int64 keys (never the frame) until the extent is known,
+    then scatters once."""
     def kernel(blk: pa.Table) -> pa.Table:
         keys = blk.column(key_col).to_numpy().astype(np.int64)
         k = keys[np.asarray(pred(blk), dtype=bool)]
-        return pa.table({"_k": pa.array(k, pa.int64())})
+        mx = int(keys.max()) if keys.size else -1
+        return pa.table({"_k": pa.array(np.r_[k, -1], pa.int64()),
+                         "_m": pa.array(np.r_[np.full(k.size, -1,
+                                                      np.int64), mx])})
 
+    chunks, n = [], 0
+    for b in ds.map_batches(kernel, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        k = b.column("_k").to_numpy()
+        chunks.append(k[k >= 0])
+        m = b.column("_m").to_numpy()
+        if m.size:
+            n = max(n, int(m.max()) + 1)
     out = np.zeros(n, dtype=bool)
-    flagged = ds.map_batches(kernel, batch_format="pyarrow")
-    for b in flagged.iter_batches(batch_format="pyarrow"):
-        out[b.column("_k").to_numpy()] = True
+    for k in chunks:
+        out[k] = True
     return out
 
 
@@ -62,28 +73,44 @@ def dim_dense_map(ds, key_col: str, val_fn, fill: int = -1,
     """Distributed build of a dense key -> small-int map (e.g. suppkey
     -> nationkey) over a dimension table: `val_fn(block) -> int ndarray`
     runs in-task, rows whose value equals `fill` are dropped at the
-    source, and the surviving (key, value) pairs stream back to a
-    vectorized scatter — the driver holds the n*itemsize map plus one
-    batch, never the frame.  Exact because `key_col` is a primary key
-    (each key written at most once)."""
-    mx = ds.max(key_col)
-    if mx is None:
-        return np.full(0, fill, dtype=dtype)
-    n = int(mx) + 1
-
+    source, and the surviving (key, value) pairs stream back (ONE pass;
+    a trailing (-1, block-max) sentinel row carries the key extent) to
+    a vectorized scatter — the driver holds the kept int64 pairs and
+    the n*itemsize map, never the frame.  Exact because `key_col` is a
+    primary key (each key written at most once)."""
     def kernel(blk: pa.Table) -> pa.Table:
         keys = blk.column(key_col).to_numpy().astype(np.int64)
         vals = np.asarray(val_fn(blk)).astype(np.int64)
         m = vals != fill
-        return pa.table({"_k": pa.array(keys[m], pa.int64()),
-                         "_v": pa.array(vals[m], pa.int64())})
+        mx = int(keys.max()) if keys.size else -1
+        return pa.table({"_k": pa.array(np.r_[keys[m], -1], pa.int64()),
+                         "_v": pa.array(np.r_[vals[m], mx], pa.int64())})
 
+    chunks, n = [], 0
+    for b in ds.map_batches(kernel, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        k = b.column("_k").to_numpy()
+        v = b.column("_v").to_numpy()
+        good = k >= 0
+        chunks.append((k[good], v[good]))
+        if (~good).any():
+            n = max(n, int(v[~good].max()) + 1)
     out = np.full(n, fill, dtype=dtype)
-    pairs = ds.map_batches(kernel, batch_format="pyarrow")
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        out[b.column("_k").to_numpy()] = \
-            b.column("_v").to_numpy().astype(dtype)
+    for k, v in chunks:
+        out[k] = v.astype(dtype)
     return out
+
+
+def build_parallel(*thunks):
+    """Run several independent driver-side builds (dim_flag_bitmap /
+    dim_dense_map calls) concurrently on threads: each is dominated by
+    a blocking Ray Data execution, so overlapping them costs max()
+    instead of sum() of their walls.  Returns results in thunk order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futs = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futs]
 
 
 def broadcast_semi_join(ds, keys, key_col: str = "cellid", res: int | None = None,

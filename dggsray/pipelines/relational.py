@@ -21,11 +21,21 @@ from ..oracle import G_LAT, G_LON
 from ..ops.joins import join_partitions, lowcard_groupby
 
 
+_READ_LOCK = __import__("threading").Lock()
+
+
 def _read(sf_dir: str, table: str, columns=None):
+    # construction is serialized: ray's path resolution lazily imports
+    # fsspec.implementations.http, whose failure mode (aiohttp absent)
+    # degrades from the ModuleNotFoundError ray catches to a plain
+    # ImportError when two threads interleave the import — execution
+    # stays fully parallel, only the ms-scale plan build takes the lock
     import ray.data as rd
+
     from ..core.raster import localize_path
-    return rd.read_parquet(localize_path(f"{sf_dir}/{table}.parquet"),
-                           columns=columns)
+    with _READ_LOCK:
+        return rd.read_parquet(localize_path(f"{sf_dir}/{table}.parquet"),
+                               columns=columns)
 
 
 def derived_lonlat(keys: np.ndarray):
@@ -3661,27 +3671,26 @@ def market_share_q8(sf_dir: str, region: int = 3, supp_nation: int = 7,
 
     from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
 
-    from ..ops.joins import dim_flag_bitmap
-
-    is_type = dim_flag_bitmap(
-        _read(sf_dir, "part", ["p_partkey", "p_type"]), "p_partkey",
-        lambda b: pc.equal(b.column("p_type"), p_type).to_numpy(
-            zero_copy_only=False))
-
-    is_nat = dim_flag_bitmap(
-        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
-        "s_suppkey",
-        lambda b: b.column("s_nationkey").to_numpy() == supp_nation)
+    from ..ops.joins import build_parallel, dim_flag_bitmap
 
     # nation is 25 fixed rows — a driver dict is its natural home
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
         .to_pandas()
     rmap = np.zeros(int(nation.n_nationkey.max()) + 1, dtype=np.int64)
     rmap[nation.n_nationkey.to_numpy()] = nation.n_regionkey.to_numpy()
-    in_reg = dim_flag_bitmap(
-        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
-        "c_custkey",
-        lambda b: rmap[b.column("c_nationkey").to_numpy()] == region)
+    is_type, is_nat, in_reg = build_parallel(
+        lambda: dim_flag_bitmap(
+            _read(sf_dir, "part", ["p_partkey", "p_type"]), "p_partkey",
+            lambda b: pc.equal(b.column("p_type"), p_type).to_numpy(
+                zero_copy_only=False)),
+        lambda: dim_flag_bitmap(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            lambda b: b.column("s_nationkey").to_numpy() == supp_nation),
+        lambda: dim_flag_bitmap(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            "c_custkey",
+            lambda b: rmap[b.column("c_nationkey").to_numpy()] == region))
 
     refs = ray.put((is_type, is_nat))
 
@@ -3879,16 +3888,17 @@ def local_supplier_volume_q5(sf_dir: str, region: int = 1,
             return np.where(ok, nk, -1)
         return val
 
-    smap = dim_dense_map(
-        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
-        "s_suppkey", _nat_if_in_region("s_nationkey"),
-        dtype=np.int64)
+    from ..ops.joins import build_parallel
+    smap, cmap = build_parallel(
+        lambda: dim_dense_map(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey", _nat_if_in_region("s_nationkey"),
+            dtype=np.int64),
+        lambda: dim_dense_map(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            "c_custkey", _nat_if_in_region("c_nationkey"),
+            dtype=np.int64))
     smap_ref = ray.put(smap)
-
-    cmap = dim_dense_map(
-        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
-        "c_custkey", _nat_if_in_region("c_nationkey"),
-        dtype=np.int64)
     cmap_ref = ray.put(cmap)
 
     def per_order_supp(b: pa.Table) -> pa.Table:
@@ -3969,18 +3979,18 @@ def product_profit_q9(sf_dir: str, name_sub: str = "widget"):
 
     from ..ops.joins import adaptive_join, lowcard_groupby, sized_groupby
 
-    from ..ops.joins import dim_dense_map, dim_flag_bitmap
+    from ..ops.joins import build_parallel, dim_dense_map, dim_flag_bitmap
 
-    is_sub = dim_flag_bitmap(
-        _read(sf_dir, "part", ["p_partkey", "p_name"]), "p_partkey",
-        lambda b: pc.match_substring(b.column("p_name"), name_sub)
-        .to_numpy(zero_copy_only=False))
-
-    smap = dim_dense_map(
-        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
-        "s_suppkey",
-        lambda b: b.column("s_nationkey").to_numpy().astype(np.int64),
-        dtype=np.int64)
+    is_sub, smap = build_parallel(
+        lambda: dim_flag_bitmap(
+            _read(sf_dir, "part", ["p_partkey", "p_name"]), "p_partkey",
+            lambda b: pc.match_substring(b.column("p_name"), name_sub)
+            .to_numpy(zero_copy_only=False)),
+        lambda: dim_dense_map(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            lambda b: b.column("s_nationkey").to_numpy().astype(np.int64),
+            dtype=np.int64))
     refs = ray.put((is_sub, smap))
 
     nation = _read(sf_dir, "nation",
