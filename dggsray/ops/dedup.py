@@ -1549,13 +1549,6 @@ def _semantic_dedup_impl(ds, tau_permille, cluster_col, id_col, vec_col,
     tau = int(tau_permille)
     cap = int(max_cluster_rows)
 
-    sizes = ds.groupby(cluster_col).count().to_pandas()
-    cnt_col = [c for c in sizes.columns if c != cluster_col][0]
-    hot = sizes[sizes[cnt_col] > 4 * cap] \
-        .sort_values(cnt_col, ascending=False).head(64)
-    hot_sizes = {int(r[cluster_col]): int(r[cnt_col])
-                 for _, r in hot.iterrows()}
-
     def _quantize(emb):
         return np.floor(emb.astype(np.float64) * 1000 + 0.5) \
             .astype(np.int64)
@@ -1582,6 +1575,24 @@ def _semantic_dedup_impl(ds, tau_permille, cluster_col, id_col, vec_col,
                                                   np.int64))}
             return pa.table(cols)
         return kernel
+
+    # metadata-only gate: below ~16 MB of embeddings no cluster can be
+    # hot enough for the distributed tier to beat the cost of its own
+    # sizing pass — the in-task recursive cap still guards skew there
+    try:
+        small = (ds.size_bytes() or 0) < 16 * 1024 * 1024
+    except Exception:
+        small = False
+    if small:
+        return ds.groupby(cluster_col).map_groups(
+            kernel_factory(None), batch_format="pyarrow")
+
+    sizes = ds.groupby(cluster_col).count().to_pandas()
+    cnt_col = [c for c in sizes.columns if c != cluster_col][0]
+    hot = sizes[sizes[cnt_col] > 4 * cap] \
+        .sort_values(cnt_col, ascending=False).head(64)
+    hot_sizes = {int(r[cluster_col]): int(r[cnt_col])
+                 for _, r in hot.iterrows()}
 
     if not hot_sizes:
         return ds.groupby(cluster_col).map_groups(
