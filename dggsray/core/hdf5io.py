@@ -31,7 +31,13 @@ read.  Dense link storage (the libhdf5 phase change above 8 links —
 fractal heap of Link messages + name-index v2 B-tree record type 5) is
 read for both heap shapes libhdf5 emits: root direct block, and root
 indirect block with doubling-table rows of direct blocks; heap header,
-direct blocks and B-tree nodes are all checksum-validated.  Out of
+direct blocks and B-tree nodes are all checksum-validated.  Dense
+ATTRIBUTE storage (Attribute Info message, phase change above 8
+attributes — fractal heap of v3 Attribute bodies + name-index v2
+B-tree record type 8) is read through the same machinery, so
+many-attribute real-world objects (CF-conventions global metadata)
+resolve, including _FillValue and DIMENSION_LIST stored densely.
+Out of
 scope, raising a clear error naming the feature: filtered fractal
 heaps, huge/tiny heap objects, nested indirect blocks, paged
 fixed-array / extensible-array blocks (> 2^page_bits chunks per
@@ -64,6 +70,7 @@ _M_FILLVALUE = 0x0005
 _M_LAYOUT = 0x0008
 _M_FILTERS = 0x000B
 _M_ATTRIBUTE = 0x000C
+_M_AINFO = 0x0015
 _M_CONTINUATION = 0x0010
 _M_SYMBOL_TABLE = 0x0011
 
@@ -629,41 +636,35 @@ def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
         msgs.append(mk(_M_LAYOUT, lay))
 
 
-def _emit_dense_links(w: "_W", items: list[tuple[str, int]]):
-    """Emit dense link storage for a group: a fractal heap holding one
-    serialized Link message per (name, object-header address) pair, plus
-    the name-index v2 B-tree (record type 5: jenkins name hash + 7-byte
-    managed heap ID).  Small heaps get a root DIRECT block; heaps that
-    outgrow one block get a root INDIRECT block whose doubling-table
-    rows (width 4, 512-byte start, doubling from row 2) hold the direct
-    blocks — both shapes libhdf5 writes, so both reader paths are
-    exercised.  Returns (fractal_heap_addr, name_btree_addr)."""
-    bodies = []
-    for n, a in items:
-        nb = n.encode()
-        bodies.append(struct.pack("<BBB", 1, 0, len(nb)) + nb
-                      + struct.pack("<Q", a))
-    OFF_SZ, LEN_SZ, WIDTH, START, MAXD = 4, 2, 4, 512, 65536
-    db_hdr = 4 + 1 + 8 + OFF_SZ + 4          # sig ver haddr boff cksum
+def _emit_fractal_heap(w: "_W", objects: list[bytes],
+                       off_sz: int, len_sz: int):
+    """Emit a fractal heap holding `objects` as managed objects.  Small
+    heaps get a root DIRECT block; heaps that outgrow one block get a
+    root INDIRECT block whose doubling-table rows (width 4, 512-byte
+    start, doubling from row 2) hold the direct blocks — both shapes
+    libhdf5 writes, so both reader paths are exercised.  Returns
+    (heap_header_addr, [(heap_off, len) per object])."""
+    WIDTH, START, MAXD = 4, 512, 65536
+    db_hdr = 4 + 1 + 8 + off_sz + 4          # sig ver haddr boff cksum
 
     def row_size(r: int) -> int:
         return START if r < 2 else START << (r - 1)
 
     # greedy packing in doubling-table order; ids are heap-space offsets
-    blocks: list[tuple[int, int, list[tuple[int, bytes]]]] = []
+    blocks: list[tuple[int, int, list[bytes]]] = []
     ids: list[tuple[int, int]] = []
     heap_off, bi, idx, free = 0, 0, 0, 0
-    while idx < len(bodies):
+    while idx < len(objects):
         size = row_size(bi // WIDTH)
         if size > MAXD:
-            raise NotImplementedError("dense-link fixture exceeds the "
+            raise NotImplementedError("dense fixture exceeds the "
                                       "writer's direct-row capacity")
         objs, cur = [], heap_off + db_hdr
-        while idx < len(bodies) and \
-                cur + len(bodies[idx]) <= heap_off + size:
-            objs.append((cur, bodies[idx]))
-            ids.append((cur, len(bodies[idx])))
-            cur += len(bodies[idx])
+        while idx < len(objects) and \
+                cur + len(objects[idx]) <= heap_off + size:
+            objs.append(objects[idx])
+            ids.append((cur, len(objects[idx])))
+            cur += len(objects[idx])
             idx += 1
         free += heap_off + size - cur
         blocks.append((heap_off, size, objs))
@@ -674,20 +675,22 @@ def _emit_dense_links(w: "_W", items: list[tuple[str, int]]):
     for boff, size, objs in blocks:
         db = bytearray(struct.pack("<4sB", b"FHDB", 0))
         db += struct.pack("<Q", 0)                      # haddr (patched)
-        db += boff.to_bytes(OFF_SZ, "little")
+        db += boff.to_bytes(off_sz, "little")
         db += b"\x00\x00\x00\x00"                       # cksum (patched)
-        for _ooff, body in objs:                 # packed sequentially
+        for body in objs:                    # packed sequentially
             db += body
         db += b"\x00" * (size - len(db))
         db_addrs.append(w.add(bytes(db)))
 
-    if len(blocks) == 1:
+    if not blocks:
+        root_addr, cur_rows, ib_at = _UNDEF, 0, None
+    elif len(blocks) == 1:
         root_addr, cur_rows, ib_at = db_addrs[0], 0, None
     else:
         cur_rows = -(-len(blocks) // WIDTH)
         ib = bytearray(struct.pack("<4sB", b"FHIB", 0))
         ib += struct.pack("<Q", 0)                       # haddr (patched)
-        ib += (0).to_bytes(OFF_SZ, "little")
+        ib += (0).to_bytes(off_sz, "little")
         for i in range(cur_rows * WIDTH):
             ib += struct.pack("<Q", db_addrs[i]
                               if i < len(db_addrs) else _UNDEF)
@@ -696,17 +699,18 @@ def _emit_dense_links(w: "_W", items: list[tuple[str, int]]):
         root_addr = ib_at
 
     frhp = bytearray(struct.pack("<4sB", b"FRHP", 0))
-    frhp += struct.pack("<HHB", 1 + OFF_SZ + LEN_SZ, 0, 0x02)
-    frhp += struct.pack("<I", MAXD // 16)        # max managed obj size
+    frhp += struct.pack("<HHB", 1 + off_sz + len_sz, 0, 0x02)
+    frhp += struct.pack("<I", min(MAXD // 16,
+                                  (1 << (8 * len_sz)) - 1))
     frhp += struct.pack("<QQ", 0, _UNDEF)        # next huge id, huge bt
     frhp += struct.pack("<QQ", free, _UNDEF)     # free space, fs mgr
     frhp += struct.pack("<QQ", heap_off, heap_off)   # man space, alloc
     frhp += struct.pack("<Q", heap_off)          # dblock iterator offset
-    frhp += struct.pack("<Q", len(bodies))       # n managed objects
+    frhp += struct.pack("<Q", len(objects))      # n managed objects
     frhp += struct.pack("<QQQQ", 0, 0, 0, 0)     # huge/tiny sizes+counts
     frhp += struct.pack("<H", WIDTH)
     frhp += struct.pack("<QQ", START, MAXD)      # start, max direct
-    frhp += struct.pack("<HH", 8 * OFF_SZ, 1)    # max heap bits, srows
+    frhp += struct.pack("<HH", 8 * off_sz, 1)    # max heap bits, srows
     frhp += struct.pack("<Q", root_addr)
     frhp += struct.pack("<H", cur_rows)
     frhp += struct.pack("<I", jenkins_lookup3(bytes(frhp)))
@@ -714,36 +718,80 @@ def _emit_dense_links(w: "_W", items: list[tuple[str, int]]):
 
     for (boff, size, _objs), at in zip(blocks, db_addrs):
         w.patch_u64(at + 5, fh_at)
-        cat = 13 + OFF_SZ
+        cat = 13 + off_sz
         blk = bytearray(w.buf[at:at + size])
         blk[cat:cat + 4] = b"\x00\x00\x00\x00"
         struct.pack_into("<I", w.buf, at + cat, jenkins_lookup3(bytes(blk)))
     if ib_at is not None:
         w.patch_u64(ib_at + 5, fh_at)
-        end = 13 + OFF_SZ + 8 * cur_rows * WIDTH
+        end = 13 + off_sz + 8 * cur_rows * WIDTH
         struct.pack_into("<I", w.buf, ib_at + end,
                          jenkins_lookup3(bytes(w.buf[ib_at:ib_at + end])))
+    return fh_at, ids
 
-    # ---- name-index v2 B-tree, record type 5, single leaf
-    RREC, NODE = 4 + 1 + OFF_SZ + LEN_SZ, 2048
-    if len(items) > (NODE - 10) // RREC:
-        raise NotImplementedError("dense-link fixture exceeds one leaf")
+
+def _emit_btree2_leaf(w: "_W", records: list[bytes], btype: int):
+    """Emit a single-leaf v2 B-tree of fixed-size `records` (already
+    hash-sorted).  Returns the BTHD header address."""
+    rrec = len(records[0]) if records else 8
+    NODE = 2048
+    if len(records) > (NODE - 10) // rrec:
+        raise NotImplementedError("dense fixture exceeds one leaf")
+    leaf = bytearray(struct.pack("<4sBB", b"BTLF", 0, btype))
+    for r in records:
+        leaf += r
+    leaf += struct.pack("<I", jenkins_lookup3(bytes(leaf)))
+    leaf_at = w.add(bytes(leaf))
+    hdr = bytearray(struct.pack("<4sBB", b"BTHD", 0, btype))
+    hdr += struct.pack("<IHH", NODE, rrec, 0)
+    hdr += struct.pack("<BB", 100, 40)           # split / merge percents
+    hdr += struct.pack("<QHQ", leaf_at, len(records), len(records))
+    hdr += struct.pack("<I", jenkins_lookup3(bytes(hdr)))
+    return w.add(bytes(hdr))
+
+
+def _emit_dense_links(w: "_W", items: list[tuple[str, int]]):
+    """Dense link storage for a group: a fractal heap holding one
+    serialized Link message per (name, object-header address) pair,
+    plus the name-index v2 B-tree (record type 5: jenkins name hash +
+    7-byte managed heap ID).  Returns (fractal_heap_addr,
+    name_btree_addr)."""
+    OFF_SZ, LEN_SZ = 4, 2
+    bodies = []
+    for n, a in items:
+        nb = n.encode()
+        bodies.append(struct.pack("<BBB", 1, 0, len(nb)) + nb
+                      + struct.pack("<Q", a))
+    fh_at, ids = _emit_fractal_heap(w, bodies, OFF_SZ, LEN_SZ)
     recs = sorted(
         (jenkins_lookup3(n.encode()), off, ln)
         for (n, _a), (off, ln) in zip(items, ids))
-    leaf = bytearray(struct.pack("<4sBB", b"BTLF", 0, 5))
-    for h, off, ln in recs:
-        leaf += struct.pack("<I", h) + b"\x00" \
-            + off.to_bytes(OFF_SZ, "little") + ln.to_bytes(LEN_SZ, "little")
-    leaf += struct.pack("<I", jenkins_lookup3(bytes(leaf)))
-    leaf_at = w.add(bytes(leaf))
-    hdr = bytearray(struct.pack("<4sBB", b"BTHD", 0, 5))
-    hdr += struct.pack("<IHH", NODE, RREC, 0)
-    hdr += struct.pack("<BB", 100, 40)           # split / merge percents
-    hdr += struct.pack("<QHQ", leaf_at, len(recs), len(recs))
-    hdr += struct.pack("<I", jenkins_lookup3(bytes(hdr)))
-    bt_at = w.add(bytes(hdr))
-    return fh_at, bt_at
+    records = [struct.pack("<I", h) + b"\x00"
+               + off.to_bytes(OFF_SZ, "little")
+               + ln.to_bytes(LEN_SZ, "little")
+               for h, off, ln in recs]
+    return fh_at, _emit_btree2_leaf(w, records, 5)
+
+
+def _emit_dense_attrs(w: "_W", attrs: list[tuple[str, bytes]]):
+    """Dense attribute storage for one object: a fractal heap of v3
+    Attribute message bodies plus the name-index v2 B-tree (record
+    type 8: 8-byte heap ID + message flags + creation order + name
+    hash).  Returns (fractal_heap_addr, name_btree_addr) for the
+    Attribute Info message."""
+    OFF_SZ, LEN_SZ = 4, 3                    # 1 + 4 + 3 = 8-byte heap ID
+    bodies = [b for _n, b in attrs]
+    fh_at, ids = _emit_fractal_heap(w, bodies, OFF_SZ, LEN_SZ)
+    recs = sorted(
+        (jenkins_lookup3(n.encode()), i, off, ln)
+        for i, ((n, _b), (off, ln)) in enumerate(zip(attrs, ids)))
+    records = [b"\x00" + off.to_bytes(OFF_SZ, "little")
+               + ln.to_bytes(LEN_SZ, "little")
+               + b"\x00"                      # message flags: not shared
+               + struct.pack("<I", i)          # creation order
+               + struct.pack("<I", h)
+               for h, i, off, ln in recs]
+    return fh_at, _emit_btree2_leaf(w, records, 8)
 
 
 def write_netcdf4(path: str, variables: dict, dims: dict,
@@ -751,7 +799,7 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
                   chunks: tuple[int, int] | None = None,
                   compress: bool = True, libver: str = "earliest",
                   chunk_index: str = "btree1", bt2_node_size: int = 2048,
-                  link_storage: str = "auto"):
+                  link_storage: str = "auto", attr_storage: str = "auto"):
     """Write a NetCDF-4 (HDF5) file.
 
     variables: name -> (np.ndarray, dim_name_tuple, attr_dict); 1D variables
@@ -782,6 +830,11 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
     if link_storage == "dense" and libver != "latest":
         raise ValueError("dense link storage requires libver='latest' "
                          "(old-format groups always use symbol tables)")
+    if attr_storage not in ("auto", "compact", "dense"):
+        raise ValueError(f"attr_storage {attr_storage!r}")
+    if attr_storage == "dense" and libver != "latest":
+        raise ValueError("dense attribute storage requires "
+                         "libver='latest'")
     V2 = libver == "latest"
     mk = _msg2 if V2 else _msg
     w = _W()
@@ -791,6 +844,22 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
 
     def amsg(an, dt_body, ds_body, data):
         return mk(_M_ATTRIBUTE, _attr_body(an, dt_body, ds_body, data, V2))
+
+    def attr_msgs(aparts):
+        """Attribute messages for one object: compact Attribute messages,
+        or — above libhdf5's 8-attribute phase change under latest bounds
+        (or when forced) — dense storage: a fractal heap of v3 bodies +
+        name-index v2 B-tree, referenced by ONE Attribute Info message."""
+        dense = V2 and aparts and (
+            attr_storage == "dense"
+            or (attr_storage == "auto" and len(aparts) > 8))
+        if not dense:
+            return [amsg(*p) for p in aparts]
+        bodies = [(an, _attr_body(an, dt, ds, data, True))
+                  for an, dt, ds, data in aparts]
+        fh_at, bt_at = _emit_dense_attrs(w, bodies)
+        ai = struct.pack("<BB", 0, 0) + struct.pack("<QQ", fh_at, bt_at)
+        return [mk(_M_AINFO, ai)]
 
     def pad(b: bytes) -> bytes:
         return b if V2 else _pad8(b)
@@ -825,31 +894,33 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
                 mk(_M_FILLVALUE, struct.pack("<BBBB", 2, 1, 0, 0))]
         _emit_data_and_layout(w, arr, chunks, compress, msgs, mk,
                               chunk_index, bt2_node_size)
+        aparts = []                           # (name, dt, ds, data)
         if n in dims:
-            msgs.append(amsg("CLASS", _encode_string_dtype(16),
-                             _dataspace_body((), V2),
-                             b"DIMENSION_SCALE\x00"))
-            msgs.append(amsg("NAME", _encode_string_dtype(len(n) + 1),
-                             _dataspace_body((), V2),
-                             pad(n.encode() + b"\x00")))
+            aparts.append(("CLASS", _encode_string_dtype(16),
+                           _dataspace_body((), V2),
+                           b"DIMENSION_SCALE\x00"))
+            aparts.append(("NAME", _encode_string_dtype(len(n) + 1),
+                           _dataspace_body((), V2),
+                           pad(n.encode() + b"\x00")))
         for an, av in (attrs or {}).items():
             if isinstance(av, str):
                 ab = av.encode() + b"\x00"
-                msgs.append(amsg(an, _encode_string_dtype(len(ab)),
-                                 _dataspace_body((), V2), pad(ab)))
+                aparts.append((an, _encode_string_dtype(len(ab)),
+                               _dataspace_body((), V2), pad(ab)))
             else:
                 a = np.atleast_1d(np.asarray(av))
                 shp = () if np.isscalar(av) or np.asarray(av).ndim == 0 \
                     else a.shape
-                msgs.append(amsg(an, _encode_dtype(a.dtype),
-                                 _dataspace_body(shp, V2),
-                                 pad(a.tobytes())))
+                aparts.append((an, _encode_dtype(a.dtype),
+                               _dataspace_body(shp, V2),
+                               pad(a.tobytes())))
         if dim_names and n not in dims:
             data = b"".join(struct.pack("<IQI", 1, gcol_addr,
                                         slots[(n, j)])
                             for j in range(len(dim_names)))
-            msgs.append(amsg("DIMENSION_LIST", _encode_vlen_of_ref_dtype(),
-                             _dataspace_body((len(dim_names),), V2), data))
+            aparts.append(("DIMENSION_LIST", _encode_vlen_of_ref_dtype(),
+                           _dataspace_body((len(dim_names),), V2), data))
+        msgs += attr_msgs(aparts)
         oh_addr[n] = w.add(_object_header_v2(msgs) if V2
                            else _object_header(msgs))
 
@@ -878,11 +949,12 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
         emit_dataset(n, gcol_addr, slots)
 
     # ---- root group
-    root_attr_msgs = []
+    root_aparts = []
     for an, av in (global_attrs or {}).items():
         ab = str(av).encode() + b"\x00"
-        root_attr_msgs.append(amsg(an, _encode_string_dtype(len(ab)),
-                                   _dataspace_body((), V2), pad(ab)))
+        root_aparts.append((an, _encode_string_dtype(len(ab)),
+                            _dataspace_body((), V2), pad(ab)))
+    root_attr_msgs = attr_msgs(root_aparts)
     if V2 and (link_storage == "dense"
                or (link_storage == "auto" and len(names) > 8)):
         # dense links: fractal heap of Link messages + name-index v2
@@ -1130,6 +1202,8 @@ class NetCDF4:
             elif mtype == _M_ATTRIBUTE:
                 n, v = self._parse_attr(body)
                 into_attrs[n] = v
+            elif mtype == _M_AINFO:
+                into_attrs.update(self._dense_attrs(body))
         return links
 
     def _dense_links(self, fheap_at: int, name_bt_at: int):
@@ -1149,6 +1223,29 @@ class NetCDF4:
         for p in recs:
             hid = bytes(self.buf[p + 4:p + rrec])
             out.append(self._parse_link(self._fheap_locate(heap, hid)))
+        return out
+
+    def _dense_attrs(self, body: int) -> dict:
+        """Dense attribute storage (Attribute Info message, spec
+        IV.A.2.v): libhdf5 switches an object to dense storage above 8
+        attributes — v3 Attribute message bodies live in a fractal heap
+        indexed by a v2 B-tree of record type 8 (8-byte heap ID +
+        message flags + creation order + name hash)."""
+        flags = self.buf[body + 1]
+        q = body + 2 + (2 if flags & 0x01 else 0)
+        fheap, name_bt = struct.unpack_from("<QQ", self.buf, q)
+        out: dict = {}
+        if fheap == _UNDEF or name_bt == _UNDEF:
+            return out
+        heap = self._fractal_heap(fheap)
+        _btype, rrec, recs = self._iter_btree2_raw(name_bt, (8,))
+        hid_len = rrec - 9                    # flags(1) corder(4) hash(4)
+        for p in recs:
+            if self.buf[p + hid_len] & 0x01:
+                raise NotImplementedError("shared dense attribute")
+            hid = bytes(self.buf[p:p + hid_len])
+            n, v = self._parse_attr(self._fheap_locate(heap, hid))
+            out[n] = v
         return out
 
     def _fractal_heap(self, at: int):
@@ -1449,6 +1546,8 @@ class NetCDF4:
             elif mtype == _M_ATTRIBUTE:
                 n, v = self._parse_attr(body)
                 d.attrs[n] = v
+            elif mtype == _M_AINFO:
+                d.attrs.update(self._dense_attrs(body))
 
     def _parse_layout_v4(self, body: int):
         """Version-4 chunked data layout (what latest-bounds libhdf5 writes

@@ -84,6 +84,7 @@ class TestRoundtripProperty:
                st.randoms(use_true_random=False))
         def prop(ny, nx, cy, cx, dt, compress, libver, chunk_index,
                  link_storage, rnd):
+            # the sampled storage mode drives BOTH link and attr storage
             box["i"] += 1
             p = str(tmp_path / f"p{box['i']}.nc")
             rng = np.random.default_rng(rnd.randrange(2**31))
@@ -106,7 +107,8 @@ class TestRoundtripProperty:
                           chunks=(min(cy, ny), min(cx, nx)),
                           compress=compress, libver=libver,
                           chunk_index=chunk_index,
-                          link_storage=link_storage)
+                          link_storage=link_storage,
+                          attr_storage=link_storage)
             nc = NetCDF4(p)
             assert np.array_equal(nc.read("v"), arr)
             assert nc.variables["v"].dim_names == ("y", "x")
@@ -620,3 +622,73 @@ class TestDenseLinkStorage:
         open(p, "wb").write(bytes(buf))
         with pytest.raises(ValueError, match=exc):
             NetCDF4(p)
+
+
+class TestDenseAttributeStorage:
+    """Dense attribute storage (Attribute Info message + fractal heap of
+    v3 Attribute bodies + name-index v2 B-tree record type 8): libhdf5
+    switches an object to dense above 8 attributes — common for global
+    attrs on real NetCDF-4 products (CF conventions metadata)."""
+
+    def _write(self, tmp_path, n_var_attrs=10, n_global=12,
+               fname="da.nc", **kw):
+        dims = {"x": 5}
+        va = {f"a{i:02d}": np.int32(i) for i in range(n_var_attrs)}
+        va["units"] = "kelvin"
+        variables = {"x": (np.arange(5.), ("x",), {}),
+                     "v": (np.arange(5.) * 2, ("x",), va)}
+        ga = {f"g{i:02d}": f"val{i}" for i in range(n_global)}
+        p = str(tmp_path / fname)
+        write_netcdf4(p, variables, dims, global_attrs=ga,
+                      libver="latest", **kw)
+        return p, va, ga
+
+    def test_auto_phase_change_roundtrip(self, tmp_path):
+        p, va, ga = self._write(tmp_path)
+        raw = open(p, "rb").read()
+        assert raw.count(b"FRHP") >= 2        # var-attr + root-attr heaps
+        nc = NetCDF4(p)
+        assert nc.attrs == ga
+        v = nc.variables["v"]
+        assert v.attrs["units"] == "kelvin"
+        for i in range(10):
+            assert int(np.atleast_1d(v.attrs[f"a{i:02d}"])[0]) == i
+        # DIMENSION_LIST itself is a dense attribute here: dims resolve
+        assert v.dim_names == ("x",)
+        assert np.array_equal(nc.read("v"), np.arange(5.) * 2)
+
+    def test_dense_equals_compact(self, tmp_path):
+        pd_, _, _ = self._write(tmp_path)
+        nc_d = NetCDF4(pd_)
+        pc_, _, _ = self._write(tmp_path, fname="ca.nc",
+                                attr_storage="compact")
+        nc_c = NetCDF4(pc_)
+        vd, vc = nc_d.variables["v"], nc_c.variables["v"]
+        assert set(vd.attrs) == set(vc.attrs)
+        for k in vd.attrs:
+            assert (np.atleast_1d(vd.attrs[k])
+                    == np.atleast_1d(vc.attrs[k])).all(), k
+
+    def test_compact_forced_below_phase_change(self, tmp_path):
+        p, _, _ = self._write(tmp_path, attr_storage="compact")
+        assert b"FRHP" not in open(p, "rb").read()
+        assert NetCDF4(p).variables["v"].attrs["units"] == "kelvin"
+
+    def test_dense_requires_latest(self, tmp_path):
+        with pytest.raises(ValueError, match="latest"):
+            write_netcdf4(str(tmp_path / "x.nc"),
+                          {"v": (np.zeros(4), ("x",), {})},
+                          dims={"x": 4}, libver="earliest",
+                          attr_storage="dense")
+
+    def test_fillvalue_via_dense_attrs(self, tmp_path):
+        # nodata resolution must see a densely-stored _FillValue
+        dims = {"x": 4}
+        va = {f"b{i}": np.int32(i) for i in range(9)}
+        va["_FillValue"] = np.float64(-9.5)
+        variables = {"x": (np.arange(4.), ("x",), {}),
+                     "v": (np.arange(4.), ("x",), va)}
+        p = str(tmp_path / "fv.nc")
+        write_netcdf4(p, variables, dims, libver="latest")
+        assert b"FRHP" in open(p, "rb").read()
+        assert NetCDF4(p).variables["v"].nodata == -9.5
