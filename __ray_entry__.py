@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": R.docs_pii_scrub,
         "embed_cell_assign": R.embed_cell_assign,
         "embed_semantic_dedup": R.embed_semantic_dedup,
+        "events_user_argmax": R.events_user_argmax,
+        "events_daily_active_users": R.events_daily_active_users,
+        "embed_norm_buckets": R.embed_norm_buckets,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -169,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # queries would never enter the window).  Append new round-5 oracled keys
 # to the TOP of this list.
 _WINDOW_PRIORITY = [
+    # round 5
+    "events_user_argmax", "events_daily_active_users",
+    "embed_norm_buckets",
     # round 4 (never recorded by the driver)
     "embed_semantic_dedup", "embed_cell_assign", "docs_pii_scrub",
     "docs_dedup_survivors", "events_user_anomalies", "events_cell_dwell",
@@ -990,6 +996,35 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_scrub": _pii_sql(),
         "embed_cell_assign": _embed_cell_assign_sql(),
         "embed_semantic_dedup": _semantic_dedup_sql(),
+        "events_user_argmax": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(max(pk) // 1099511627776 AS BIGINT) AS max_cents,
+                   CAST(1099511627775 - max(pk) % 1099511627776 AS BIGINT)
+                       AS event_id
+            FROM (SELECT user_id,
+                         CAST(round(value * 100) AS BIGINT)
+                             * 1099511627776
+                             + (1099511627775 - event_id) AS pk
+                  FROM events)
+            GROUP BY 1""",
+        "events_daily_active_users": """
+            SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                       AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1""",
+        "embed_norm_buckets": """
+            SELECT CAST(n2 // 50000 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+            FROM (SELECT vec_id,
+                         SUM(CAST(floor(CAST(u AS DOUBLE) * 1000 + 0.5)
+                                  AS BIGINT)
+                             * CAST(floor(CAST(u AS DOUBLE) * 1000 + 0.5)
+                                    AS BIGINT)) AS n2
+                  FROM (SELECT vec_id, unnest(embedding) AS u
+                        FROM embeddings)
+                  GROUP BY vec_id)
+            GROUP BY 1""",
         "docs_dedup_survivors":
             "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS norm FROM documents), "

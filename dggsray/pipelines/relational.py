@@ -4356,3 +4356,108 @@ def embed_semantic_dedup(sf_dir: str, tau_permille: int = 350):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     return semantic_dedup(ds, tau_permille=tau_permille)
+
+
+# ---------------------------------------------------------------------------
+# round-5 oracled queries
+# ---------------------------------------------------------------------------
+
+def events_user_argmax(sf_dir: str):
+    """Per-user argmax (the grouped window shape SELECT-the-row-with-the-
+    max-value): the winning event per user, ties broken to the SMALLEST
+    event_id.  One combiner-first shuffle: each block packs (cents,
+    inverted event_id) into one int64 — pk = cents * 2^40 + (2^40-1 -
+    event_id), exact because cents < 2^17 and event_id < 2^40 — takes
+    the per-block max per user, and a keyed Max aggregate finishes; the
+    winner unpacks WITHOUT a join-back.  Output: (user_id, max_cents,
+    event_id)."""
+    from ray.data.aggregate import Max
+
+    from ..ops.joins import sized_groupby
+
+    SHIFT = 1 << 40
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        eid = b.column("event_id").to_numpy().astype(np.int64)
+        pk = cents * SHIFT + (SHIFT - 1 - eid)
+        t = pa.table({"user_id": pc.cast(b.column("user_id"), pa.int64()),
+                      "_pk": pa.array(pk)})
+        g = t.group_by("user_id").aggregate([("_pk", "max")])
+        return g.rename_columns(["user_id", "_pk"])
+
+    agg = sized_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                        "user_id", Max("_pk", alias_name="_pk"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b.column("_pk").to_numpy()
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "max_cents": pa.array(pk // SHIFT),
+            "event_id": pa.array(SHIFT - 1 - pk % SHIFT)})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def events_daily_active_users(sf_dir: str):
+    """Exact daily-active-users: COUNT(DISTINCT user_id) per UTC day.
+    Day key is integer epoch-days (floor(epoch_us / 86.4e9) — exact and
+    engine-portable).  Two combiner-first exchanges, both bounded by
+    DISTINCT (day, user) pairs, never event rows: per-block pair dedup
+    -> keyed dedup shuffle -> per-block day partials -> tiny day fold.
+    Output: (day, n_users)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.joins import lowcard_groupby, sized_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy()
+        day = us // 86_400_000_000
+        t = pa.table({"day": pa.array(day),
+                      "user_id": pc.cast(b.column("user_id"), pa.int64())})
+        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        return g.select(["day", "user_id"])
+
+    distinct = sized_groupby(ds.map_batches(pairs, batch_format="pyarrow"),
+                             ["day", "user_id"],
+                             Count(alias_name="_n"))
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["day"]).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "_u"])
+
+    return lowcard_groupby(
+        distinct.map_batches(day_partial, batch_format="pyarrow"),
+        "day", Sum("_u", alias_name="n_users"))
+
+
+def embed_norm_buckets(sf_dir: str, bucket_width: int = 50_000):
+    """Histogram of embedding L2 norms under the milli-unit integer
+    contract: n2 = sum(w^2) with w = floor(x*1000 + 0.5) (exact int64),
+    bucket = n2 // bucket_width.  Vectorized per batch (one stacked
+    square-sum, no per-row loop), combiner-first fold on the tiny bucket
+    key.  Output: (bucket, n_vectors, min_vec_id)."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..ops.joins import lowcard_groupby
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False))
+        W = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        n2 = (W * W).sum(axis=1)
+        t = pa.table({"bucket": pa.array(n2 // bucket_width),
+                      "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+                      "_one": pa.array(np.ones(len(n2), np.int64))})
+        g = t.group_by("bucket").aggregate([("_one", "sum"),
+                                            ("vec_id", "min")])
+        return g.rename_columns(["bucket", "_n", "_mv"])
+
+    return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           "bucket", Sum("_n", alias_name="n_vectors"),
+                           Min("_mv", alias_name="min_vec_id"))

@@ -1,0 +1,92 @@
+"""Round-5 oracled query additions: per-user argmax (grouped-window
+shape, packed-key tie-break), exact daily-active-users, and the
+embedding-norm histogram under the milli-unit integer contract.  Each
+pinned against direct DuckDB computation at sf0.001."""
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+class TestEventsUserArgmax:
+    def test_matches_duckdb_row_number(self, ray_session):
+        from dggsray.pipelines.relational import events_user_argmax
+        out = events_user_argmax(SF).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        con = _con()
+        ref = con.sql(
+            "SELECT CAST(user_id AS BIGINT) u, "
+            "CAST(round(value*100) AS BIGINT) c, "
+            "CAST(event_id AS BIGINT) e FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY round(value*100) DESC, event_id ASC) = 1 "
+            "ORDER BY 1").df()
+        assert out.user_id.tolist() == ref.u.tolist()
+        assert out.max_cents.tolist() == ref.c.tolist()
+        assert out.event_id.tolist() == ref.e.tolist()
+        assert len(out) > 10
+
+    def test_tie_breaks_to_smallest_event_id(self, ray_session):
+        # duplicate max cents for a user must pick the smaller event_id
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dggsray.pipelines.relational import events_user_argmax
+        import tempfile
+        import pyarrow.parquet as pq
+        with tempfile.TemporaryDirectory() as tmp:
+            pq.write_table(pa.table({
+                "event_id": pa.array([5, 3, 9], pa.int64()),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "value": pa.array([7.0, 7.0, 1.0])}),
+                f"{tmp}/events.parquet")
+            out = events_user_argmax(tmp).to_pandas()
+        assert out.event_id.tolist() == [3]
+        assert out.max_cents.tolist() == [700]
+
+
+class TestDailyActiveUsers:
+    def test_matches_duckdb(self, ray_session):
+        from dggsray.pipelines.relational import events_daily_active_users
+        out = events_daily_active_users(SF).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        con = _con()
+        ref = con.sql(
+            "SELECT CAST(floor(epoch_us(ts)/86400000000) AS BIGINT) d, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) n FROM events "
+            "GROUP BY 1 ORDER BY 1").df()
+        assert out.day.tolist() == ref.d.tolist()
+        assert out.n_users.tolist() == ref.n.tolist()
+        assert len(out) > 1
+
+
+class TestEmbedNormBuckets:
+    def test_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from dggsray.pipelines.relational import embed_norm_buckets
+        out = embed_norm_buckets(SF).to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        emb = np.stack(t.column("embedding").to_numpy(
+            zero_copy_only=False))
+        W = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        n2 = (W * W).sum(1)
+        b = n2 // 50_000
+        ids = t.column("vec_id").to_numpy()
+        exp = {}
+        for bb in np.unique(b):
+            m = b == bb
+            exp[int(bb)] = (int(m.sum()), int(ids[m].min()))
+        got = {int(r.bucket): (int(r.n_vectors), int(r.min_vec_id))
+               for r in out.itertuples()}
+        assert got == exp
