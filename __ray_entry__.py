@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_argmax": R.events_user_argmax,
         "events_daily_active_users": R.events_daily_active_users,
         "embed_norm_buckets": R.embed_norm_buckets,
+        "cell_neighbor_smooth": R.cell_neighbor_smooth,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -173,8 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # to the TOP of this list.
 _WINDOW_PRIORITY = [
     # round 5
-    "events_user_argmax", "events_daily_active_users",
-    "embed_norm_buckets",
+    "cell_neighbor_smooth", "events_user_argmax",
+    "events_daily_active_users", "embed_norm_buckets",
     # round 4 (never recorded by the driver)
     "embed_semantic_dedup", "embed_cell_assign", "docs_pii_scrub",
     "docs_dedup_survivors", "events_user_anomalies", "events_cell_dwell",
@@ -471,6 +472,33 @@ def _embed_cell_assign_sql(res: int = 1) -> str:
         "CAST(dist AS BIGINT) AS dist_e12 FROM d "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY dist ASC, cell ASC) = 1")
+
+
+def _cell_neighbor_smooth_sql(res: int = 3) -> str:
+    """Mirror of relational.cell_neighbor_smooth: same planar (gx, gy)
+    arithmetic from the closed-form projection, 3x3 neighbourhood with
+    horizontal wrap over the four equatorial faces."""
+    from dggsray.oracle import F, lonlat_sql, planar_xy_sql
+
+    side = 3 ** res
+    total = 4 * side
+    w = F / side
+    lon, lat = lonlat_sql("k")
+    x, y = planar_xy_sql(lon, lat)
+    return f"""
+        WITH pts AS (
+            SELECT CAST(floor((({x}) + {2 * F!r}) / {w!r}) AS BIGINT) gx,
+                   CAST(floor(({F / 2!r} - ({y})) / {w!r}) AS BIGINT) gy
+            FROM (SELECT CAST(c_custkey AS BIGINT) k FROM customer)),
+        cells AS (
+            SELECT gx, gy, CAST(COUNT(*) AS BIGINT) n
+            FROM pts GROUP BY 1, 2)
+        SELECT c.gx AS gx, c.gy AS gy, c.n AS n_cell,
+               CAST(SUM(d.n) AS BIGINT) AS n_neighborhood
+        FROM cells c JOIN cells d
+          ON ((d.gx - c.gx + {total}) % {total}) IN (0, 1, {total - 1})
+         AND abs(d.gy - c.gy) <= 1
+        GROUP BY 1, 2, 3"""
 
 
 def _semantic_dedup_sql(tau: int = 350) -> str:
@@ -996,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_scrub": _pii_sql(),
         "embed_cell_assign": _embed_cell_assign_sql(),
         "embed_semantic_dedup": _semantic_dedup_sql(),
+        "cell_neighbor_smooth": _cell_neighbor_smooth_sql(),
         "events_user_argmax": """
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    CAST(max(pk) // 1099511627776 AS BIGINT) AS max_cents,

@@ -4461,3 +4461,69 @@ def embed_norm_buckets(sf_dir: str, bucket_width: int = 50_000):
     return lowcard_groupby(ds.map_batches(partial, batch_format="pyarrow"),
                            "bucket", Sum("_n", alias_name="n_vectors"),
                            Min("_mv", alias_name="min_vec_id"))
+
+
+def cell_neighbor_smooth(sf_dir: str, res: int = 3):
+    """3x3 cell-neighborhood smoothing over the customer point cloud —
+    the spatial-join shape of the north star (each cell aggregated with
+    its ring-1 neighbours): per cell at resolution `res`, the customer
+    count of the cell and of its 3x3 equatorial neighbourhood
+    (horizontal wrap across the four equatorial faces; |lat| <= 35
+    derived points sit > 1 cell from the polar edge for res >= 3, so no
+    vertical face crossing exists).  Combiner-first: per-block (gx, gy)
+    partials -> one keyed fold -> a 9-way neighbour scatter of the TINY
+    cell table -> keyed fold -> broadcast/hash join back to occupied
+    cells.  Output: (gx, gy, n_cell, n_neighborhood)."""
+    from ray.data.aggregate import Sum
+
+    from ..core.rhpx import F, project_fwd
+    from ..ops.joins import adaptive_join, sized_groupby
+
+    side = 3 ** res
+    total = 4 * side
+    w = F / side
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy().astype(np.int64)
+        lon, lat = derived_lonlat(k)
+        x, y = project_fwd(lon, lat)
+        gx = np.floor((x + 2 * F) / w).astype(np.int64)
+        gy = np.floor((F / 2 - y) / w).astype(np.int64)
+        t = pa.table({"gx": pa.array(gx), "gy": pa.array(gy)})
+        g = t.group_by(["gx", "gy"]).aggregate([([], "count_all")])
+        return g.rename_columns(["gx", "gy", "_n"])
+
+    cells = sized_groupby(ds.map_batches(pts, batch_format="pyarrow"),
+                          ["gx", "gy"], Sum("_n", alias_name="n_cell"))
+
+    def scatter(b: pa.Table) -> pa.Table:
+        gx = b.column("gx").to_numpy()
+        gy = b.column("gy").to_numpy()
+        n = b.column("n_cell").to_numpy()
+        ks, ns = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ny = gy + dy
+                ok = (ny >= 0) & (ny < side)
+                nx = (gx[ok] + dx) % total
+                ks.append(nx * 65536 + ny[ok])
+                ns.append(n[ok])
+        t = pa.table({"key": pa.array(np.concatenate(ks)),
+                      "_s": pa.array(np.concatenate(ns))})
+        g = t.group_by("key").aggregate([("_s", "sum")])
+        return g.rename_columns(["key", "_s"])
+
+    nb = sized_groupby(cells.map_batches(scatter, batch_format="pyarrow"),
+                       "key", Sum("_s", alias_name="n_neighborhood"))
+
+    keyed = cells.map_batches(
+        lambda b: b.append_column(
+            "key", pa.array(b.column("gx").to_numpy() * 65536
+                            + b.column("gy").to_numpy())),
+        batch_format="pyarrow")
+    out = adaptive_join(keyed, nb, on="key")
+    return out.map_batches(
+        lambda b: b.select(["gx", "gy", "n_cell", "n_neighborhood"]),
+        batch_format="pyarrow")

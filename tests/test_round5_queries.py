@@ -90,3 +90,40 @@ class TestEmbedNormBuckets:
         got = {int(r.bucket): (int(r.n_vectors), int(r.min_vec_id))
                for r in out.itertuples()}
         assert got == exp
+
+
+class TestCellNeighborSmooth:
+    def test_neighborhood_equals_brute_force(self, ray_session):
+        """3x3 smoothing must equal a driver-side brute force over the
+        same (gx, gy) keys, including the horizontal equatorial wrap."""
+        import pyarrow.parquet as pq
+
+        from dggsray.core.rhpx import F, project_fwd
+        from dggsray.pipelines.relational import (cell_neighbor_smooth,
+                                                  derived_lonlat)
+        res = 3
+        side, total, w = 3 ** res, 4 * 3 ** res, F / 3 ** res
+        out = cell_neighbor_smooth(SF, res=res).to_pandas() \
+            .sort_values(["gx", "gy"]).reset_index(drop=True)
+        k = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]) \
+            .column("c_custkey").to_numpy().astype(np.int64)
+        lon, lat = derived_lonlat(k)
+        x, y = project_fwd(lon, lat)
+        gx = np.floor((x + 2 * F) / w).astype(np.int64)
+        gy = np.floor((F / 2 - y) / w).astype(np.int64)
+        from collections import Counter
+        cnt = Counter(zip(gx.tolist(), gy.tolist()))
+        exp = {}
+        for (cx, cy), n in cnt.items():
+            s = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    s += cnt.get(((cx + dx) % total, cy + dy), 0)
+            exp[(cx, cy)] = (n, s)
+        got = {(int(r.gx), int(r.gy)): (int(r.n_cell),
+                                        int(r.n_neighborhood))
+               for r in out.itertuples()}
+        assert got == exp
+        assert any(v[1] > v[0] for v in got.values())   # smoothing real
+        assert (out.gy >= 0).all() and (out.gy < side).all()
+        assert (out.gx >= 0).all() and (out.gx < total).all()
