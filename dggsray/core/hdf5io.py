@@ -37,12 +37,14 @@ attributes — fractal heap of v3 Attribute bodies + name-index v2
 B-tree record type 8) is read through the same machinery, so
 many-attribute real-world objects (CF-conventions global metadata)
 resolve, including _FillValue and DIMENSION_LIST stored densely.
-Out of
-scope, raising a clear error naming the feature: filtered fractal
-heaps, huge/tiny heap objects, nested indirect blocks, paged
-fixed-array / extensible-array blocks (> 2^page_bits chunks per
-block), extensible arrays whose unlimited dimension is not the leading
-one (swizzled chunk order), and non-hard links.
+Paged
+fixed-array data blocks (> 2^page_bits chunks — any large tiled
+raster) are read with the initialized-page bitmap and per-page
+checksums validated.  Out of scope, raising a clear error naming the
+feature: filtered fractal heaps, huge/tiny heap objects, nested
+indirect blocks, paged extensible-array blocks, extensible arrays
+whose unlimited dimension is not the leading one (swizzled chunk
+order), and non-hard links.
 
 The writer exists to synthesize test fixtures (no HDF5 library can create
 them here) and emits both dialects, so every reader branch is exercised;
@@ -287,9 +289,6 @@ def _emit_v4_index(w: _W, blobs, arr, cshape, compress) -> bytes:
             body += struct.pack("<QI", len(blobs[0][1]), 0)
         return body + struct.pack("<Q", chunk_addrs[0])
     pbits = 10                              # libhdf5 default page size 2^10
-    if len(blobs) > (1 << pbits):
-        raise NotImplementedError(
-            "fixture writer: paged fixed-array data blocks")
     if compress:
         cbytes = max(len(raw) for _c, raw in blobs)
         szlen = (max(cbytes, 1).bit_length() + 7) // 8
@@ -297,18 +296,40 @@ def _emit_v4_index(w: _W, blobs, arr, cshape, compress) -> bytes:
         client = 1
     else:
         entsize, client = 8, 0
+
+    def entry(raw, a):
+        e = struct.pack("<Q", a)
+        if client == 1:
+            e += len(raw).to_bytes(szlen, "little")
+            e += struct.pack("<I", 0)       # filter mask
+        return e
+
     fahd_at = w.tell()
     fadb_at = fahd_at + 28
     fahd = b"FAHD" + struct.pack("<BBBBQQ", 0, client, entsize, pbits,
                                  len(blobs), fadb_at)
     fahd += struct.pack("<I", jenkins_lookup3(fahd))
-    fadb = b"FADB" + struct.pack("<BBQ", 0, client, fahd_at)
-    for (_c, raw), a in zip(blobs, chunk_addrs):
-        fadb += struct.pack("<Q", a)
-        if client == 1:
-            fadb += len(raw).to_bytes(szlen, "little")
-            fadb += struct.pack("<I", 0)    # filter mask
-    fadb += struct.pack("<I", jenkins_lookup3(fadb))
+    page = 1 << pbits
+    if len(blobs) <= page:
+        fadb = b"FADB" + struct.pack("<BBQ", 0, client, fahd_at)
+        for (_c, raw), a in zip(blobs, chunk_addrs):
+            fadb += entry(raw, a)
+        fadb += struct.pack("<I", jenkins_lookup3(fadb))
+    else:
+        # paged data block (> 2^page_bits chunks — any large raster):
+        # header + all-initialized page bitmap + checksum, then pages of
+        # `page` entries, EACH with its own trailing checksum
+        npages = -(-len(blobs) // page)
+        bitmap = bytearray(-(-npages // 8))
+        for i in range(npages):
+            bitmap[i >> 3] |= 1 << (i & 7)
+        fadb = b"FADB" + struct.pack("<BBQ", 0, client, fahd_at)             + bytes(bitmap)
+        fadb += struct.pack("<I", jenkins_lookup3(fadb))
+        for i in range(npages):
+            pg = b"".join(entry(raw, a) for (_c, raw), a in
+                          zip(blobs[i * page:(i + 1) * page],
+                              chunk_addrs[i * page:(i + 1) * page]))
+            fadb += pg + struct.pack("<I", jenkins_lookup3(pg))
     w.add(fahd + fadb)
     return head + struct.pack("<BB", 3, pbits) + struct.pack("<Q", fahd_at)
 
@@ -1615,36 +1636,65 @@ class NetCDF4:
         stored, = struct.unpack_from("<I", self.buf, at + 24)
         if stored != jenkins_lookup3(bytes(self.buf[at:at + 24])):
             raise ValueError("fixed array header checksum mismatch")
-        if nelmts > (1 << pbits):
-            raise NotImplementedError(
-                "paged fixed-array data block "
-                f"({nelmts} entries > 2^{pbits} page size)")
         if self.buf[dblk:dblk + 4] != b"FADB":
             raise ValueError("fixed array data block signature")
         dver, dclient = struct.unpack_from("<BB", self.buf, dblk + 4)
         if dver != 0 or dclient != client:
             raise ValueError("fixed array data block version/client")
+        page = 1 << pbits
         p = dblk + 14                        # sig + ver + client + hdr addr
-        end = p + nelmts * entsize
-        stored, = struct.unpack_from("<I", self.buf, end)
-        if stored != jenkins_lookup3(bytes(self.buf[dblk:end])):
-            raise ValueError("fixed array data block checksum mismatch")
+        if nelmts <= page:
+            end = p + nelmts * entsize
+            stored, = struct.unpack_from("<I", self.buf, end)
+            if stored != jenkins_lookup3(bytes(self.buf[dblk:end])):
+                raise ValueError("fixed array data block checksum mismatch")
+            spans = [(p, nelmts, True)]
+        else:
+            # paged (spec III.G): header + initialized-page bitmap +
+            # checksum, then pages of `page` entries each with its OWN
+            # trailing checksum; unset bitmap bits = uninitialized page
+            npages = -(-nelmts // page)
+            blen = -(-npages // 8)
+            bitmap = bytes(self.buf[p:p + blen])
+            p += blen
+            stored, = struct.unpack_from("<I", self.buf, p)
+            if stored != jenkins_lookup3(bytes(self.buf[dblk:p])):
+                raise ValueError("fixed array data block checksum mismatch")
+            p += 4
+            spans = []
+            for i in range(npages):
+                ne = min(page, nelmts - i * page)
+                init = bool(bitmap[i >> 3] >> (i & 7) & 1)
+                if init:
+                    stored, = struct.unpack_from(
+                        "<I", self.buf, p + ne * entsize)
+                    if stored != jenkins_lookup3(
+                            bytes(self.buf[p:p + ne * entsize])):
+                        raise ValueError(
+                            f"fixed array page {i} checksum mismatch")
+                spans.append((p, ne, init))
+                p += ne * entsize + 4
         coords = self._grid_coords(shape, cshape)
         if len(coords) != nelmts:
             raise ValueError(
                 f"fixed array has {nelmts} entries for {len(coords)} chunks")
         cbytes = int(np.prod(cshape)) * itemsize
-        for c in coords:
-            addr = int.from_bytes(self.buf[p:p + 8], "little")
-            if client == 1:                  # filtered: addr + size + mask
-                szlen = entsize - 12
-                nbytes = int.from_bytes(self.buf[p + 8:p + 8 + szlen],
-                                        "little")
-            else:
-                nbytes = cbytes
-            p += entsize
-            if addr != _UNDEF:
-                yield c, addr, nbytes
+        it = iter(coords)
+        for p, ne, init in spans:
+            for _ in range(ne):
+                c = next(it)
+                if not init:
+                    continue
+                addr = int.from_bytes(self.buf[p:p + 8], "little")
+                if client == 1:              # filtered: addr + size + mask
+                    szlen = entsize - 12
+                    nbytes = int.from_bytes(
+                        self.buf[p + 8:p + 8 + szlen], "little")
+                else:
+                    nbytes = cbytes
+                p += entsize
+                if addr != _UNDEF:
+                    yield c, addr, nbytes
 
     def _walk_extensible_array(self, at: int, shape, cshape, itemsize: int,
                                cp: tuple):

@@ -692,3 +692,41 @@ class TestDenseAttributeStorage:
         write_netcdf4(p, variables, dims, libver="latest")
         assert b"FRHP" in open(p, "rb").read()
         assert NetCDF4(p).variables["v"].nodata == -9.5
+
+
+class TestPagedFixedArray:
+    """Paged fixed-array data blocks (> 2^page_bits chunks — any large
+    tiled raster): initialized-page bitmap, per-page checksums."""
+
+    def _write(self, tmp_path, compress, ny=40, nx=30):
+        arr = (np.arange(ny * nx, dtype=np.int32).reshape(ny, nx) * 7) % 251
+        p = str(tmp_path / f"pg{int(compress)}.nc")
+        write_netcdf4(p, {"v": (arr, ("y", "x"), {}),
+                          "y": (np.arange(float(ny)), ("y",), {}),
+                          "x": (np.arange(float(nx)), ("x",), {})},
+                      dims={"y": ny, "x": nx}, chunks=(1, 1),
+                      compress=compress, libver="latest", chunk_index="v4")
+        return p, arr
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_1200_chunk_roundtrip(self, tmp_path, compress):
+        p, arr = self._write(tmp_path, compress)
+        nc = NetCDF4(p)
+        assert np.array_equal(nc.read("v"), arr)
+        # 1200 chunks > 1024 page size: the paged shape really happened
+        raw = open(p, "rb").read()
+        at = raw.find(b"FAHD")
+        nelmts, = struct.unpack_from("<Q", raw, at + 8)
+        assert nelmts == 1200 and raw[at + 7] == 10   # page_bits
+
+    def test_corrupt_page_checksum_is_loud(self, tmp_path):
+        p, _ = self._write(tmp_path, False)
+        buf = bytearray(open(p, "rb").read())
+        at = bytes(buf).find(b"FADB")
+        # flip a byte inside the first PAGE's element area (past header
+        # 14 + bitmap ceil(2/8)=1 + cksum 4)
+        buf[at + 14 + 1 + 4 + 3] ^= 0xFF
+        open(p, "wb").write(bytes(buf))
+        nc = NetCDF4(p)
+        with pytest.raises(ValueError, match="page 0 checksum"):
+            nc.read("v")
