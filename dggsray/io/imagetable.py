@@ -133,12 +133,19 @@ def average_phash(img: np.ndarray) -> int:
 def average_phash_batch(stack: np.ndarray) -> np.ndarray:
     """average_phash vectorized over an (n, h, w, 3) same-size stack — one
     reshape+mean for the whole group instead of n Python calls (bit-identical
-    to the scalar form; the verify invariant compares against stored hashes)."""
+    to the scalar form; the verify invariant compares against stored hashes).
+
+    The grayscale goes through the integer channel sum: (r+g+b) is exact
+    in int64 and (sum)/3.0 is the SAME float64 value the scalar path's
+    astype(float64).mean(axis=2) produces (its pairwise sum of three
+    integers is exact too), so no 8x-input float64 RGB temp is ever
+    allocated and the block-mean reduction sees identical inputs."""
     n, h, w = stack.shape[:3]
-    gray = stack.astype(np.float64).mean(axis=3)
     bh, bw = h // 8, w // 8
-    blocks = gray[:, : bh * 8, : bw * 8].reshape(n, 8, bh, 8, bw) \
-        .mean(axis=(2, 4))
+    gsum = stack[:, : bh * 8, : bw * 8].sum(axis=3, dtype=np.int64)
+    gray = gsum.astype(np.float64)
+    gray /= 3.0
+    blocks = gray.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
     bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
     packed = np.packbits(bits.reshape(n, 64), axis=1)
     return packed.view(">u8").ravel().astype(np.uint64).view(np.int64)

@@ -12,7 +12,35 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..io.imagetable import average_phash, decode_image, encode_image
+from ..io.imagetable import (average_phash, average_phash_batch,
+                             decode_image, encode_image)
+
+
+def _decode_stacks(b: pa.Table):
+    """Group a batch's rows by (h, w) and decode each group ONCE into a
+    shared (g, h, w, 3) uint8 stack — the per-image work after decode
+    (phash, stats, flips, shifts) then runs as one vectorized kernel per
+    group instead of a Python loop of tiny-array numpy calls.  Decode
+    itself stays per image (PNG inflate is per blob) but writes straight
+    into the stack slot (no concat pass).  Returns [(row_indices,
+    stack)] covering every row; results are bit-identical to the scalar
+    loop (average_phash_batch is the pinned-equal batch twin, and numpy
+    reduces each image over the same contiguous element order either
+    way)."""
+    ws = b.column("w").to_numpy()
+    hs = b.column("h").to_numpy()
+    fmts = b.column("fmt").to_pylist()
+    blobs = b.column("bytes").to_pylist()
+    key = hs.astype(np.int64) * 1_000_000 + ws.astype(np.int64)
+    out = []
+    for k in np.unique(key):
+        idx = np.flatnonzero(key == k)
+        h, w = int(hs[idx[0]]), int(ws[idx[0]])
+        stack = np.empty((idx.size, h, w, 3), np.uint8)
+        for j, i in enumerate(idx):
+            decode_image(blobs[i], w, h, fmts[i], out=stack[j])
+        out.append((idx, stack))
+    return out
 
 
 class ImageResize:
@@ -48,18 +76,21 @@ class ImageFeatures:
     """Actor stage: decode -> per-channel mean/std + phash feature row."""
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        blobs = b.column("bytes").to_pylist()
-        ws = b.column("w").to_numpy()
-        hs = b.column("h").to_numpy()
-        fmts = b.column("fmt").to_pylist()
-        means = np.empty((len(blobs), 3))
-        stds = np.empty((len(blobs), 3))
-        ph = np.empty(len(blobs), dtype=np.int64)
-        for k in range(len(blobs)):
-            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
-            means[k] = img.mean(axis=(0, 1))
-            stds[k] = img.std(axis=(0, 1))
-            ph[k] = average_phash(img)
+        n = b.num_rows
+        means = np.empty((n, 3))
+        stds = np.empty((n, 3))
+        ph = np.empty(n, dtype=np.int64)
+        for idx, stack in _decode_stacks(b):
+            g, h, w = stack.shape[:3]
+            ch = stack.reshape(g, h * w, 3)
+            k = h * w
+            s1 = np.einsum("ijc->ic", ch, dtype=np.float64)   # exact ints
+            s2 = np.einsum("ijc,ijc->ic", ch, ch,
+                           dtype=np.float64)                  # exact ints
+            mu = s1 / k
+            means[idx] = mu
+            stds[idx] = np.sqrt(np.maximum(s2 / k - mu * mu, 0.0))
+            ph[idx] = average_phash_batch(stack)
         cols = {
             "image_id": b.column("image_id"),
             "mean_r": pa.array(means[:, 0]), "mean_g": pa.array(means[:, 1]),
@@ -208,24 +239,23 @@ class ImagePrep:
     Emits small integer rows only — bytes never leave the stage."""
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        from ..io.imagetable import average_phash, decode_image
-
-        blobs = b.column("bytes").to_pylist()
-        ws = b.column("w").to_numpy()
-        hs = b.column("h").to_numpy()
-        fmts = b.column("fmt").to_pylist()
         stored = b.column("phash").to_numpy()
-        n = len(blobs)
+        n = b.num_rows
         bright = np.empty(n)
         contrast = np.empty(n)
-        ph_ok = np.empty(n, dtype=bool)
         ph = np.empty(n, dtype=np.int64)
-        for k in range(n):
-            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
-            bright[k] = img.mean()
-            contrast[k] = img.std()
-            ph[k] = average_phash(img)
-            ph_ok[k] = ph[k] == stored[k]
+        for idx, stack in _decode_stacks(b):
+            g = stack.shape[0]
+            flat = stack.reshape(g, -1)
+            k = flat.shape[1]
+            s1 = np.einsum("ij->i", flat, dtype=np.float64)   # exact ints
+            s2 = np.einsum("ij,ij->i", flat, flat,
+                           dtype=np.float64)                  # exact ints
+            mu = s1 / k
+            bright[idx] = mu
+            contrast[idx] = np.sqrt(np.maximum(s2 / k - mu * mu, 0.0))
+            ph[idx] = average_phash_batch(stack)
+        ph_ok = ph == stored
         return pa.table({
             "image_id": b.column("image_id"),
             "fmt": b.column("fmt"),
@@ -251,37 +281,36 @@ class ImageAugment:
     def __call__(self, b: pa.Table) -> pa.Table:
         from hashlib import blake2b
 
-        from ..io.imagetable import average_phash, decode_image
-
-        blobs = b.column("bytes").to_pylist()
-        ws = b.column("w").to_numpy()
-        hs = b.column("h").to_numpy()
-        fmts = b.column("fmt").to_pylist()
         ids = b.column("image_id").to_pylist()
-        n = len(blobs)
-        out_bytes = []
+        n = b.num_rows
+        out_bytes: list = [None] * n
         fh = np.empty(n, dtype=bool)
         fv = np.empty(n, dtype=bool)
         shift = np.empty(n, dtype=np.int64)
         ph = np.empty(n, dtype=np.int64)
         dph = np.empty(n, dtype=np.int64)
         for k in range(n):
-            img = decode_image(blobs[k], int(ws[k]), int(hs[k]), fmts[k])
-            # decoded-image phash BEFORE augmentation: compared against the
-            # table's stored phash downstream = the per-row decode invariant
-            dph[k] = average_phash(img)
             h0 = blake2b(ids[k].encode(), digest_size=8).digest()
             fh[k] = bool(h0[0] & 1)
             fv[k] = bool(h0[0] & 2)
             shift[k] = (h0[1] % 31) - 15        # -15..+15
-            if fh[k]:
-                img = img[:, ::-1]
-            if fv[k]:
-                img = img[::-1]
-            img = np.clip(img.astype(np.int16) + shift[k], 0, 255) \
-                .astype(np.uint8)
-            out_bytes.append(img.tobytes())
-            ph[k] = average_phash(img)
+        # brightness LUT: row s = clip(0..255 + s - 15) — one uint8
+        # gather replaces the int16 widen + add + clip + narrow chain,
+        # bit-identically
+        lut = np.clip(np.arange(256)[None, :]
+                      + np.arange(-15, 16)[:, None], 0, 255) \
+            .astype(np.uint8)
+        for idx, stack in _decode_stacks(b):
+            # decoded-image phash BEFORE augmentation: compared against the
+            # table's stored phash downstream = the per-row decode invariant
+            dph[idx] = average_phash_batch(stack)
+            aug = lut[(shift[idx] + 15)[:, None, None, None], stack]
+            mh, mv = fh[idx], fv[idx]
+            aug[mh] = aug[mh][:, :, ::-1]       # horizontal: w axis
+            aug[mv] = aug[mv][:, ::-1]          # vertical: h axis
+            ph[idx] = average_phash_batch(aug)
+            for j, i in enumerate(idx):
+                out_bytes[i] = aug[j].tobytes()
         return pa.table({
             "image_id": b.column("image_id"),
             "orig_phash": b.column("phash"),
