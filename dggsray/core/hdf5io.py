@@ -44,7 +44,8 @@ checksums validated.  Out of scope, raising a clear error naming the
 feature: filtered fractal heaps, huge/tiny heap objects, nested
 indirect blocks, paged extensible-array blocks, extensible arrays
 whose unlimited dimension is not the leading one (swizzled chunk
-order), and non-hard links.
+order), and external/user-defined links (root-level SOFT links resolve
+as dataset aliases; dangling ones are skipped, as h5py lists them).
 
 The writer exists to synthesize test fixtures (no HDF5 library can create
 them here) and emits both dialects, so every reader branch is exercised;
@@ -820,7 +821,8 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
                   chunks: tuple[int, int] | None = None,
                   compress: bool = True, libver: str = "earliest",
                   chunk_index: str = "btree1", bt2_node_size: int = 2048,
-                  link_storage: str = "auto", attr_storage: str = "auto"):
+                  link_storage: str = "auto", attr_storage: str = "auto",
+                  soft_links: dict | None = None):
     """Write a NetCDF-4 (HDF5) file.
 
     variables: name -> (np.ndarray, dim_name_tuple, attr_dict); 1D variables
@@ -856,6 +858,9 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
     if attr_storage == "dense" and libver != "latest":
         raise ValueError("dense attribute storage requires "
                          "libver='latest'")
+    if soft_links and libver != "latest":
+        raise ValueError("soft links require libver='latest' "
+                         "(fixture writer emits link messages only)")
     V2 = libver == "latest"
     mk = _msg2 if V2 else _msg
     w = _W()
@@ -995,6 +1000,11 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
             nb = n.encode()
             lk = struct.pack("<BBB", 1, 0, len(nb)) + nb \
                 + struct.pack("<Q", oh_addr[n])
+            root_msgs.append(_msg2(_M_LINK, lk))
+        for alias, target in (soft_links or {}).items():
+            ab, tb = alias.encode(), target.encode()
+            lk = struct.pack("<BBBB", 1, 0x08, 1, len(ab)) + ab \
+                + struct.pack("<H", len(tb)) + tb
             root_msgs.append(_msg2(_M_LINK, lk))
         root_oh = w.add(_object_header_v2(root_msgs + root_attr_msgs))
     else:
@@ -1136,7 +1146,16 @@ class NetCDF4:
         self.variables: dict[str, H5Dataset] = {}
         self._addr_to_name: dict[int, str] = {}
         links = self._parse_group(root_oh, into_attrs=self.attrs)
+        hard = {n: a for n, a in links if not isinstance(a, tuple)}
         for name, addr in links:
+            if isinstance(addr, tuple):            # soft link: /path or name
+                target = addr[1].lstrip("/")
+                if "/" in target:
+                    raise NotImplementedError(
+                        f"soft link to nested path {addr[1]!r}")
+                if target not in hard:
+                    continue                       # dangling soft link
+                addr = hard[target]
             d = H5Dataset(name)
             self._parse_dataset(addr, d)
             self.variables[name] = d
@@ -1448,10 +1467,17 @@ class NetCDF4:
         p += nlen_sz
         name = self.buf[p:p + nlen].decode()
         p += nlen
-        if ltype != 0:
-            raise NotImplementedError(f"non-hard link type {ltype}")
-        addr, = struct.unpack_from("<Q", self.buf, p)
-        return name, addr
+        if ltype == 0:
+            addr, = struct.unpack_from("<Q", self.buf, p)
+            return name, addr
+        if ltype == 1:
+            # soft link: 2-byte length + target path string, resolved
+            # against the root group after hard links are collected
+            tlen, = struct.unpack_from("<H", self.buf, p)
+            target = self.buf[p + 2:p + 2 + tlen].decode()
+            return name, ("soft", target)
+        raise NotImplementedError(f"non-hard link type {ltype} "
+                                  "(external/user-defined)")
 
     def _parse_dataspace(self, p: int) -> tuple[int, ...]:
         return self._parse_dataspace_max(p)[0]

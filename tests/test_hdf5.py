@@ -730,3 +730,33 @@ class TestPagedFixedArray:
         nc = NetCDF4(p)
         with pytest.raises(ValueError, match="page 0 checksum"):
             nc.read("v")
+
+
+class TestSoftLinks:
+    def test_alias_resolves_dangling_skipped(self, tmp_path):
+        arr = np.arange(12.)
+        p = str(tmp_path / "s.nc")
+        write_netcdf4(p, {"v": (arr, ("x",), {}),
+                          "x": (np.arange(12.), ("x",), {})},
+                      dims={"x": 12}, libver="latest",
+                      soft_links={"alias_v": "/v", "dangling": "/nope"})
+        nc = NetCDF4(p)
+        assert np.array_equal(nc.read("alias_v"), arr)
+        assert "dangling" not in nc.variables
+        assert nc.variables["alias_v"].shape == (12,)
+
+    def test_nested_path_is_loud(self, tmp_path):
+        p = str(tmp_path / "n.nc")
+        write_netcdf4(p, {"v": (np.zeros(4), ("x",), {}),
+                          "x": (np.arange(4.), ("x",), {})},
+                      dims={"x": 4}, libver="latest",
+                      soft_links={"bad": "/grp/deep"})
+        with pytest.raises(NotImplementedError, match="nested path"):
+            NetCDF4(p)
+
+    def test_requires_latest(self, tmp_path):
+        with pytest.raises(ValueError, match="latest"):
+            write_netcdf4(str(tmp_path / "x.nc"),
+                          {"v": (np.zeros(4), ("x",), {})},
+                          dims={"x": 4}, libver="earliest",
+                          soft_links={"a": "/v"})
