@@ -10,12 +10,22 @@ become first-class, cellid-keyed joins):
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.cells import truncate_to_resolution
 from ..core.rhpx import DEFAULT_GRID, GridConfig, cell_centroid
+
+
+# Serializes LAZY PLAN CONSTRUCTION (read_parquet path resolution) across
+# driver threads: ray's _is_http_filesystem import degrades from the
+# ModuleNotFoundError it catches to a plain ImportError when two threads
+# interleave the fsspec http import (aiohttp absent here).  Execution is
+# never held — only the ms-scale plan build.
+PLAN_LOCK = threading.Lock()
 
 
 def join_partitions() -> int:

@@ -236,7 +236,9 @@ def ivf_topk_indexed(index_dir: str, query: np.ndarray, k: int,
             "query": pa.array([], pa.int32()),
             id_col: pa.array([], pa.int64()),
             "cos_micro": pa.array([], pa.int64())}))
-    cand = rd.read_parquet(files, columns=[id_col, emb_col])
+    from .joins import PLAN_LOCK
+    with PLAN_LOCK:
+        cand = rd.read_parquet(files, columns=[id_col, emb_col])
     return brute_topk(cand, q[None, :], k, id_col, emb_col)
 
 

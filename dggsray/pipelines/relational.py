@@ -21,7 +21,7 @@ from ..oracle import G_LAT, G_LON
 from ..ops.joins import join_partitions, lowcard_groupby
 
 
-_READ_LOCK = __import__("threading").Lock()
+from ..ops.joins import PLAN_LOCK as _READ_LOCK  # noqa: E402
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -1035,12 +1035,22 @@ def embed_ivf_multiquery(sf_dir: str, n_queries: int = 4, k: int = 5,
     idx_dir = os.path.join("/tmp/dggsray_cache",
                            f"ivf_sf{sf}_c{n_centroids}")
     build_ivf_index(ds, C, idx_dir)
-    outs = []
-    for j in range(n_queries):
-        q = np.sin(np.arange(dim, dtype=np.float64) * 0.1 * (j + 1)) + 0.5
-        t = ivf_topk_indexed(idx_dir, q, k, C, nprobe=nprobe).to_pandas()
-        t["query"] = np.int32(j)
-        outs.append(t)
+
+    from ..ops.joins import build_parallel
+
+    def probe(j):
+        def run():
+            q = np.sin(np.arange(dim, dtype=np.float64)
+                       * 0.1 * (j + 1)) + 0.5
+            t = ivf_topk_indexed(idx_dir, q, k, C,
+                                 nprobe=nprobe).to_pandas()
+            t["query"] = np.int32(j)
+            return t
+        return run
+
+    # independent read-only probes of the persisted index: overlapping
+    # them costs max() of their walls, the multi-tenant serving shape
+    outs = build_parallel(*[probe(j) for j in range(n_queries)])
     import pandas as pd
     return pd.concat(outs, ignore_index=True)
 
