@@ -38,13 +38,13 @@ B-tree record type 8) is read through the same machinery, so
 many-attribute real-world objects (CF-conventions global metadata)
 resolve, including _FillValue and DIMENSION_LIST stored densely.
 Paged
-fixed-array data blocks (> 2^page_bits chunks — any large tiled
-raster) are read with the initialized-page bitmap and per-page
-checksums validated.  Out of scope, raising a clear error naming the
+fixed-array AND extensible-array data blocks (> 2^page_bits chunks or
+elements — any large tiled raster / long record dimension) are read
+with initialized-page bitmaps and per-page checksums validated.  Out of scope, raising a clear error naming the
 feature: filtered fractal heaps, huge/tiny heap objects, nested
-indirect blocks, paged extensible-array blocks, extensible arrays
-whose unlimited dimension is not the leading one (swizzled chunk
-order), and external/user-defined links (root-level SOFT links resolve
+indirect blocks, extensible arrays whose unlimited dimension is not
+the leading one (swizzled chunk order), and external/user-defined
+links (root-level SOFT links resolve
 as dataset aliases; dangling ones are skipped, as h5py lists them).
 
 The writer exists to synthesize test fixtures (no HDF5 library can create
@@ -378,13 +378,21 @@ def _chunk_size_len(cbytes: int) -> int:
     return min(8, 1 + (_log2_of2(max(cbytes, 1)) + 8) // 8)
 
 
-def _emit_earray_index(w: _W, blobs, arr, cshape, compress) -> bytes:
+def _emit_earray_index(w: _W, blobs, arr, cshape, compress,
+                       page_bits: int | None = None) -> bytes:
     """Chunk data + layout-v4 body with an extensible-array index: EAHD
     header, EAIB index block, EADB data blocks and (past the index block's
-    direct pointers) EASB super blocks, all Jenkins-checksummed."""
+    direct pointers) EASB super blocks, all Jenkins-checksummed.  Data
+    blocks above 2^page_bits elements emit PAGED (header checksummed
+    alone, then pages of 2^page_bits elements each with its own
+    checksum, page-init bitmap in the owning super block); `page_bits`
+    overrides libhdf5's default 10 so fixtures can reach the paged shape
+    without six-figure chunk counts."""
     chunk_addrs = [w.add(raw) for _c, raw in blobs]
     n = len(blobs)
-    max_bits, idx_elmts, dblk_min, sblk_min_ptrs, page_bits = _EA_DEFAULTS
+    max_bits, idx_elmts, dblk_min, sblk_min_ptrs, dflt_pb = _EA_DEFAULTS
+    page_bits = dflt_pb if page_bits is None else page_bits
+    page = 1 << page_bits
     if compress:
         szlen = _chunk_size_len(int(np.prod(cshape)) * arr.itemsize)
         esize, client = 8 + szlen + 4, 1
@@ -414,9 +422,6 @@ def _emit_earray_index(w: _W, blobs, arr, cshape, compress) -> bytes:
             s = start + j * ne
             if s >= extra:
                 break
-            if ne > (1 << page_bits):
-                raise NotImplementedError(
-                    "fixture writer: paged extensible-array data block")
             dblks.append((u, s, ne))
         if start + nd * ne >= extra:
             break
@@ -424,6 +429,18 @@ def _emit_earray_index(w: _W, blobs, arr, cshape, compress) -> bytes:
 
     # ---- assign addresses: EAHD, EAIB, direct EADBs, then per-super-block
     # EASB followed by its EADBs
+
+    def dblk_size(ne: int) -> int:
+        if ne <= page:
+            return 6 + 8 + arr_off + ne * esize + 4
+        npg = ne // page
+        return 6 + 8 + arr_off + 4 + npg * (page * esize + 4)
+
+    def sblk_size(u: int) -> int:
+        nd, ne, _start = sblks[u]
+        bl = -(-(nd * (ne // page)) // 8) if ne > page else 0
+        return 6 + 8 + arr_off + bl + nd * 8 + 4
+
     hdr_at = w.tell()
     hdr_size = 12 + 6 * 8 + 8 + 4
     ib_at = hdr_at + hdr_size
@@ -433,28 +450,26 @@ def _emit_earray_index(w: _W, blobs, arr, cshape, compress) -> bytes:
     for u, s, ne in dblks:
         if u < first_sblk:
             dblk_at[(u, s)] = at
-            at += 6 + 8 + arr_off + ne * esize + 4
+            at += dblk_size(ne)
     sblk_at = {}
     for u in need_sblks:
         nd, ne, start = sblks[u]
         sblk_at[u] = at
-        at += 6 + 8 + arr_off + nd * 8 + 4
+        at += sblk_size(u)
         for j in range(nd):
             s = start + j * ne
             if any(du == u and ds == s for du, ds, _ in dblks):
                 dblk_at[(u, s)] = at
-                at += 6 + 8 + arr_off + ne * esize + 4
+                at += dblk_size(ne)
 
     # ---- emit (asserting the plan)
     hdr = b"EAHD" + struct.pack("<8B", 0, client, esize, max_bits,
                                 idx_elmts, dblk_min, sblk_min_ptrs,
                                 page_bits)
     hdr += struct.pack("<6Q", len(need_sblks),
-                       sum(6 + 8 + arr_off + sblks[u][0] * 8 + 4
-                           for u in need_sblks),
+                       sum(sblk_size(u) for u in need_sblks),
                        len(dblks),
-                       sum(6 + 8 + arr_off + ne * esize + 4
-                           for _u, _s, ne in dblks),
+                       sum(dblk_size(ne) for _u, _s, ne in dblks),
                        n, n)
     hdr += struct.pack("<Q", ib_at)
     hdr += struct.pack("<I", jenkins_lookup3(hdr))
@@ -478,9 +493,18 @@ def _emit_earray_index(w: _W, blobs, arr, cshape, compress) -> bytes:
     def emit_dblk(u, s, ne):
         db = b"EADB" + struct.pack("<BB", 0, client) \
             + struct.pack("<Q", hdr_at) + s.to_bytes(arr_off, "little")
-        for i in range(ne):
-            db += elem(idx_elmts + s + i)
-        db += struct.pack("<I", jenkins_lookup3(db))
+        if ne <= page:
+            for i in range(ne):
+                db += elem(idx_elmts + s + i)
+            db += struct.pack("<I", jenkins_lookup3(db))
+        else:
+            # paged: header checksummed alone; then full pages, each
+            # with its own trailing checksum
+            db += struct.pack("<I", jenkins_lookup3(db))
+            for pg0 in range(0, ne, page):
+                pgb = b"".join(elem(idx_elmts + s + pg0 + i)
+                               for i in range(page))
+                db += pgb + struct.pack("<I", jenkins_lookup3(pgb))
         assert w.add(db) == dblk_at[(u, s)]
 
     for u, s, ne in dblks:
@@ -490,6 +514,16 @@ def _emit_earray_index(w: _W, blobs, arr, cshape, compress) -> bytes:
         nd, ne, start = sblks[u]
         sb = b"EASB" + struct.pack("<BB", 0, client) \
             + struct.pack("<Q", hdr_at) + start.to_bytes(arr_off, "little")
+        if ne > page:
+            # page-init bitmap: all pages of EXISTING blocks are written
+            npg = ne // page
+            bm = bytearray(-(-(nd * npg) // 8))
+            for j in range(nd):
+                if (u, start + j * ne) in dblk_at:
+                    for q in range(npg):
+                        bit = j * npg + q
+                        bm[bit >> 3] |= 1 << (bit & 7)
+            sb += bytes(bm)
         for j in range(nd):
             sb += struct.pack("<Q", dblk_at.get((u, start + j * ne),
                                                 _UNDEF))
@@ -586,7 +620,8 @@ def _emit_btree2_index(w: _W, blobs, arr, cshape, compress,
 
 def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
                           msgs: list, mk, chunk_index: str = "btree1",
-                          bt2_node_size: int = 2048):
+                          bt2_node_size: int = 2048,
+                          ea_page_bits: int | None = None):
     """Write the array's bytes (contiguous or chunked+filtered) and append
     the filter/layout messages via `mk`.  chunk_index: "btree1" (layout v3,
     the dialect-shared index), "v4" (layout v4: single-chunk or fixed-array
@@ -625,7 +660,8 @@ def _emit_data_and_layout(w: _W, arr: np.ndarray, chunks, compress,
             return
         if chunk_index == "earray":
             msgs.append(mk(_M_LAYOUT, _emit_earray_index(
-                w, blobs, arr, cshape, compress)))
+                w, blobs, arr, cshape, compress,
+                page_bits=ea_page_bits)))
             return
         if chunk_index == "btree2":
             msgs.append(mk(_M_LAYOUT, _emit_btree2_index(
@@ -822,7 +858,8 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
                   compress: bool = True, libver: str = "earliest",
                   chunk_index: str = "btree1", bt2_node_size: int = 2048,
                   link_storage: str = "auto", attr_storage: str = "auto",
-                  soft_links: dict | None = None):
+                  soft_links: dict | None = None,
+                  ea_page_bits: int | None = None):
     """Write a NetCDF-4 (HDF5) file.
 
     variables: name -> (np.ndarray, dim_name_tuple, attr_dict); 1D variables
@@ -919,7 +956,7 @@ def write_netcdf4(path: str, variables: dict, dims: dict,
                 mk(_M_DATATYPE, _encode_dtype(arr.dtype)),
                 mk(_M_FILLVALUE, struct.pack("<BBBB", 2, 1, 0, 0))]
         _emit_data_and_layout(w, arr, chunks, compress, msgs, mk,
-                              chunk_index, bt2_node_size)
+                              chunk_index, bt2_node_size, ea_page_bits)
         aparts = []                           # (name, dt, ds, data)
         if n in dims:
             aparts.append(("CLASS", _encode_string_dtype(16),
@@ -1782,14 +1819,17 @@ class NetCDF4:
         dblk_addr_base = ib_at + 14 + idx_elmts * esize
         sblk_addr_base = dblk_addr_base + ndblk_addrs * 8
 
-        def walk_dblk(db_at: int, s: int, ne: int):
-            """Data block holding normalized elements [s, s+ne)."""
+        page = 1 << page_bits
+
+        def walk_dblk(db_at: int, s: int, ne: int, page_init=None):
+            """Data block holding normalized elements [s, s+ne).  Paged
+            blocks (ne > 2^page_bits) checksum their header alone and
+            then carry full pages each with its own checksum;
+            `page_init` (from the owning super block's bitmap) marks
+            which pages were ever written — unset pages read as UNDEF
+            without a checksum check."""
             if db_at == _UNDEF:
                 return
-            if ne > (1 << page_bits):
-                raise NotImplementedError(
-                    "paged extensible-array data block "
-                    f"({ne} elements > 2^{page_bits} page size)")
             if self.buf[db_at:db_at + 4] != b"EADB":
                 raise ValueError("extensible array data block signature")
             if (self.buf[db_at + 4] != 0 or self.buf[db_at + 5] != client
@@ -1803,20 +1843,50 @@ class NetCDF4:
                 raise ValueError(
                     f"extensible array data block offset {off} != expected "
                     f"{s} (block-offset convention drift)")
-            body = 14 + arr_off + ne * esize
-            stored, = struct.unpack_from("<I", self.buf, db_at + body)
-            if stored != jenkins_lookup3(
-                    bytes(self.buf[db_at:db_at + body])):
-                raise ValueError("extensible array data block checksum "
-                                 "mismatch")
-            for i in range(ne):
-                gi = idx_elmts + s + i
-                addr, nb = elem(db_at + 14 + arr_off + i * esize)
-                if addr != _UNDEF:
-                    if gi >= n:
-                        raise ValueError("extensible array element beyond "
-                                         "the dataset's chunk grid")
-                    out.append((coords[gi], addr, nb))
+            hdr_end = 14 + arr_off
+            if ne <= page:
+                body = hdr_end + ne * esize
+                stored, = struct.unpack_from("<I", self.buf, db_at + body)
+                if stored != jenkins_lookup3(
+                        bytes(self.buf[db_at:db_at + body])):
+                    raise ValueError("extensible array data block "
+                                     "checksum mismatch")
+                starts = [(db_at + hdr_end, ne, True)]
+            else:
+                stored, = struct.unpack_from("<I", self.buf,
+                                             db_at + hdr_end)
+                if stored != jenkins_lookup3(
+                        bytes(self.buf[db_at:db_at + hdr_end])):
+                    raise ValueError("extensible array data block "
+                                     "checksum mismatch")
+                p = db_at + hdr_end + 4
+                starts = []
+                for q in range(ne // page):
+                    init = True if page_init is None else page_init[q]
+                    if init:
+                        stored, = struct.unpack_from(
+                            "<I", self.buf, p + page * esize)
+                        if stored != jenkins_lookup3(
+                                bytes(self.buf[p:p + page * esize])):
+                            raise ValueError(
+                                f"extensible array data block page {q} "
+                                "checksum mismatch")
+                    starts.append((p, page, init))
+                    p += page * esize + 4
+            i = 0
+            for p0, cnt, init in starts:
+                for k in range(cnt):
+                    gi = idx_elmts + s + i
+                    i += 1
+                    if not init:
+                        continue
+                    addr, nb = elem(p0 + k * esize)
+                    if addr != _UNDEF:
+                        if gi >= n:
+                            raise ValueError(
+                                "extensible array element beyond the "
+                                "dataset's chunk grid")
+                        out.append((coords[gi], addr, nb))
 
         extra = max(0, n - idx_elmts)
         di = 0
@@ -1851,18 +1921,28 @@ class NetCDF4:
                     raise ValueError(
                         f"extensible array super block offset {off} != "
                         f"expected {start}")
-                body = 14 + arr_off + nd * 8
+                npg = ne // page if ne > page else 0
+                blen = -(-(nd * npg) // 8) if npg else 0
+                body = 14 + arr_off + blen + nd * 8
                 stored, = struct.unpack_from("<I", self.buf, sb_at + body)
                 if stored != jenkins_lookup3(
                         bytes(self.buf[sb_at:sb_at + body])):
                     raise ValueError("extensible array super block "
                                      "checksum mismatch")
+                bm = bytes(self.buf[sb_at + 14 + arr_off:
+                                    sb_at + 14 + arr_off + blen])
                 for j in range(nd):
                     s = start + j * ne
                     if s < extra:
                         db_at, = struct.unpack_from(
-                            "<Q", self.buf, sb_at + 14 + arr_off + j * 8)
-                        walk_dblk(db_at, s, ne)
+                            "<Q", self.buf,
+                            sb_at + 14 + arr_off + blen + j * 8)
+                        pi = None
+                        if npg:
+                            pi = [bool(bm[(j * npg + q) >> 3]
+                                       >> ((j * npg + q) & 7) & 1)
+                                  for q in range(npg)]
+                        walk_dblk(db_at, s, ne, pi)
         return out
 
     def _walk_btree2(self, at: int, cshape, itemsize: int):

@@ -760,3 +760,52 @@ class TestSoftLinks:
                           {"v": (np.zeros(4), ("x",), {})},
                           dims={"x": 4}, libver="earliest",
                           soft_links={"a": "/v"})
+
+
+class TestPagedExtensibleArray:
+    """Paged EADB data blocks (> 2^page_bits elements per block): header
+    checksummed alone, per-page checksums, page-init bitmap in the owning
+    super block.  ea_page_bits=3 reaches the paged shape at fixture
+    scale (libhdf5's default 10 needs ~131k chunks)."""
+
+    def _write(self, tmp_path, compress, pb=3, ny=60, nx=40):
+        arr = (np.arange(ny * nx, dtype=np.int32).reshape(ny, nx) * 3) % 199
+        p = str(tmp_path / f"ea{int(compress)}_{pb}.nc")
+        write_netcdf4(p, {"v": (arr, ("y", "x"), {}),
+                          "y": (np.arange(float(ny)), ("y",), {}),
+                          "x": (np.arange(float(nx)), ("x",), {})},
+                      dims={"y": ny, "x": nx}, chunks=(2, 2),
+                      compress=compress, libver="latest",
+                      chunk_index="earray", ea_page_bits=pb)
+        return p, arr
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_600_chunk_roundtrip(self, tmp_path, compress):
+        p, arr = self._write(tmp_path, compress)
+        assert np.array_equal(NetCDF4(p).read("v"), arr)
+
+    def test_unpaged_default_still_equal(self, tmp_path):
+        pa_, arr = self._write(tmp_path, False, pb=10)
+        pb_, _ = self._write(tmp_path, False, pb=3)
+        a, b = NetCDF4(pa_).read("v"), NetCDF4(pb_).read("v")
+        assert np.array_equal(a, b) and np.array_equal(a, arr)
+
+    def test_corrupt_page_checksum_is_loud(self, tmp_path):
+        p, _ = self._write(tmp_path, False)
+        buf = bytearray(open(p, "rb").read())
+        # find a PAGED data block: EADB whose element count > page (its
+        # header checksum is right after the offset field); corrupt a
+        # byte inside its first page's element area
+        at = -1
+        while True:
+            at = bytes(buf).find(b"EADB", at + 1)
+            assert at != -1, "no EADB found"
+            # paged blocks in this fixture are the later, larger ones;
+            # heuristically corrupt and accept either page or block error
+            if bytes(buf).find(b"EADB", at + 1) == -1:
+                break                        # last (largest) data block
+        buf[at + 14 + 4 + 4 + 9] ^= 0xFF
+        open(p, "wb").write(bytes(buf))
+        nc = NetCDF4(p)
+        with pytest.raises(ValueError, match="checksum"):
+            nc.read("v")
