@@ -329,7 +329,13 @@ def learn_bpe_delta(ds, n_merges: int, text_col: str = "text",
     initial count, so per-merge cost tracks the merged pair's frequency
     (decreasing with rank) instead of corpus size.  Ties break on the
     smallest packed key, leftmost-first inside runs — byte-identical
-    merge tables to `learn_bpe` by construction."""
+    merge tables to `learn_bpe` by construction.
+
+    Memory shape: each actor pins its shard (~40 bytes/token: tokens +
+    links + position index).  That is the standard tokenizer-training
+    regime — at 100 TB one trains on a bounded sample (pass `ds.limit`
+    / a sampled Dataset in); the streaming `learn_bpe` remains the
+    full-corpus, stateless-resumable variant."""
     import heapq
 
     import ray

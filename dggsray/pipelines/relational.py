@@ -4391,6 +4391,10 @@ def events_user_argmax(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         cents = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
         eid = b.column("event_id").to_numpy().astype(np.int64)
+        if cents.size and (int(cents.max()) >= 1 << 23
+                           or int(eid.max()) >= SHIFT or cents.min() < 0):
+            raise ValueError("events_user_argmax packed-key domain "
+                             "exceeded (cents < 2^23, event_id < 2^40)")
         pk = cents * SHIFT + (SHIFT - 1 - eid)
         t = pa.table({"user_id": pc.cast(b.column("user_id"), pa.int64()),
                       "_pk": pa.array(pk)})
