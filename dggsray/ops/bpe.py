@@ -20,7 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["apply_merges", "pair_counts", "learn_bpe"]
+__all__ = ["apply_merges", "pair_counts", "learn_bpe",
+           "ShardBPE", "learn_bpe_delta"]
 
 _PACK = np.uint64(1) << np.uint64(32)
 
