@@ -11,6 +11,13 @@ tables are parquet directories with a _meta.json sidecar.
     python -m dggsray print-ras-rhpx-metadata IN.tif
     python -m dggsray print-vec-rhpx-metadata IN_DIR
 
+Plus one engine-native command beyond the reference's surface:
+
+    python -m dggsray corpus-dedup DOCS_DIR OUT_DIR [--threshold 0.5]
+        near-dedup the documents corpus (minhash pairs -> connected
+        components -> one representative per cluster), writing the kept
+        corpus as parquet plus a stats.json.
+
 Each command prints "OK" on success (the reference's script tests grep for it,
 tests/script_tests/tests_rhpx_scripts.py:51-95).
 """
@@ -91,11 +98,15 @@ def _load_geojson_features(path: str, property_for_class: str | None,
     return feats
 
 
+_RAY_OWNED = {"v": False}
+
+
 def _ray_init():
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
+        _RAY_OWNED["v"] = True
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
@@ -168,6 +179,14 @@ def main(argv=None):
 
     sp = sub.add_parser("print-vec-rhpx-metadata")
     sp.add_argument("input")
+
+    sp = sub.add_parser(
+        "corpus-dedup",
+        help="near-dedup a documents corpus: minhash pairs -> connected "
+             "components -> write the retained corpus + stats JSON")
+    sp.add_argument("input", help="directory holding documents.parquet")
+    sp.add_argument("output", help="output directory for kept parquet")
+    sp.add_argument("--threshold", type=float, default=0.5)
 
     args = p.parse_args(argv)
     grid = parse_rdggs(getattr(args, "rdggs", "3/1/0"))
@@ -270,11 +289,37 @@ def main(argv=None):
         else:
             from .io.storage import get_parquet_rhpx_metadata
             print(get_parquet_rhpx_metadata(args.input))
+    elif args.cmd == "corpus-dedup":
+        _ray_init()
+        import os
+
+        from .pipelines.relational import (docs_retained_after_dedup,
+                                           docs_dup_components)
+        kept = docs_retained_after_dedup(args.input,
+                                         threshold=args.threshold)
+        os.makedirs(args.output, exist_ok=True)
+        kept.write_parquet(os.path.join(args.output, "kept"))
+        comp = docs_dup_components(args.input, threshold=args.threshold)
+        n_kept = kept.count()
+        n_comp_rows = comp.count()
+        import pyarrow.parquet as _pq
+        n_docs = _pq.read_metadata(
+            os.path.join(args.input, "documents.parquet")).num_rows
+        stats = {"n_docs": int(n_docs), "n_kept": int(n_kept),
+                 "n_dropped": int(n_docs - n_kept),
+                 "n_clustered_docs": int(n_comp_rows),
+                 "threshold": args.threshold}
+        with open(os.path.join(args.output, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        print(json.dumps(stats))
     print("OK")
     try:
         import ray
-        if ray.is_initialized():
+        # only tear down a session THIS process opened — an embedding
+        # caller (tests, a driver) owns its own session lifecycle
+        if _RAY_OWNED["v"] and ray.is_initialized():
             ray.shutdown()
+            _RAY_OWNED["v"] = False
     except ImportError:
         pass
     return 0

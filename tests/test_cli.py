@@ -132,3 +132,25 @@ class TestRdggsGridPassthrough:
                           str(d / "b321.tif"), "--rdggs", "3/2/1")
         assert rc == 0 and "OK" in out
         assert np.array_equal(read_geotiff(str(d / "b321.tif")).data, arr)
+
+
+class TestCorpusDedupCommand:
+    def test_end_to_end(self, ray_session, tmp_path, capsys):
+        """corpus-dedup writes the kept corpus + stats, prints OK, and the
+        numbers reconcile with the library pipeline."""
+        import json as _json
+
+        from dggsray.cli import main
+        out = str(tmp_path / "dd")
+        rc = main(["corpus-dedup", "/root/testdata/sf0.001", out])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "OK" in text
+        stats = _json.load(open(f"{out}/stats.json"))
+        assert stats["n_docs"] == 500
+        assert stats["n_kept"] + stats["n_dropped"] == 500
+        assert stats["n_dropped"] > 0
+        import pyarrow.dataset as pads
+        kept = pads.dataset(f"{out}/kept").to_table()
+        assert kept.num_rows == stats["n_kept"]
+        assert len(set(kept.column("doc_id").to_pylist())) == kept.num_rows
