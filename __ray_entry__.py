@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_active_users": R.events_daily_active_users,
         "embed_norm_buckets": R.embed_norm_buckets,
         "cell_neighbor_smooth": R.cell_neighbor_smooth,
+        "embed_label_centroid_dist": R.embed_label_centroid_dist,
         # --- rows-only by design (see the note at the end of oracle_sql) ---
         "docs_simhash_clusters": R.docs_simhash_clusters,
         "docs_fingerprint_overlap": R.docs_fingerprint_overlap,
@@ -174,7 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # to the TOP of this list.
 _WINDOW_PRIORITY = [
     # round 5
-    "cell_neighbor_smooth", "events_user_argmax",
+    "embed_label_centroid_dist", "cell_neighbor_smooth",
+    "events_user_argmax",
     "events_daily_active_users", "embed_norm_buckets",
     # round 4 (never recorded by the driver)
     "embed_semantic_dedup", "embed_cell_assign", "docs_pii_scrub",
@@ -1025,6 +1027,24 @@ def oracle_sql() -> dict[str, str]:
         "embed_cell_assign": _embed_cell_assign_sql(),
         "embed_semantic_dedup": _semantic_dedup_sql(),
         "cell_neighbor_smooth": _cell_neighbor_smooth_sql(),
+        "embed_label_centroid_dist": """
+            WITH u AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000
+                                  + 0.5) AS BIGINT) AS v
+                FROM embeddings),
+            c AS (
+                SELECT label, dim,
+                       CAST(FLOOR(1000.0 * SUM(v) / COUNT(*)) AS BIGINT)
+                           AS cv
+                FROM u GROUP BY 1, 2)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(SUM((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT)
+                       AS d2_milli
+            FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1, 2""",
         "events_user_argmax": """
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    CAST(max(pk) // 1099511627776 AS BIGINT) AS max_cents,

@@ -4541,3 +4541,59 @@ def cell_neighbor_smooth(sf_dir: str, res: int = 3):
     return out.map_batches(
         lambda b: b.select(["gx", "gy", "n_cell", "n_neighborhood"]),
         batch_format="pyarrow")
+
+
+def embed_label_centroid_dist(sf_dir: str):
+    """Pairwise distances between the k-means label centroids — the
+    cluster-geometry diagnostic of an embedding pipeline (which semantic
+    shards are neighbours).  Exact integer contract: per-(label, dim)
+    sums of milli-quantized components are exact int64; each centroid
+    component floors to floor(1000 * S / n) (floor division — exact, and
+    DuckDB's float mirror cannot misround because 1000*S/n sits at least
+    1/n away from any other integer); d2 = sum of squared component
+    deltas (<= (6e3)^2 * 64 per pair, int64-safe).  One combiner-first
+    shuffle bounded by labels x dims; the pairwise step runs on the TINY
+    (k, D) centroid matrix.  Output: (label_a, label_b, d2_milli)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.joins import sized_groupby
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = pc.cast(b.column("label"), pa.int64()).to_numpy()
+        emb = np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False))
+        W = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s, W_s = lab[order], W[order]
+        u, first = np.unique(lab_s, return_index=True)
+        sums = np.add.reduceat(W_s, first, axis=0)
+        cnts = np.diff(np.r_[first, lab_s.size])
+        d = W.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(u, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), u.size)),
+            "_s": pa.array(sums.ravel()),
+            "_n": pa.array(np.repeat(cnts.astype(np.int64), d))})
+
+    agg = sized_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["label", "dim"], Sum("_s", alias_name="s"),
+                        Sum("_n", alias_name="nd"))
+    t = agg.to_pandas()                   # tiny: labels x dims rows
+    labs = np.sort(t.label.unique())
+    d = int(t.dim.max()) + 1
+    C = np.zeros((labs.size, d), dtype=np.int64)
+    pos = {int(v): i for i, v in enumerate(labs)}
+    li = t.label.map(pos).to_numpy()
+    C[li, t.dim.to_numpy()] = (1000 * t.s.to_numpy()) // t.nd.to_numpy()
+    la, lb, dd = [], [], []
+    for i in range(labs.size):
+        for j in range(i + 1, labs.size):
+            diff = C[i] - C[j]
+            la.append(int(labs[i]))
+            lb.append(int(labs[j]))
+            dd.append(int((diff * diff).sum()))
+    return pa.table({"label_a": pa.array(la, pa.int64()),
+                     "label_b": pa.array(lb, pa.int64()),
+                     "d2_milli": pa.array(dd, pa.int64())})

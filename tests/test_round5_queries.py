@@ -127,3 +127,31 @@ class TestCellNeighborSmooth:
         assert any(v[1] > v[0] for v in got.values())   # smoothing real
         assert (out.gy >= 0).all() and (out.gy < side).all()
         assert (out.gx >= 0).all() and (out.gx < total).all()
+
+
+class TestEmbedLabelCentroidDist:
+    def test_matches_numpy_exact(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from dggsray.pipelines.relational import embed_label_centroid_dist
+        out = embed_label_centroid_dist(SF).to_pandas() \
+            .sort_values(["label_a", "label_b"]).reset_index(drop=True)
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["label", "embedding"])
+        lab = t.column("label").to_numpy()
+        W = np.floor(np.stack(t.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64) * 1000
+            + 0.5).astype(np.int64)
+        labs = np.sort(np.unique(lab))
+        C = np.stack([(1000 * W[lab == v].sum(axis=0))
+                      // (lab == v).sum() for v in labs])
+        exp = {}
+        for i in range(labs.size):
+            for j in range(i + 1, labs.size):
+                d = C[i] - C[j]
+                exp[(int(labs[i]), int(labs[j]))] = int((d * d).sum())
+        got = {(int(r.label_a), int(r.label_b)): int(r.d2_milli)
+               for r in out.itertuples()}
+        assert got == exp
+        assert len(got) == labs.size * (labs.size - 1) // 2
+        assert all(v > 0 for v in got.values())
