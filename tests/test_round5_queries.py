@@ -155,3 +155,44 @@ class TestEmbedLabelCentroidDist:
         assert got == exp
         assert len(got) == labs.size * (labs.size - 1) // 2
         assert all(v > 0 for v in got.values())
+
+
+class TestRegionAssignerProperty:
+    def test_hypothesis_random_polygons(self):
+        """Property: for ANY set of random (possibly self-intersecting)
+        polygons, RegionAssigner equals the per-feature even-odd brute
+        force with later-wins paint order — the index/banding layer can
+        never change semantics."""
+        from hypothesis import given, settings, strategies as st
+
+        from dggsray.core.rhpx import DEFAULT_GRID, project_fwd
+        from dggsray.ops.vector2dggs import RegionAssigner, _points_in_ring
+
+        @settings(max_examples=20, deadline=None)
+        @given(st.lists(
+            st.lists(st.tuples(st.floats(-50, 50), st.floats(-33, 33)),
+                     min_size=3, max_size=6),
+            min_size=1, max_size=6),
+            st.randoms(use_true_random=False))
+        def check(polys, rnd):
+            feats = [{"feature_id": i, "rings": [list(map(list, p))]}
+                     for i, p in enumerate(polys)]
+            ra = RegionAssigner(feats, res=3)
+            rng = np.random.default_rng(rnd.randrange(2**31))
+            lon = rng.uniform(-55.0, 55.0, 2000)
+            lat = rng.uniform(-34.0, 34.0, 2000)
+            got = ra.assign_lonlat(lon, lat)
+            px, py = project_fwd(lon, lat, DEFAULT_GRID)
+            exp = np.full(len(px), -1, np.int64)
+            for f in feats:
+                inside = np.zeros(len(px), bool)
+                for ring in f["rings"]:
+                    r = np.asarray(ring, float)
+                    r = np.vstack([r, r[:1]])
+                    xs, ys = project_fwd(r[:, 0], r[:, 1], DEFAULT_GRID)
+                    inside ^= _points_in_ring(
+                        px, py, np.column_stack([xs, ys]))
+                exp[inside] = f["feature_id"]
+            assert np.array_equal(got, exp)
+
+        check()
